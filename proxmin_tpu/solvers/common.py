@@ -1,0 +1,101 @@
+"""Shared infrastructure for the solver drivers.
+
+All solvers follow the same TPU-native pattern:
+
+* **state pytree** — every mutable quantity of the reference's Python loop
+  (iterate, momenta, duals, slack, iteration counter, convergence flags)
+  becomes a field of a NamedTuple carried through ``lax.while_loop``;
+* **fused mode** (default, ``callback=None``) — the whole solve is ONE
+  jit-compiled ``lax.while_loop`` with on-device convergence tests: zero
+  host round trips until the final result fetch;
+* **callback mode** — the single-iteration body is jit-compiled and driven
+  by a host loop so the reference's ``callback(*X, it=...)`` /
+  ``StopIteration`` protocol keeps working (one device sync per iteration,
+  documented cost);
+* **reference-shaped returns** — results unpack exactly like the reference
+  (``converged, G, S = pgm(...)``) while also exposing ``.x``,
+  ``.iterations`` etc. as attributes; NumPy array inputs are additionally
+  updated in place to preserve the reference's "X will be updated" contract
+  (reference mutates user arrays, e.g. ``algorithms.py:107-108``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import operators
+from ..utils import _as_tuple
+
+__all__ = [
+    "SolverResult",
+    "normalize_prox",
+    "normalize_per_block",
+    "writeback",
+    "zeros_like_shapes",
+    "tupleize",
+]
+
+
+class SolverResult(tuple):
+    """A tuple that unpacks like the reference return value but also carries
+    named attributes (``.x``, ``.iterations``, ...).
+
+    e.g. ``converged, G, S = pgm(...)`` works (reference parity,
+    ``algorithms.py:144``) and ``res = pgm(...); res.x`` gives the solution.
+    """
+
+    def __new__(cls, fields, **attrs):
+        obj = super().__new__(cls, fields)
+        for k, v in attrs.items():
+            object.__setattr__(obj, k, v)
+        return obj
+
+    def __repr__(self):
+        inner = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())
+        return f"{type(self).__name__}({inner})"
+
+
+def tupleize(X):
+    """``X`` (array or sequence of arrays) -> tuple of jnp arrays, plus the
+    info needed to write results back / unwrap single-block problems."""
+    was_single = type(X) not in (list, tuple)
+    X_seq = _as_tuple(X)
+    originals = tuple(X_seq)
+    X_dev = tuple(jnp.asarray(x) for x in X_seq)
+    return X_dev, originals, was_single
+
+
+def writeback(originals, results):
+    """Update NumPy inputs in place (reference in-place contract). JAX array
+    inputs are immutable; callers use the returned ``.x`` instead."""
+    for orig, res in zip(originals, results):
+        if isinstance(orig, np.ndarray):
+            orig[...] = np.asarray(res)
+
+
+def normalize_prox(prox, n_blocks):
+    """Reference prox normalization (``algorithms.py:55-64``): broadcast a
+    single prox over blocks and map ``None`` -> identity."""
+    prox = _as_tuple(prox)
+    if len(prox) == 1:
+        prox = prox * n_blocks
+    assert len(prox) == n_blocks
+    return tuple(p if p is not None else operators.prox_id for p in prox)
+
+
+def normalize_per_block(val, n_blocks):
+    """Broadcast a scalar per-block parameter (e.g. ``e_rel``) to a tuple."""
+    if np.isscalar(val):
+        return (float(val),) * n_blocks
+    val = tuple(float(v) for v in val)
+    assert len(val) == n_blocks
+    return val
+
+
+def zeros_like_shapes(fn, *args, **kwargs):
+    """Zeros pytree matching ``jax.eval_shape(fn, *args)`` — used to build
+    while-loop carries for quantities first produced inside the loop body."""
+    shapes = jax.eval_shape(fn, *args, **kwargs)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )

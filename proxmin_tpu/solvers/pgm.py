@@ -1,0 +1,267 @@
+"""Proximal Gradient Method (ISTA / FISTA) — jit-compiled while-loop driver.
+
+TPU-native re-design of the reference ``pgm`` (``/root/reference/proxmin/
+algorithms.py:12-144``): forward-backward splitting with multi-block
+coordinate descent (Xu & Yin 2015), optional Nesterov acceleration
+(Beck & Teboulle 2009 FISTA) and Beck–Teboulle backtracking line search,
+per-block fixed-point convergence test.
+
+Reference semantics preserved: extrapolation/copy ordering, the
+``T[jmax] /= 2`` steepest-block backtracking update, the
+``||X - X_||^2 <= e_rel^2 ||X||^2`` stopping rule, the ``grads=`` duck-typed
+step signature, and the ``(converged, G, S)`` return. The loop itself is a
+single ``lax.while_loop`` under ``jax.jit`` with the Nesterov ``t``,
+backtracking scales ``T`` and convergence flags all living in the carry —
+no host round trips (unless a ``callback`` is given, which switches to a
+compiled-step host loop supporting ``StopIteration``).
+"""
+
+import logging
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import utils
+from ..utils import make_stepper, nesterov_next, fixed_point_converged
+from .common import (
+    SolverResult,
+    normalize_per_block,
+    normalize_prox,
+    tupleize,
+    writeback,
+    zeros_like_shapes,
+)
+
+logger = logging.getLogger("proxmin")
+
+__all__ = ["pgm"]
+
+# safety cap on backtracking halvings per outer iteration (2^-60 underflows
+# any reasonable step); the reference's inner `while` is uncapped
+_MAX_BACKTRACK = 60
+
+
+class PGMState(NamedTuple):
+    x: tuple
+    x_prev: tuple          # iterate of the previous outer iteration
+    t: Any                 # Nesterov momentum scalar
+    T: Any                 # (N,) backtracking step scales
+    f_prev: Any            # last smooth-function value (backtracking only)
+    G: tuple               # last gradients
+    S: tuple               # last step sizes
+    stepper_state: Any
+    it: Any
+    converged: Any         # (N,) bool
+
+
+def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f):
+    """Build the single-iteration body (pure state -> state)."""
+    n = len(prox)
+
+    def body(state: PGMState) -> PGMState:
+        it = state.it
+
+        # Nesterov extrapolation (omega == 0 at it == 0 since t starts at 1)
+        if accelerated:
+            omega, t_next = nesterov_next(state.t)
+            x_ex = tuple(
+                state.x[j] + omega * (state.x[j] - state.x_prev[j])
+                for j in range(n)
+            )
+        else:
+            t_next = state.t
+            x_ex = state.x
+
+        x_old = state.x  # the reference's X_ copy (algorithms.py:102)
+
+        G = utils._as_tuple(grad(*x_ex))
+        S, stepper_state = stepper(state.stepper_state, x_ex, it, G)
+        S = tuple(jnp.asarray(s) for s in S)
+
+        def prox_step(j, Tj):
+            return prox[j](x_ex[j] - Tj * S[j] * G[j], Tj * S[j])
+
+        x_new = tuple(prox_step(j, state.T[j]) for j in range(n))
+        T = state.T
+
+        if backtracking:
+            # Beck & Teboulle eq. 3.2 (g dropped from F and Q: it cancels)
+            f_prev = jax.lax.cond(
+                it == 0, lambda: jnp.asarray(f(*x_old)), lambda: state.f_prev
+            )
+
+            def bt_cond(carry):
+                x, T_bt, f_now, k = carry
+                Q = f_prev + sum(
+                    jnp.sum((x[j] - x_old[j]) * G[j])
+                    + jnp.sum(0.5 / (T_bt[j] * S[j]) * (x[j] - x_old[j]) ** 2)
+                    for j in range(n)
+                )
+                return jnp.logical_and(f_now > Q, k < _MAX_BACKTRACK)
+
+            def bt_body(carry):
+                x, T_bt, f_now, k = carry
+                # steepest relative update direction (algorithms.py:121)
+                rel = jnp.stack([
+                    jnp.max(jnp.abs(S[j] * G[j])) / jnp.max(jnp.abs(x_old[j]))
+                    for j in range(n)
+                ])
+                jmax = jnp.argmax(rel)
+                T_bt = T_bt.at[jmax].set(T_bt[jmax] / 2)
+                x = tuple(
+                    jnp.where(jmax == j, prox_step(j, T_bt[j]), x[j])
+                    for j in range(n)
+                )
+                return x, T_bt, jnp.asarray(f(*x)), k + 1
+
+            f_now = jnp.asarray(f(*x_new))
+            x_new, T, f_now, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (x_new, T, f_now, jnp.int32(0))
+            )
+            f_prev_new = f_now
+        else:
+            f_prev_new = state.f_prev
+
+        converged = jnp.stack([
+            fixed_point_converged(x_new[j], x_old[j], e_rel[j])
+            for j in range(n)
+        ])
+
+        return PGMState(
+            x=x_new,
+            x_prev=x_old,
+            t=t_next,
+            T=T,
+            f_prev=f_prev_new,
+            G=G,
+            S=S,
+            stepper_state=stepper_state,
+            it=it + 1,
+            converged=converged,
+        )
+
+    return body
+
+
+def _init_state(x0, grad, stepper, n):
+    dtype = jnp.result_type(*[x.dtype for x in x0], jnp.float32)
+    G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
+    stepper_state0 = stepper.init_state(x0, G0)
+    S0 = zeros_like_shapes(
+        lambda st, x, g: tuple(
+            jnp.asarray(s) for s in stepper(st, x, jnp.int32(0), g)[0]
+        ),
+        stepper_state0, x0, G0,
+    )
+    # fresh buffers: the drivers donate the carry, so the state must not
+    # alias user-provided arrays (donating a user buffer would invalidate it
+    # for subsequent calls) nor alias the same buffer twice
+    return PGMState(
+        x=tuple(jnp.array(x, copy=True) for x in x0),
+        x_prev=tuple(jnp.array(x, copy=True) for x in x0),
+        t=jnp.asarray(1.0, dtype),
+        T=jnp.ones((n,), dtype),
+        f_prev=jnp.asarray(jnp.inf, dtype),
+        G=tuple(G0),
+        S=tuple(S0),
+        stepper_state=stepper_state0,
+        it=jnp.int32(0),
+        converged=jnp.zeros((n,), bool),
+    )
+
+
+def _run_fused(x0, body, max_iter, n):
+    def cond(state):
+        return jnp.logical_and(
+            state.it < max_iter, jnp.logical_not(jnp.all(state.converged))
+        )
+
+    return jax.lax.while_loop(cond, body, x0)
+
+
+def pgm(
+    X,
+    grad,
+    step,
+    prox=None,
+    accelerated=False,
+    backtracking=False,
+    f=None,
+    e_rel=1e-6,
+    max_iter=1000,
+    callback=None,
+):
+    """Proximal Gradient Method (ISTA; FISTA when ``accelerated=True``).
+
+    Drop-in equivalent of the reference ``proxmin.pgm``
+    (``algorithms.py:12-144``). All user callables (``grad``, ``step``,
+    ``prox``, ``f``) must be jit-traceable (jnp operations, no Python side
+    effects); ``step`` may be a float / per-block tuple, a callable
+    ``step(*X, it=..., [grads=...])``, or a stepper object such as
+    :class:`proxmin_tpu.utils.BarzilaiBorweinStepper`.
+
+    Args:
+        X: initial iterate — array or list of arrays (blocks). NumPy inputs
+            are updated in place like the reference; the solution is also
+            available as ``result.x``.
+        grad: gradient of the smooth part, ``grad(*X) -> dX`` (tuple for
+            multi-block).
+        step: step size(s); should be < 2/L with L the Lipschitz constant.
+        prox: proximal operator(s) ``prox(X, step) -> X``; None = identity.
+        accelerated: Nesterov/FISTA acceleration.
+        backtracking: Beck–Teboulle backtracking line search (needs ``f``).
+        f: the smooth function itself (backtracking only).
+        e_rel: relative fixed-point tolerance (scalar or per block).
+        max_iter: iteration cap.
+        callback: optional ``callback(*X, it=...)`` host hook; switches to
+            the compiled-step host loop. Raising ``StopIteration`` from the
+            callback terminates cleanly (reference ``algorithms.py:137``).
+
+    Returns:
+        ``SolverResult`` unpacking as ``(converged, G, S)`` like the
+        reference, with attributes ``.x`` (solution blocks),
+        ``.iterations``, ``.converged``.
+    """
+    x0, originals, was_single = tupleize(X)
+    n = len(x0)
+    prox = normalize_prox(prox, n)
+    e_rel = normalize_per_block(e_rel, n)
+    assert backtracking is False or f is not None
+    stepper = make_stepper(step, n)
+
+    body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
+                          backtracking, f)
+
+    if callback is None:
+        run = jax.jit(
+            lambda s: _run_fused(s, body, max_iter, n), donate_argnums=0
+        )
+        state = run(_init_state(x0, grad, stepper, n))
+    else:
+        step_fn = jax.jit(body, donate_argnums=0)
+        state = _init_state(x0, grad, stepper, n)
+        for it in range(max_iter):
+            try:
+                callback(*[np.asarray(x) for x in state.x], it=it)
+            except StopIteration:
+                break
+            state = step_fn(state)
+            if bool(jnp.all(state.converged)):
+                break
+
+    iterations = int(state.it)
+    logger.info("Completed %d iterations", iterations)
+    converged = tuple(bool(c) for c in np.asarray(state.converged))
+    if not all(converged):
+        logger.warning("Solution did not converge")
+
+    writeback(originals, state.x)
+    x_out = state.x[0] if was_single else state.x
+    G = state.G[0] if was_single else state.G
+    S = state.S[0] if was_single else state.S
+    return SolverResult(
+        (converged, G, S),
+        x=x_out, iterations=iterations, converged=converged, G=G, S=S,
+    )

@@ -1,0 +1,456 @@
+"""Numerics core: norms, convergence tests, accelerators, steppers, callbacks.
+
+TPU-native re-design of ``/root/reference/proxmin/utils.py``. Everything on
+the hot path is a pure function of explicit state so it composes with
+``jax.jit`` / ``lax.while_loop`` / ``pjit``:
+
+* the Nesterov accelerator and Barzilai–Borwein stepper become state
+  pytrees updated functionally (reference: stateful objects,
+  ``utils.py:193-241``);
+* the ADMM inner update (``update_variables`` / ``do_the_mm``,
+  reference ``utils.py:295-346``) returns new ``(X, Z, U)`` instead of
+  mutating them;
+* convergence checks (fixed-point + Boyd 2011 §3.3.1 residual tests,
+  reference ``utils.py:349-406``) are pure jnp functions that run on
+  device inside the solver while-loops.
+
+Host-side conveniences (``Traceback``, ``NullCallback``,
+``ApproximateCache``) keep reference semantics for the non-fused
+(callback-driven) solver mode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .linop import (  # noqa: F401  (re-exported for reference parity)
+    IdentityOperator,
+    LinearOperator,
+    MatrixAdapter,
+    MatrixOperator,
+    as_linear_operator,
+    get_spectral_norm,
+)
+
+__all__ = [
+    "l2", "l2sq", "MatrixAdapter", "get_spectral_norm",
+    "Traceback", "NullCallback", "ApproximateCache",
+    "NesterovAccelerator", "nesterov_next",
+    "BarzilaiBorweinStepper",
+    "initZU", "do_the_mm", "update_variables",
+    "get_step_g", "get_step_f",
+    "get_variable_errors", "check_constraint_convergence", "check_convergence",
+    "fixed_point_converged",
+]
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+
+def _as_tuple(X):
+    if type(X) in (list, tuple):
+        return tuple(X)
+    return (X,)
+
+
+def _copy_tuple(X):
+    return tuple(np.array(item, copy=True) for item in X)
+
+
+def l2sq(x):
+    """Sum of the squared matrix elements."""
+    return jnp.sum(jnp.square(x))
+
+
+def l2(x):
+    """Square root of the sum of the squared matrix elements."""
+    return jnp.sqrt(jnp.sum(jnp.square(x)))
+
+
+def fixed_point_converged(x, x_prev, e_rel):
+    """Per-block fixed-point test ``||x - x_prev||^2 <= e_rel^2 ||x||^2``.
+
+    The convergence criterion used by pgm/adaprox
+    (reference ``algorithms.py:130-133,404-407``).
+    """
+    return l2sq(x - x_prev) <= (e_rel ** 2) * l2sq(x)
+
+
+# ---------------------------------------------------------------------------
+# Nesterov acceleration (FISTA momentum sequence)
+
+def nesterov_next(t):
+    """One step of the FISTA momentum recursion.
+
+    ``t' = (1 + sqrt(4 t^2 + 1)) / 2``, ``omega = (t - 1) / t'``
+    (reference ``utils.py:199-206``). Returns ``(omega, t')``.
+    Pure function of the scalar carry ``t`` — lives inside while-loop state.
+    """
+    t_next = 0.5 * (1.0 + jnp.sqrt(4.0 * t * t + 1.0))
+    omega = (t - 1.0) / t_next
+    return omega, t_next
+
+
+class NesterovAccelerator:
+    """Stateful host-side accelerator with reference semantics
+    (``utils.py:193-206``); the jitted drivers use :func:`nesterov_next`."""
+
+    def __init__(self, accelerated=False):
+        self.t = 1.0
+        self.accelerated = accelerated
+
+    @property
+    def omega(self):
+        if self.accelerated:
+            om, self.t = nesterov_next(self.t)
+            return float(om)
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
+# Steppers: uniform protocol so solvers can carry stepper state through jit.
+#
+#   init_state(X, G)            -> state pytree (may be ())
+#   __call__(state, X, it, G)   -> (steps_tuple, new_state)
+#
+# Plain floats / callables are adapted via `make_stepper`.
+
+class ConstantStepper:
+    """Fixed step size(s), broadcast over blocks."""
+
+    def __init__(self, value, n_blocks):
+        value = _as_tuple(value)
+        if len(value) == 1:
+            value = value * n_blocks
+        assert len(value) == n_blocks
+        self.value = tuple(value)
+
+    def init_state(self, X, G):
+        return ()
+
+    def __call__(self, state, X, it, G):
+        return self.value, state
+
+
+class FunctionStepper:
+    """Adapts a user step callable ``step(*X, it=..., [grads=...])``.
+
+    Mirrors the reference's duck-typing probe for a ``grads`` kwarg
+    (``algorithms.py:72-77``) but inspects the signature instead of calling
+    the function (calling would trace/execute user code twice under jit).
+    """
+
+    def __init__(self, fn, n_blocks):
+        import inspect
+
+        self.fn = fn
+        self.n_blocks = n_blocks
+        self.wants_grads = False
+        try:
+            sig = inspect.signature(fn)
+            params = sig.parameters.values()
+            self.wants_grads = any(
+                p.name == "grads" or p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in params
+            )
+        except (TypeError, ValueError):
+            # signature not introspectable (builtins / C callables):
+            # assume the plain `step(*X, it=...)` convention
+            self.wants_grads = False
+
+    def init_state(self, X, G):
+        return ()
+
+    def __call__(self, state, X, it, G):
+        if self.wants_grads:
+            S = self.fn(*X, it=it, grads=G)
+        else:
+            S = self.fn(*X, it=it)
+        S = _as_tuple(S)
+        if len(S) == 1:
+            S = S * self.n_blocks
+        return tuple(S), state
+
+
+class BarzilaiBorweinStepper:
+    """Barzilai–Borwein spectral steps (BB1/BB2) with Burdakov+ (2019,
+    Algorithm 2.1) stabilization. Functional port of the reference
+    stepper (``utils.py:209-241``): state = ``(X_prev, G_prev, Delta)``
+    carried through the solver loop.
+
+    Can also be used standalone with the reference calling convention
+    ``stepper.step(*X, it=..., grads=...)`` (host mode, keeps state on the
+    instance).
+    """
+
+    def __init__(self, type=1, init_r=0.1):
+        assert type in (1, 2)
+        self.type = type
+        self.r = init_r
+        self._host_state = None
+
+    def init_state(self, X, G):
+        n = len(X)
+        dtype = jnp.result_type(*[x.dtype for x in X])
+        delta = jnp.full((n,), jnp.inf, dtype=dtype)
+        x_prev = tuple(jnp.zeros_like(x) for x in X)
+        g_prev = tuple(jnp.zeros_like(x) for x in X)
+        return (x_prev, g_prev, delta)
+
+    def __call__(self, state, X, it, G):
+        x_prev, g_prev, delta = state
+        n = len(X)
+
+        steps0 = tuple(
+            self.r * jnp.max(jnp.abs(X[j])) / jnp.max(jnp.abs(G[j]))
+            for j in range(n)
+        )
+
+        S = tuple(X[j] - x_prev[j] for j in range(n))
+        Y = tuple(G[j] - g_prev[j] for j in range(n))
+        eps = 0.0
+        if self.type == 1:
+            A = tuple(jnp.sum(S[j] ** 2) / (jnp.sum(S[j] * Y[j]) + eps) for j in range(n))
+        else:
+            A = tuple(jnp.sum(S[j] * Y[j]) / (jnp.sum(Y[j] ** 2) + eps) for j in range(n))
+
+        # stabilization: Delta tracks min step length over the first iterations
+        step_len = jnp.stack([jnp.sqrt(jnp.sum(S[j] ** 2)) for j in range(n)])
+        delta_new = jnp.where(it <= 3, jnp.minimum(delta, step_len), delta)
+        Astab = tuple(
+            delta_new[j] / jnp.sqrt(jnp.sum(G[j] ** 2)) for j in range(n)
+        )
+
+        steps_bb = tuple(jnp.minimum(jnp.abs(A[j]), Astab[j]) for j in range(n))
+        first = it == 0
+        steps = tuple(jnp.where(first, steps0[j], steps_bb[j]) for j in range(n))
+
+        new_state = (tuple(X), tuple(G), jnp.where(first, delta, delta_new))
+        return steps, new_state
+
+    # --- reference-compatible host-side interface -------------------------
+    def step(self, *X, it=None, grads=None):
+        if it == 0 or self._host_state is None:
+            self._host_state = self.init_state(X, grads)
+        steps, self._host_state = self(self._host_state, X, it, grads)
+        return tuple(np.asarray(s) for s in steps)
+
+
+def make_stepper(step, n_blocks):
+    """Coerce a float / tuple / callable / Stepper into the stepper protocol."""
+    if hasattr(step, "init_state") and callable(step):
+        return step
+    if isinstance(step, BarzilaiBorweinStepper):
+        return step
+    if callable(step):
+        return FunctionStepper(step, n_blocks)
+    return ConstantStepper(step, n_blocks)
+
+
+# ---------------------------------------------------------------------------
+# callbacks (host-side; only used by the non-fused solver mode)
+
+class Traceback:
+    """Record a copy of the iterates at every callback invocation
+    (reference ``utils.py:104-116``)."""
+
+    def __init__(self):
+        self._trace = []
+
+    def __call__(self, *X, it=None):
+        self._trace.append(tuple(np.array(x, copy=True) for x in X))
+
+    @property
+    def trace(self):
+        return self._trace
+
+    def clear(self):
+        self._trace = []
+
+
+class NullCallback:
+    def __call__(self, *X, it=None):
+        pass
+
+
+class ApproximateCache:
+    """Cache expensive, slowly-varying scalar evaluations with a growing
+    recomputation stride (reference ``utils.py:124-190``; the reference's
+    broken ``__len__`` — ``len(int)`` — is fixed here)."""
+
+    def __init__(self, func, slack=0.1, max_stride=100):
+        self.func = func
+        assert 0 <= slack < 1
+        self.slack = slack
+        self.max_stride = max_stride
+        self.it = 0
+        self.stride = 1
+        self.last = -1
+        self.stored = None
+
+    def __len__(self):
+        return self.stride
+
+    def __call__(self, *args, **kwargs):
+        if self.slack == 0:
+            self.it += 1
+            return self.func(*args, **kwargs)
+        if self.it >= self.last + self.stride:
+            self.last = self.it
+            val = self.func(*args, **kwargs)
+            if self.it > 1 and self.slack > 0:
+                rel_error = np.abs(self.stored - val) / self.stored
+                budget = self.slack / 2
+                if 0 < rel_error < budget:
+                    self.stride += max(1, int(budget / rel_error * self.stride))
+                    self.stride = min(self.max_stride, self.stride)
+            self.stored = val
+        else:
+            self.it += 1
+        return self.stored
+
+
+# ---------------------------------------------------------------------------
+# ADMM-family shared numerics (functional versions of utils.py:244-346)
+
+def initZU(X, L):
+    """Initial auxiliary ``Z = L X`` and dual ``U = 0`` (single or list of L)."""
+    if isinstance(L, (list, tuple)):
+        Z = tuple(Li.matvec(X) for Li in L)
+        U = tuple(jnp.zeros_like(Zi) for Zi in Z)
+        return Z, U
+    Z = L.matvec(X)
+    U = jnp.zeros_like(Z)
+    return Z, U
+
+
+def get_step_g(step_f, norm_L2, N=1, M=1):
+    """Step size for prox_g compatible with step_f (Parikh 2013 §4.4.2,
+    with the reference's N·M safety factor for multiple blocks/constraints,
+    ``utils.py:269-279``)."""
+    return step_f * norm_L2 * N * M
+
+
+def get_step_f(step_f, lR2, lS2):
+    """Residual-balancing step update (Boyd 2011 §3.4.1,
+    reference ``utils.py:282-292``)."""
+    mu, tau = 10.0, 2.0
+    return jnp.where(
+        lR2 > mu * lS2,
+        step_f * tau,
+        jnp.where(lS2 > mu * lR2, step_f / tau, step_f),
+    )
+
+
+def do_the_mm(X, step_f, Z, U, prox_g, step_g, L):
+    """One constraint's Z/U update; returns ``(Z', U', LX, R, S)``.
+
+    ``Z' = prox_g(L X + U, step_g)``; primal residual ``R = L X - Z'``;
+    dual residual ``S = -L^T (Z' - Z) / step_g``; ``U' = U + R``
+    (relaxation parameter 1). Functional version of reference
+    ``utils.py:295-304``.
+    """
+    LX = L.matvec(X)
+    Z_new = prox_g(LX + U, step_g)
+    R = LX - Z_new
+    S = -L.rmatvec(Z_new - Z) / step_g
+    U_new = U + R
+    return Z_new, U_new, LX, R, S
+
+
+def update_variables(X, Z, U, prox_f, step_f, prox_g, step_g, L):
+    """The shared ADMM/SDMM/bSDMM primal-dual inner update (linearized).
+
+    Functional version of reference ``utils.py:307-346``: returns
+    ``(X', Z', U', LX, R, S)`` instead of mutating in place.
+
+    Single constraint: ``prox_g`` is a callable (or None), ``L`` an operator.
+    Multiple constraints: ``prox_g``/``step_g``/``L``/``Z``/``U`` are
+    tuples/lists of length M; the X-update sums the M linearization terms.
+    """
+    if not isinstance(prox_g, (list, tuple)):
+        if prox_g is not None:
+            dX = step_f / step_g * L.rmatvec(L.matvec(X) - Z + U)
+            X_new = prox_f(X - dX, step_f)
+            Z_new, U_new, LX, R, S = do_the_mm(
+                X_new, step_f, Z, U, prox_g, step_g, L
+            )
+        else:
+            # no constraint: plain fixed-point prox_f step
+            # (see do_the_mm for the normal definitions of LX, Z, R, S)
+            X_new = prox_f(X, step_f)
+            S = X_new - X
+            LX = X_new
+            Z_new = X_new
+            U_new = U
+            R = jnp.zeros_like(X_new)
+        return X_new, Z_new, U_new, LX, R, S
+
+    M = len(prox_g)
+    dX = sum(
+        step_f / step_g[i] * L[i].rmatvec(L[i].matvec(X) - Z[i] + U[i])
+        for i in range(M)
+    )
+    X_new = prox_f(X - dX, step_f)
+    Z_new, U_new, LX, R, S = [], [], [], [], []
+    for i in range(M):
+        zi, ui, lxi, ri, si = do_the_mm(
+            X_new, step_f, Z[i], U[i], prox_g[i], step_g[i], L[i]
+        )
+        Z_new.append(zi)
+        U_new.append(ui)
+        LX.append(lxi)
+        R.append(ri)
+        S.append(si)
+    return X_new, tuple(Z_new), tuple(U_new), tuple(LX), tuple(R), tuple(S)
+
+
+# ---------------------------------------------------------------------------
+# convergence tests (Boyd 2011 §3.3.1 and Langville 2014)
+
+def get_variable_errors(X, L, LX, Z, U, step_g, e_rel, e_abs=0):
+    """Primal/dual error thresholds for one multiplier-method step
+    (reference ``utils.py:349-363``)."""
+    n = X.size
+    p = Z.size
+    norm_sq = L.spectral_norm_sq
+    e_pri = jnp.sqrt(p) * e_abs / norm_sq + e_rel * jnp.maximum(l2(LX), l2(Z))
+    if step_g is not None:
+        e_dual = jnp.sqrt(n) * e_abs / norm_sq + e_rel * l2(L.rmatvec(U) / step_g)
+    else:
+        e_dual = jnp.sqrt(n) * e_abs / norm_sq + e_rel * l2(L.rmatvec(U))
+    return e_pri, e_dual
+
+
+def check_constraint_convergence(X, L, LX, Z, U, R, S, step_f, step_g, e_rel, e_abs):
+    """All-constraints Boyd §3.3.1 convergence test; recursive over
+    constraint lists like the reference (``utils.py:366-391``). Returns
+    ``(converged: bool array, errors)`` with
+    ``errors = (e_pri, e_dual, ||R||, ||S||)`` per constraint.
+    """
+    if isinstance(L, (list, tuple)):
+        M = len(L)
+        convergence = jnp.asarray(True)
+        errors = []
+        for i in range(M):
+            c, e = check_constraint_convergence(
+                X, L[i], LX[i], Z[i], U[i], R[i], S[i], step_f, step_g[i],
+                e_rel, e_abs,
+            )
+            convergence = jnp.logical_and(convergence, c)
+            errors.append(e)
+        return convergence, tuple(errors)
+
+    e_pri, e_dual = get_variable_errors(X, L, LX, Z, U, step_g, e_rel, e_abs)
+    lR = l2(R)
+    lS = l2(S)
+    convergence = jnp.logical_and(lR <= e_pri, lS <= e_dual)
+    return convergence, (e_pri, e_dual, lR, lS)
+
+
+def check_convergence(newX, oldX, e_rel):
+    """Langville 2014 §5 NMF convergence test (reference ``utils.py:394-406``)."""
+    new_old = jnp.sum(newX * oldX)
+    old2 = jnp.sum(oldX ** 2)
+    convergent = new_old >= (1 - e_rel ** 2) * old2
+    return convergent, (new_old, old2)

@@ -1,0 +1,193 @@
+"""PGM/FISTA solver tests on problems with analytic optima (SURVEY.md §4:
+parabola-style configs with known constrained minima)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from proxmin_tpu import pgm, operators, utils
+
+
+CENTER = np.array([1.0, 0.5])
+RADIUS = 0.5
+
+
+def f(x):
+    return 0.5 * jnp.sum((x - CENTER) ** 2)
+
+
+def grad_f(x):
+    return x - CENTER
+
+
+def prox_disk(x, step, r=RADIUS):
+    """Projection onto the centered disk of radius r."""
+    nrm = jnp.sqrt(jnp.sum(x ** 2))
+    return jnp.where(nrm > r, x * (r / nrm), x)
+
+
+DISK_OPT = RADIUS * CENTER / np.linalg.norm(CENTER)
+
+
+def test_pgm_unconstrained():
+    x0 = jnp.asarray([-1.0, -1.0])
+    res = pgm(x0, grad_f, 1.0, e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(np.asarray(res.x), CENTER, atol=1e-8)
+    assert all(res.converged)
+    assert res.iterations < 500
+
+
+def test_pgm_returns_reference_tuple():
+    x0 = jnp.asarray([-1.0, -1.0])
+    converged, G, S = pgm(x0, grad_f, 1.0, e_rel=1e-8, max_iter=200)
+    assert isinstance(converged, tuple)
+    assert np.asarray(G).shape == (2,)
+
+
+def test_pgm_disk_constraint():
+    x0 = jnp.asarray([-1.0, -1.0])
+    res = pgm(x0, grad_f, 0.5, prox=prox_disk, e_rel=1e-12, max_iter=2000)
+    np.testing.assert_allclose(np.asarray(res.x), DISK_OPT, atol=1e-6)
+
+
+def test_fista_accelerated():
+    """FISTA reaches tolerance in fewer iterations on an ill-conditioned
+    quadratic."""
+    H = jnp.asarray(np.diag([1.0, 0.01]))
+    c = jnp.asarray([1.0, 1.0])
+
+    def g(x):
+        return H @ (x - c)
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    plain = pgm(x0, g, 1.0, e_rel=1e-9, max_iter=5000)
+    fast = pgm(x0, g, 1.0, accelerated=True, e_rel=1e-9, max_iter=5000)
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(c), atol=1e-6)
+    assert fast.iterations < plain.iterations
+
+
+def test_backtracking_recovers_from_large_step():
+    """With a 50x too large step, backtracking still converges."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    res = pgm(
+        x0, grad_f, 50.0, backtracking=True, f=lambda x: f(x),
+        e_rel=1e-10, max_iter=500,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), CENTER, atol=1e-7)
+
+
+def test_backtracking_requires_f():
+    with pytest.raises(AssertionError):
+        pgm(jnp.zeros(2), grad_f, 1.0, backtracking=True)
+
+
+def test_pgm_multiblock():
+    """Two independent blocks solved jointly (block coordinate PGM)."""
+    c1, c2 = jnp.asarray([2.0, 0.0]), jnp.asarray([[1.0, -1.0], [0.5, 3.0]])
+
+    def g(x1, x2):
+        return x1 - c1, x2 - c2
+
+    x0 = [jnp.zeros(2), jnp.zeros((2, 2))]
+    res = pgm(x0, g, 1.0, prox=[None, operators.prox_plus],
+              e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(c1), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(res.x[1]), np.maximum(np.asarray(c2), 0), atol=1e-8
+    )
+
+
+def test_pgm_per_block_steps():
+    def g(x1, x2):
+        return x1 - 1.0, 2.0 * (x2 - 2.0)
+
+    x0 = [jnp.zeros(3), jnp.zeros(3)]
+    res = pgm(x0, g, (1.0, 0.5), e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(np.asarray(res.x[0]), 1.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x[1]), 2.0, atol=1e-8)
+
+
+def test_pgm_step_function_with_it():
+    calls = {"n": 0}
+
+    def step(*X, it=None):
+        return 1.0 / (1.0 + 0.0 * it)  # constant but uses `it`
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    res = pgm(x0, grad_f, step, e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(np.asarray(res.x), CENTER, atol=1e-8)
+
+
+def test_pgm_bb_stepper():
+    """Barzilai–Borwein steps through the stepper protocol, inside jit."""
+    H = jnp.asarray(np.diag([1.0, 0.05]))
+    c = jnp.asarray([1.0, 1.0])
+
+    def g(x):
+        return H @ (x - c)
+
+    stepper = utils.BarzilaiBorweinStepper(type=1, init_r=0.1)
+    res = pgm(jnp.asarray([-1.0, -1.0]), g, stepper,
+              e_rel=1e-10, max_iter=2000)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(c), atol=1e-6)
+
+
+def test_pgm_numpy_inplace_update():
+    """NumPy inputs are updated in place (reference contract)."""
+    x0 = np.array([-1.0, -1.0])
+    res = pgm(x0, grad_f, 1.0, e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(x0, CENTER, atol=1e-8)
+
+
+def test_pgm_callback_and_stopiteration():
+    seen = []
+
+    def cb(*X, it=None):
+        seen.append(it)
+        if it >= 5:
+            raise StopIteration
+
+    res = pgm(jnp.asarray([-1.0, -1.0]), grad_f, 0.2,
+              callback=cb, e_rel=1e-12, max_iter=100)
+    assert seen == [0, 1, 2, 3, 4, 5]
+
+
+def test_pgm_traceback_callback():
+    tb = utils.Traceback()
+    pgm(jnp.asarray([-1.0, -1.0]), grad_f, 1.0, callback=tb,
+        e_rel=1e-6, max_iter=50)
+    assert len(tb.trace) >= 2
+    # loss must be non-increasing for gradient descent on a quadratic
+    losses = [0.5 * np.sum((t[0] - CENTER) ** 2) for t in tb.trace]
+    assert all(l2 <= l1 + 1e-12 for l1, l2 in zip(losses, losses[1:]))
+
+
+def test_pgm_fused_matches_host_loop():
+    """The fully-fused while_loop and the compiled-step host loop must give
+    identical iterates (same math, different drivers)."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    r1 = pgm(x0, grad_f, 0.5, prox=prox_disk, accelerated=True,
+             e_rel=1e-11, max_iter=300)
+    r2 = pgm(x0, grad_f, 0.5, prox=prox_disk, accelerated=True,
+             e_rel=1e-11, max_iter=300, callback=utils.NullCallback())
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-10)
+    assert r1.iterations == r2.iterations
+
+
+def test_pgm_matches_numpy_oracle():
+    """Iterate-for-iterate parity with an eager NumPy ISTA implementation."""
+    step = 0.7
+    n_iter = 25
+
+    # NumPy oracle (fresh implementation of the textbook ISTA recursion)
+    x = np.array([-1.0, -1.0])
+    for _ in range(n_iter):
+        x = x - step * (x - CENTER)
+        nrm = np.linalg.norm(x)
+        if nrm > RADIUS:
+            x = x * RADIUS / nrm
+
+    res = pgm(jnp.asarray([-1.0, -1.0]), grad_f, step, prox=prox_disk,
+              e_rel=0.0, max_iter=n_iter)
+    # this backend computes f64 at ~48-bit precision -> rtol accordingly
+    np.testing.assert_allclose(np.asarray(res.x), x, rtol=1e-9)

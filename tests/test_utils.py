@@ -1,0 +1,237 @@
+"""Tests for the numerics core (utils + linop)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from proxmin_tpu import utils, operators
+from proxmin_tpu.linop import (
+    IdentityOperator,
+    MatrixOperator,
+    as_linear_operator,
+    power_iteration_norm_sq,
+    get_spectral_norm,
+)
+
+
+def test_l2(rng):
+    x = rng.normal(size=(5, 4))
+    np.testing.assert_allclose(np.asarray(utils.l2sq(x)), (x ** 2).sum())
+    np.testing.assert_allclose(
+        np.asarray(utils.l2(x)), np.sqrt((x ** 2).sum())
+    )
+
+
+def test_nesterov_sequence():
+    """Momentum sequence matches the classic FISTA recursion."""
+    t = 1.0
+    omegas = []
+    for _ in range(5):
+        om, t = utils.nesterov_next(t)
+        omegas.append(float(om))
+    # first omega is 0 (t=1)
+    assert omegas[0] == 0.0
+    # against a hand-rolled recursion
+    t_ref, omega_ref = 1.0, []
+    for _ in range(5):
+        t_next = 0.5 * (1 + np.sqrt(4 * t_ref ** 2 + 1))
+        omega_ref.append((t_ref - 1) / t_next)
+        t_ref = t_next
+    np.testing.assert_allclose(omegas, omega_ref, rtol=1e-12)
+
+    # the stateful accelerator wrapper agrees
+    acc = utils.NesterovAccelerator(accelerated=True)
+    np.testing.assert_allclose(
+        [acc.omega for _ in range(5)], omega_ref, rtol=1e-6
+    )
+    off = utils.NesterovAccelerator(accelerated=False)
+    assert off.omega == 0.0
+
+
+def test_matrix_operator_norm(rng):
+    L = rng.normal(size=(6, 4))
+    opL = as_linear_operator(L)
+    expected = np.linalg.eigvalsh(L.T @ L).max()
+    np.testing.assert_allclose(
+        float(opL.spectral_norm_sq), expected, rtol=1e-10
+    )
+    # reference-compatible surface
+    np.testing.assert_allclose(
+        float(get_spectral_norm(L)), expected, rtol=1e-10
+    )
+    # transpose has identical L^T L spectral norm
+    np.testing.assert_allclose(
+        float(opL.T.spectral_norm_sq), expected, rtol=1e-10
+    )
+
+
+def test_identity_operator(rng):
+    x = jnp.asarray(rng.normal(size=(3, 5)))
+    I = as_linear_operator(None)
+    assert isinstance(I, IdentityOperator)
+    assert I.matvec(x) is x
+    assert I.T is I
+    assert I.spectral_norm_sq == 1.0
+
+
+def test_operator_decascading(rng):
+    L = rng.normal(size=(4, 4))
+    opL = as_linear_operator(L)
+    assert as_linear_operator(opL) is opL
+
+
+def test_matvec_axis1(rng):
+    """Flattened-dot mode for per-component application."""
+    X = rng.normal(size=(3, 4))
+    L = rng.normal(size=(12, 12))
+    opL = MatrixOperator(L, axis=1)
+    expected = (L @ X.reshape(-1)).reshape(3, -1)
+    np.testing.assert_allclose(np.asarray(opL.matvec(jnp.asarray(X))), expected)
+    expected_t = (L.T @ X.reshape(-1)).reshape(3, -1)
+    np.testing.assert_allclose(
+        np.asarray(opL.T.matvec(jnp.asarray(X))), expected_t
+    )
+
+
+def test_operator_is_pytree(rng):
+    L = rng.normal(size=(4, 3))
+    opL = as_linear_operator(L)
+
+    @jax.jit
+    def apply(op, x):
+        return op.matvec(x) * op.spectral_norm_sq
+
+    x = jnp.asarray(rng.normal(size=(3,)))
+    expected = (L @ x) * np.linalg.eigvalsh(L.T @ L).max()
+    np.testing.assert_allclose(np.asarray(apply(opL, x)), expected, rtol=1e-10)
+
+
+def test_power_iteration_norm(rng):
+    L = jnp.asarray(rng.normal(size=(20, 16)))
+    val = power_iteration_norm_sq(
+        lambda x: L @ x, lambda y: L.T @ y, (16,), num_iters=200,
+        dtype=jnp.float64,
+    )
+    expected = np.linalg.eigvalsh(np.asarray(L).T @ np.asarray(L)).max()
+    np.testing.assert_allclose(float(val), expected, rtol=1e-6)
+
+
+def test_get_step_g():
+    assert float(utils.get_step_g(0.1, 4.0)) == pytest.approx(0.4)
+    assert float(utils.get_step_g(0.1, 4.0, N=2, M=3)) == pytest.approx(2.4)
+
+
+def test_get_step_f():
+    # primal residual dominates -> increase step
+    assert float(utils.get_step_f(1.0, 100.0, 1.0)) == pytest.approx(2.0)
+    # dual dominates -> decrease
+    assert float(utils.get_step_f(1.0, 1.0, 100.0)) == pytest.approx(0.5)
+    # balanced -> unchanged
+    assert float(utils.get_step_f(1.0, 1.0, 1.0)) == pytest.approx(1.0)
+
+
+def test_traceback_and_nullcallback(rng):
+    tb = utils.Traceback()
+    x = rng.normal(size=(2, 2))
+    tb(x, it=0)
+    tb(x * 2, it=1)
+    assert len(tb.trace) == 2
+    np.testing.assert_array_equal(tb.trace[1][0], x * 2)
+    tb.clear()
+    assert tb.trace == []
+    utils.NullCallback()(x, it=0)  # no-op
+
+
+def test_approximate_cache():
+    calls = []
+
+    def slow(v):
+        calls.append(v)
+        return v
+
+    cache = utils.ApproximateCache(slow, slack=0.1, max_stride=10)
+    vals = [cache(1.0 + 1e-4 * i) for i in range(30)]
+    # first call evaluates; later calls increasingly stride
+    assert len(calls) < 30
+    assert vals[0] == 1.0
+    assert len(cache) >= 1  # fixed __len__ (reference's is broken)
+
+    # slack=0 always evaluates
+    calls.clear()
+    cache0 = utils.ApproximateCache(slow, slack=0.0)
+    [cache0(float(i)) for i in range(5)]
+    assert len(calls) == 5
+
+
+def test_admm_update_no_constraint(rng):
+    """No-constraint fallback = plain fixed-point prox_f step."""
+    x = jnp.asarray(rng.normal(size=(4,)))
+    L = as_linear_operator(None)
+    Z, U = utils.initZU(x, L)
+    prox_f = lambda v, s: operators.prox_plus(v, s)
+    x2, z2, u2, lx, R, S = utils.update_variables(
+        x, Z, U, prox_f, 0.5, None, None, L
+    )
+    np.testing.assert_array_equal(np.asarray(x2), np.maximum(np.asarray(x), 0))
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(R), 0)
+    np.testing.assert_allclose(
+        np.asarray(S), np.asarray(x2) - np.asarray(x), atol=1e-15
+    )
+
+
+def test_admm_update_matches_numpy_oracle(rng):
+    """One linearized-ADMM primal/dual update vs a NumPy transcription of
+    the update equations (SURVEY.md §2 row 7)."""
+    n = 6
+    x = rng.normal(size=(n,))
+    Lmat = rng.normal(size=(n, n))
+    L = as_linear_operator(Lmat)
+    step_f, step_g = 0.1, 0.1 * float(L.spectral_norm_sq)
+    Z0, U0 = utils.initZU(jnp.asarray(x), L)
+    Z0n, U0n = np.asarray(Z0), np.asarray(U0)
+
+    prox_f = lambda v, s: v / (1 + s)        # prox of 0.5||v||^2
+    prox_g = lambda v, s: np.maximum(v, 0) if isinstance(v, np.ndarray) \
+        else jnp.maximum(v, 0)
+
+    x2, z2, u2, lx, R, S = utils.update_variables(
+        jnp.asarray(x), Z0, U0, prox_f, step_f, prox_g, step_g, L
+    )
+
+    # NumPy oracle
+    dX = step_f / step_g * Lmat.T @ (Lmat @ x - Z0n + U0n)
+    xn = (x - dX) / (1 + step_f)
+    LXn = Lmat @ xn
+    Zn = np.maximum(LXn + U0n, 0)
+    Rn = LXn - Zn
+    Sn = -1 / step_g * Lmat.T @ (Zn - Z0n)
+    Un = U0n + Rn
+
+    np.testing.assert_allclose(np.asarray(x2), xn, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(z2), Zn, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(u2), Un, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(R), Rn, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S), Sn, rtol=1e-9, atol=1e-12)
+
+
+def test_bb_stepper_host_interface(rng):
+    """BB stepper runs through the reference calling convention."""
+    stepper = utils.BarzilaiBorweinStepper(type=1, init_r=0.1)
+    x = (jnp.asarray(rng.normal(size=(4,))),)
+    g = (jnp.asarray(rng.normal(size=(4,))),)
+    s0 = stepper.step(*x, it=0, grads=g)
+    assert s0[0] > 0
+    x1 = (x[0] - s0[0] * g[0],)
+    g1 = (g[0] * 0.9,)
+    s1 = stepper.step(*x1, it=1, grads=g1)
+    assert np.isfinite(s1[0])
+
+
+def test_langville_convergence(rng):
+    x = jnp.asarray(np.abs(rng.normal(size=(3, 3))))
+    conv, norms = utils.check_convergence(x, x, 1e-4)
+    assert bool(conv)
+    conv2, _ = utils.check_convergence(x * 0.5, x, 1e-4)
+    assert not bool(conv2)
