@@ -7,5 +7,6 @@ reference's flat namespace.
 """
 
 from .solvers.pgm import pgm  # noqa: F401
+from .solvers.adaprox import adaprox  # noqa: F401
 
-__all__ = ["pgm"]
+__all__ = ["pgm", "adaprox"]

@@ -1,0 +1,356 @@
+"""AdaProx — adaptive proximal gradient (Adam family) with prox sub-iterations.
+
+TPU-native re-design of the reference ``adaprox`` (``/root/reference/
+proxmin/algorithms.py:147-423``; Melchior, Joseph & Moolekamp Algorithm 1,
+arXiv:1910.10094): six adaptive schemes (Adam, NAdam, AMSGrad, PAdam,
+AdamX, RAdam) expressed as pure Φ/Ψ functions over the moment state, with
+a **nested** ``lax.while_loop`` solving the scaled proximal problem per
+block (the reference's prox sub-iterations, ``algorithms.py:386-393``).
+
+Moments M/V/Vhat live in the carry, which both keeps the whole solve
+on-device and gives warm-start/continuation for free (pass ``M=``, ``V=``,
+``Vhat=`` like the reference).
+
+Deliberate fix vs the reference: with the default ``Vhat=None`` the
+reference never writes the running max back into its ``Vhat`` list
+(``algorithms.py:357`` initializes ``[None]*N`` and the Φ/Ψ functions only
+rebind a local), so AMSGrad/PAdam/AdamX silently degrade to
+non-accumulating variants unless the caller passes explicit ``Vhat``
+arrays. Here ``Vhat`` initializes to zeros and always accumulates — the
+published algorithms, and identical to the reference when it is given
+``Vhat=0`` explicitly (which is how the parity tests pin it).
+"""
+
+import logging
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import utils
+from ..utils import make_stepper, fixed_point_converged, l2sq
+from .common import (
+    SolverResult,
+    normalize_per_block,
+    normalize_prox,
+    tupleize,
+    writeback,
+    zeros_like_shapes,
+)
+
+logger = logging.getLogger("proxmin")
+
+__all__ = ["adaprox", "SCHEMES"]
+
+
+# ---------------------------------------------------------------------------
+# Φ/Ψ schemes. Uniform signature:
+#   (it, G, M, V, Vhat, b1, b2, eps, p) -> (Phi, Psi, M', V', Vhat')
+# b1 is the per-iteration schedule array; all return values are jnp arrays.
+
+def _moments(it, G, M, V, b1, b2):
+    M_new = (1 - b1[it]) * G + b1[it] * M
+    V_new = (1 - b2) * (G ** 2) + b2 * V
+    return M_new, V_new
+
+
+def _adam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    M, V = _moments(it, G, M, V, b1, b2)
+    t = it + 1
+    Phi = M / (1 - b1[it] ** t)
+    Psi = jnp.sqrt(V / (1 - b2 ** t)) + eps
+    return Phi, Psi, M, V, Vhat
+
+
+def _nadam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    M, V = _moments(it, G, M, V, b1, b2)
+    t = it + 1
+    Phi = (b1[it] * M + (1 - b1[it]) * G) / (1 - b1[it] ** t)
+    Psi = jnp.sqrt(V / (1 - b2 ** t)) + eps
+    return Phi, Psi, M, V, Vhat
+
+
+def _amsgrad_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    M, V = _moments(it, G, M, V, b1, b2)
+    Vhat = jnp.maximum(Vhat, V)
+    # eps clamps the *returned* Psi only, not the stored Vhat
+    # (reference rebinds the local, algorithms.py:181-183)
+    Psi = jnp.sqrt(jnp.maximum(Vhat, eps)) if eps > 0 else jnp.sqrt(Vhat)
+    return M, Psi, M, V, Vhat
+
+
+def _padam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    M, V = _moments(it, G, M, V, b1, b2)
+    Vhat = jnp.maximum(Vhat, V)
+    Psi = (jnp.maximum(Vhat, eps) if eps > 0 else Vhat) ** p
+    return M, Psi, M, V, Vhat
+
+
+def _adamx_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    M, V = _moments(it, G, M, V, b1, b2)
+    # factor irrelevant at it == 0 when Vhat starts at 0 (max picks V);
+    # clamp the index so the schedule isn't read out of bounds
+    prev = jnp.maximum(it - 1, 0)
+    factor = (1 - b1[it]) ** 2 / (1 - b1[prev]) ** 2
+    Vhat = jnp.maximum(factor * Vhat, V)
+    Psi = jnp.sqrt(jnp.maximum(Vhat, eps)) if eps > 0 else jnp.sqrt(Vhat)
+    return M, Psi, M, V, Vhat
+
+
+def _radam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+    rho_inf = 2 / (1 - b2) - 1
+    M, V = _moments(it, G, M, V, b1, b2)
+    t = it + 1
+    Phi = M / (1 - b1[it] ** t)
+    rho = rho_inf - 2 * t * b2 ** t / (1 - b2 ** t)
+
+    # both branches computed, selected by where (rho is a traced scalar);
+    # the rectification sqrt argument is clamped so the untaken branch
+    # can't poison the select with NaN
+    r_arg = (rho - 4) * (rho - 2) * rho_inf / (rho_inf - 4) / (rho_inf - 2) / rho
+    r = jnp.sqrt(jnp.maximum(r_arg, jnp.finfo(V.dtype).tiny))
+    Psi_rect = jnp.sqrt(V / (1 - b2 ** t)) / r
+    Psi = jnp.where(rho > 4, Psi_rect, jnp.ones_like(V))
+    if eps > 0:
+        Psi = jnp.maximum(Psi, jnp.sqrt(eps))
+    return Phi, Psi, M, V, Vhat
+
+
+SCHEMES = {
+    "adam": _adam_phi_psi,
+    "nadam": _nadam_phi_psi,
+    "amsgrad": _amsgrad_phi_psi,
+    "padam": _padam_phi_psi,
+    "adamx": _adamx_phi_psi,
+    "radam": _radam_phi_psi,
+}
+
+
+class AdaProxState(NamedTuple):
+    x: tuple
+    M: tuple
+    V: tuple
+    Vhat: tuple
+    stepper_state: Any
+    it: Any
+    converged: Any       # (N,) bool
+    sub_iters: Any       # (N,) int32, cumulative prox sub-iterations
+
+
+def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
+    """Solve the scaled proximal problem by fixed-point sub-iterations
+    (reference ``algorithms.py:382-400``):
+    ``z <- prox(z - (gamma/alpha) Psi (z - x_j), gamma)`` with
+    ``gamma = alpha / max(Psi)``, until
+    ``||z' - z||^2 <= e_rel^2 ||z||^2``. Returns ``(z, tau)``.
+    """
+    psi_max = jnp.max(Psi)
+    gamma = alpha_j / psi_max
+    scale = Psi / psi_max   # == (gamma / alpha) * Psi elementwise
+
+    def cond(carry):
+        z, tau, done = carry
+        return jnp.logical_and(jnp.logical_not(done), tau < prox_max_iter)
+
+    def body(carry):
+        z, tau, _ = carry
+        z_new = prox_j(z - scale * (z - x_j), gamma)
+        done = l2sq(z_new - z) <= e_rel_j ** 2 * l2sq(z)
+        return z_new, tau + 1, done
+
+    z, tau, _ = jax.lax.while_loop(
+        cond, body, (x_j, jnp.int32(0), jnp.asarray(False))
+    )
+    return z, tau
+
+
+def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
+                       p, e_rel, check_convergence, prox_max_iter):
+    n = len(prox)
+
+    def body(state: AdaProxState) -> AdaProxState:
+        it = state.it
+        G = utils._as_tuple(grad(*state.x))
+        Alpha, stepper_state = stepper(state.stepper_state, state.x, it, G)
+        Alpha = tuple(jnp.asarray(a) for a in Alpha)
+
+        x_new, M_new, V_new, Vhat_new = [], [], [], []
+        sub_iters = state.sub_iters
+        for j in range(n):
+            Phi, Psi, Mj, Vj, Vhatj = phi_psi(
+                it, G[j], state.M[j], state.V[j], state.Vhat[j], b1, b2, eps, p
+            )
+            xj = state.x[j] - Alpha[j] * Phi / Psi
+
+            if has_prox[j]:
+                xj, tau = _prox_subloop(
+                    prox[j], xj, Alpha[j], Psi, e_rel[j], prox_max_iter
+                )
+                sub_iters = sub_iters.at[j].add(tau)
+
+            x_new.append(xj)
+            M_new.append(Mj)
+            V_new.append(Vj)
+            Vhat_new.append(Vhatj)
+
+        if check_convergence:
+            converged = jnp.stack([
+                fixed_point_converged(x_new[j], state.x[j], e_rel[j])
+                for j in range(n)
+            ])
+        else:
+            converged = state.converged
+
+        return AdaProxState(
+            x=tuple(x_new),
+            M=tuple(M_new),
+            V=tuple(V_new),
+            Vhat=tuple(Vhat_new),
+            stepper_state=stepper_state,
+            it=it + 1,
+            converged=converged,
+            sub_iters=sub_iters,
+        )
+
+    return body
+
+
+def adaprox(
+    X,
+    grad,
+    step,
+    prox=None,
+    scheme="adam",
+    b1=0.9,
+    b2=0.999,
+    eps=1e-8,
+    check_convergence=True,
+    p=0.25,
+    e_rel=1e-6,
+    max_iter=1000,
+    prox_max_iter=1000,
+    M=None,
+    V=None,
+    Vhat=None,
+    callback=None,
+):
+    """Adaptive Proximal Gradient Method (proximal Adam family).
+
+    Drop-in equivalent of the reference ``proxmin.adaprox``
+    (``algorithms.py:248-423``): Adam (Kingma & Ba 2015), NAdam (Dozat
+    2016), AMSGrad (Reddi+ 2018), PAdam (Chen & Gu 2018), AdamX (Phuong &
+    Phong 2019), RAdam (Liu+ 2019), each followed by PGM sub-iterations
+    to restore feasibility/optimality (arXiv:1910.10094 Algorithm 1).
+
+    Setting ``M``, ``V``, ``Vhat`` warm-starts from a previous run's
+    moments (returned by this function), e.g. to continue a slightly
+    changed problem.
+
+    Returns:
+        ``SolverResult`` unpacking as ``(converged, M, V, Vhat)`` like the
+        reference, with attributes ``.x``, ``.iterations``,
+        ``.sub_iterations``.
+    """
+    x0, originals, was_single = tupleize(X)
+    n = len(x0)
+    prox_in = utils._as_tuple(prox)
+    if len(prox_in) == 1:
+        prox_in = prox_in * n
+    assert len(prox_in) == n
+    # the reference only runs sub-iterations for blocks whose prox is not
+    # None (algorithms.py:380); remember which before normalization
+    has_prox = tuple(pj is not None for pj in prox_in)
+    prox = normalize_prox(prox_in, n)
+    e_rel = normalize_per_block(e_rel, n)
+
+    if not hasattr(b1, "__iter__"):
+        b1 = np.full((max_iter,), b1, dtype=np.float64)
+    b1 = jnp.asarray(b1)
+    assert b1.shape[0] == max_iter
+    assert bool((b1 >= 0).all()) and bool((b1 < 1).all())
+    assert 0 <= b2 < 1
+    assert eps >= 0
+    assert 0 < p <= 0.5
+    scheme = scheme.lower()
+    assert scheme in SCHEMES, f"unknown scheme {scheme!r}"
+    phi_psi = SCHEMES[scheme]
+
+    # cold or warm start for the moments
+    def init_moments(given):
+        if given is None:
+            return tuple(jnp.zeros_like(x) for x in x0)
+        given = utils._as_tuple(given)
+        assert len(given) == n
+        out = []
+        for g, x in zip(given, x0):
+            g = jnp.asarray(g)
+            assert g.shape == x.shape
+            out.append(g.astype(x.dtype))
+        return tuple(out)
+
+    M0 = init_moments(M)
+    V0 = init_moments(V)
+    Vhat0 = init_moments(Vhat)
+
+    stepper = make_stepper(step, n)
+    body = _make_adaprox_body(
+        grad, stepper, prox, has_prox, phi_psi, b1, b2, eps, p, e_rel,
+        check_convergence, prox_max_iter,
+    )
+
+    def init_state():
+        G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
+        return AdaProxState(
+            x=tuple(jnp.array(x, copy=True) for x in x0),
+            M=M0,
+            V=V0,
+            Vhat=Vhat0,
+            stepper_state=stepper.init_state(x0, G0),
+            it=jnp.int32(0),
+            converged=jnp.zeros((n,), bool),
+            sub_iters=jnp.zeros((n,), jnp.int32),
+        )
+
+    if callback is None:
+        def run(state):
+            def cond(s):
+                not_done = jnp.logical_not(jnp.all(s.converged)) \
+                    if check_convergence else True
+                return jnp.logical_and(s.it < max_iter, not_done)
+            return jax.lax.while_loop(cond, body, state)
+
+        state = jax.jit(run, donate_argnums=0)(init_state())
+    else:
+        step_fn = jax.jit(body, donate_argnums=0)
+        state = init_state()
+        for it in range(max_iter):
+            try:
+                callback(*[np.asarray(x) for x in state.x], it=it)
+            except StopIteration:
+                break
+            state = step_fn(state)
+            if check_convergence and bool(jnp.all(state.converged)):
+                break
+
+    iterations = int(state.it)
+    sub_iterations = tuple(int(s) for s in np.asarray(state.sub_iters))
+    logger.info(
+        "Completed %d iterations and %s sub-iterations",
+        iterations, list(sub_iterations),
+    )
+    if check_convergence:
+        converged = tuple(bool(c) for c in np.asarray(state.converged))
+        if not all(converged):
+            logger.warning("Solution did not converge")
+    else:
+        converged = (None,) * n
+
+    writeback(originals, state.x)
+    x_out = state.x[0] if was_single else state.x
+    return SolverResult(
+        (converged, state.M, state.V, state.Vhat),
+        x=x_out, iterations=iterations, converged=converged,
+        sub_iterations=sub_iterations,
+        M=state.M, V=state.V, Vhat=state.Vhat,
+    )
