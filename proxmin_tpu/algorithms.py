@@ -8,5 +8,7 @@ reference's flat namespace.
 
 from .solvers.pgm import pgm  # noqa: F401
 from .solvers.adaprox import adaprox  # noqa: F401
+from .solvers.admm import admm, sdmm  # noqa: F401
+from .solvers.bsdmm import bsdmm  # noqa: F401
 
-__all__ = ["pgm", "adaprox"]
+__all__ = ["pgm", "adaprox", "admm", "sdmm", "bsdmm"]

@@ -1,0 +1,324 @@
+"""Linearized ADMM and SDMM — jit-compiled while-loop drivers.
+
+TPU-native re-design of the reference ``admm`` / ``sdmm``
+(``/root/reference/proxmin/algorithms.py:426-650``; Moolekamp & Melchior
+Algorithms 1-2, arXiv:1708.09066; Parikh & Boyd 2014 linearized ADMM):
+two-prox splitting with a linear operator inside g, extended to M
+simultaneous constraints, with Boyd (2011) §3.3.1 primal/dual residual
+stopping and the reference's slack-halving **restart heuristic** when the
+iterate and primal residual stall.
+
+The restart (reference ``algorithms.py:504-514``) is expressed as carry
+logic: when ``X == X_prev`` and ``R == R_prev`` element-wise, the step
+slack halves, the iteration counter resets to 0 and Z/U re-initialize —
+all inside the ``lax.while_loop``. Because resetting ``it`` could loop
+forever, a total-work counter bounds the solve at ``8 * max_iter`` body
+evaluations (the reference has no such guard and can spin indefinitely;
+slack halving makes progress so the bound is generous).
+"""
+
+import logging
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import utils
+from ..linop import as_linear_operator
+from .common import BoolResult, SolverResult, tupleize, writeback
+
+logger = logging.getLogger("proxmin")
+
+__all__ = ["admm", "sdmm"]
+
+_RESTART_BUDGET = 8  # total body evaluations allowed: budget * max_iter
+
+
+def _as_step_fn(step):
+    """ADMM-family step convention: ``step_f(X, it=it) -> float``
+    (reference ``algorithms.py:482``); floats are wrapped."""
+    if callable(step):
+        return step
+    return lambda X, it=None: step
+
+
+class ADMMState(NamedTuple):
+    x: Any
+    z: Any               # tuple of M (or single) aux variables
+    u: Any               # duals, same structure as z
+    it: Any
+    total_it: Any
+    slack: Any
+    converged: Any
+    errors: Any          # (M, 4) array: e_pri, e_dual, |R|, |S| per constraint
+    x_prev: Any
+    r_prev: Any          # same structure as z
+
+
+def _stack_errors(errors, multi):
+    """(e_pri, e_dual, |R|, |S|) per constraint -> (M, 4) array."""
+    if not multi:
+        errors = (errors,)
+    return jnp.stack([
+        jnp.stack([jnp.asarray(v, jnp.result_type(float)) for v in e])
+        for e in errors
+    ])
+
+
+def _sdmm_core(
+    x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
+    callback, return_errors,
+):
+    """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
+    the no-constraint fallback); ``steps_g``: tuple of M (user values or
+    None); ``Ls``: tuple of M LinearOperators."""
+    M = len(proxs_g)
+    has_g = M > 0
+    step_fn = _as_step_fn(step_f)
+
+    L_struct = list(Ls) if M != 1 else Ls[0]
+    pg_struct = list(proxs_g) if M != 1 else (proxs_g[0] if has_g else None)
+
+    def init_zu(x):
+        if not has_g:
+            return x, jnp.zeros_like(x)
+        return utils.initZU(x, L_struct)
+
+    def body(state: ADMMState) -> ADMMState:
+        it = state.it
+        step_f_ = state.slack * step_fn(state.x, it=it)
+
+        if has_g:
+            if M == 1:
+                sg = steps_g[0]
+                step_g_ = (
+                    utils.get_step_g(step_f_, Ls[0].spectral_norm_sq)
+                    if sg is None else sg
+                )
+                x, z, u, lx, r, s = utils.update_variables(
+                    state.x, state.z, state.u, prox_f, step_f_,
+                    proxs_g[0], step_g_, Ls[0],
+                )
+                conv, errors = utils.check_constraint_convergence(
+                    x, Ls[0], lx, z, u, r, s, step_f_, step_g_, e_rel, e_abs
+                )
+            else:
+                steps_g_ = tuple(
+                    utils.get_step_g(step_f_, Ls[i].spectral_norm_sq, M=M)
+                    if steps_g[i] is None else steps_g[i]
+                    for i in range(M)
+                )
+                x, z, u, lx, r, s = utils.update_variables(
+                    state.x, list(state.z), list(state.u), prox_f, step_f_,
+                    list(proxs_g), list(steps_g_), list(Ls),
+                )
+                conv, errors = utils.check_constraint_convergence(
+                    x, list(Ls), list(lx), list(z), list(u), list(r),
+                    list(s), step_f_, list(steps_g_), e_rel, e_abs,
+                )
+        else:
+            ident = as_linear_operator(None)
+            x, z, u, lx, r, s = utils.update_variables(
+                state.x, state.z, state.u, prox_f, step_f_, None, None, ident
+            )
+            conv, errors = utils.check_constraint_convergence(
+                x, ident, lx, z, u, r, s, step_f_, None, e_rel, e_abs
+            )
+
+        it = it + 1
+        errors_arr = _stack_errors(errors, M > 1)
+
+        # stall detector (reference algorithms.py:504-514 / 634-641):
+        # X and primal residual unchanged since last iteration -> halve the
+        # slack, reset the iteration counter, re-initialize Z and U
+        if has_g:
+            same_x = jnp.all(x == state.x_prev)
+            if M == 1:
+                same_r = jnp.all(r == state.r_prev)
+            else:
+                same_r = jnp.asarray(True)
+                for i in range(M):
+                    same_r = jnp.logical_and(same_r, jnp.all(r[i] == state.r_prev[i]))
+            restart = jnp.logical_and(
+                it > 1, jnp.logical_and(same_x, same_r)
+            )
+            restart = jnp.logical_and(restart, jnp.logical_not(conv))
+
+            z_init, u_init = init_zu(x)
+            slack = jnp.where(restart, state.slack / 2, state.slack)
+            it = jnp.where(restart, 0, it)
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda ai, bi: jnp.where(restart, ai, bi), a, b
+            )
+            z = pick(z_init, z)
+            u = pick(u_init, u)
+        else:
+            slack = state.slack
+
+        return ADMMState(
+            x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
+            slack=slack, converged=conv, errors=errors_arr,
+            x_prev=x, r_prev=r,
+        )
+
+    def init_state(x):
+        z0, u0 = init_zu(x)
+        if has_g and M == 1:
+            r0 = jnp.zeros_like(z0)
+        elif has_g:
+            r0 = tuple(jnp.zeros_like(zi) for zi in z0)
+        else:
+            r0 = jnp.zeros_like(x)
+        return ADMMState(
+            x=jnp.array(x, copy=True),
+            z=jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), z0),
+            u=u0,
+            it=jnp.int32(0),
+            total_it=jnp.int32(0),
+            slack=jnp.asarray(1.0, x.dtype),
+            converged=jnp.asarray(False),
+            errors=jnp.zeros((max(M, 1), 4)),
+            x_prev=jnp.array(x, copy=True),
+            r_prev=r0,
+        )
+
+    total_cap = _RESTART_BUDGET * max_iter
+
+    if callback is None:
+        def run(state):
+            def cond(s):
+                return jnp.logical_and(
+                    jnp.logical_and(s.it < max_iter, s.total_it < total_cap),
+                    jnp.logical_not(s.converged),
+                )
+            return jax.lax.while_loop(cond, body, state)
+
+        state = jax.jit(run, donate_argnums=0)(init_state(x0))
+    else:
+        step_jit = jax.jit(body, donate_argnums=0)
+        state = init_state(x0)
+        while (int(state.it) < max_iter and int(state.total_it) < total_cap
+               and not bool(state.converged)):
+            try:
+                callback(np.asarray(state.x), it=int(state.it))
+            except StopIteration:
+                break
+            state = step_jit(state)
+
+    return state
+
+
+def admm(
+    X,
+    prox_f,
+    step_f,
+    prox_g=None,
+    step_g=None,
+    L=None,
+    e_rel=1e-6,
+    e_abs=0,
+    max_iter=1000,
+    callback=None,
+):
+    """Linearized Alternating Direction Method of Multipliers.
+
+    Drop-in equivalent of the reference ``proxmin.admm``
+    (``algorithms.py:426-520``): minimizes ``f(x) + g(L x)`` for two
+    proxable functions, with ``step_g`` defaulting to
+    ``step_f * ||L||_s^2`` and the stall-restart heuristic.
+
+    Returns:
+        ``SolverResult`` unpacking as ``(converged, error)`` with
+        attributes ``.x``, ``.iterations``, ``.slack``, ``.errors``.
+    """
+    (x0,), originals, _ = tupleize(X)
+    Lop = as_linear_operator(L)
+    proxs_g = (prox_g,) if prox_g is not None else ()
+    steps_g = (step_g,) if prox_g is not None else ()
+
+    state = _sdmm_core(
+        x0, prox_f, step_f, proxs_g, steps_g, (Lop,) if prox_g is not None else (),
+        e_rel, e_abs, max_iter, callback, return_errors=True,
+    )
+
+    converged = bool(state.converged)
+    iterations = int(state.it)
+    logger.info("Completed %d iterations", iterations)
+    if not converged:
+        logger.warning("Solution did not converge")
+
+    errors = tuple(float(v) for v in np.asarray(state.errors[0]))
+    writeback(originals, (state.x,))
+    return SolverResult(
+        (converged, errors),
+        x=state.x, iterations=iterations, converged=converged,
+        errors=errors, slack=float(state.slack),
+        total_iterations=int(state.total_it),
+    )
+
+
+def sdmm(
+    X,
+    prox_f,
+    step_f,
+    proxs_g=None,
+    steps_g=None,
+    Ls=None,
+    e_rel=1e-6,
+    e_abs=0,
+    max_iter=1000,
+    callback=None,
+):
+    """Simultaneous-Direction Method of Multipliers (M constraints).
+
+    Drop-in equivalent of the reference ``proxmin.sdmm``
+    (``algorithms.py:523-650``): linearized ADMM extended to a list of
+    constraints ``proxs_g = [g_1 .. g_M]`` each with its own linear
+    operator ``Ls[i]``; falls back to :func:`admm` when ``proxs_g`` is not
+    a list (reference ``algorithms.py:568-579``).
+
+    Returns:
+        ``BoolResult`` — truthy iff converged (the reference returns the
+        bare flag, ``algorithms.py:650``) with attributes ``.x``,
+        ``.iterations``, ``.errors``.
+    """
+    if proxs_g is None or not hasattr(proxs_g, "__iter__"):
+        return admm(
+            X, prox_f, step_f, prox_g=proxs_g, step_g=steps_g, L=Ls,
+            e_rel=e_rel, e_abs=e_abs, max_iter=max_iter, callback=callback,
+        )
+
+    (x0,), originals, _ = tupleize(X)
+    M = len(proxs_g)
+    if not hasattr(Ls, "__iter__"):
+        Ls = [Ls] * M
+    assert len(Ls) == M
+    Lops = tuple(as_linear_operator(Li) for Li in Ls)
+    if steps_g is None:
+        steps_g = (None,) * M
+    else:
+        assert len(steps_g) == M
+        steps_g = tuple(steps_g)
+
+    state = _sdmm_core(
+        x0, prox_f, step_f, tuple(proxs_g), steps_g, Lops,
+        e_rel, e_abs, max_iter, callback, return_errors=False,
+    )
+
+    converged = bool(state.converged)
+    iterations = int(state.it)
+    logger.info("Completed %d iterations", iterations)
+    if not converged:
+        logger.warning("Solution did not converge")
+
+    errors = tuple(
+        tuple(float(v) for v in row) for row in np.asarray(state.errors)
+    )
+    writeback(originals, (state.x,))
+    return BoolResult(
+        converged,
+        x=state.x, iterations=iterations, converged=converged,
+        errors=errors, slack=float(state.slack),
+        total_iterations=int(state.total_it),
+    )

@@ -1,0 +1,269 @@
+"""Block-Simultaneous Method of Multipliers (bSDMM) — jit-compiled driver.
+
+TPU-native re-design of the reference ``bsdmm`` (``/root/reference/proxmin/
+algorithms.py:653-850``; Moolekamp & Melchior Algorithm 3,
+arXiv:1708.09066): linearized SDMM extended to N variable blocks with a
+Gauss–Seidel sweep in ``update_order``, each block carrying its own list of
+M_j constraints, proxs and linear operators, with per-block Boyd residual
+convergence.
+
+jit requires static pytree structure, so the (possibly ragged) nested
+constraint lists ``proxs_g[j][i]`` / ``Ls[j][i]`` are normalized to static
+tuples at trace time — the constraint topology is fixed per problem, so
+this costs one compile per topology (SURVEY.md §7 "bSDMM's ragged
+structure"). The Gauss–Seidel propagation (block j's ``prox_f`` sees the
+already-updated blocks of the current sweep, reference
+``algorithms.py:806``) is preserved by threading the updated block list
+through the sweep inside the loop body.
+
+Reference-bug fix: ``steps_g_update='relative'`` divides by the previous
+sweep's ``steps_f[j]`` which is ``None`` on the first sweep (reference
+``algorithms.py:810-812`` — TypeError if ever exercised); here the first
+sweep skips the rescale.
+"""
+
+import logging
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import utils
+from ..linop import as_linear_operator
+from .common import SolverResult, tupleize, writeback
+
+logger = logging.getLogger("proxmin")
+
+__all__ = ["bsdmm"]
+
+
+class BSDMMState(NamedTuple):
+    x: tuple             # N blocks
+    z: tuple             # per block: tuple of M_j (or single aux)
+    u: tuple
+    steps_f: Any         # (N,) last step_f per block
+    steps_g: tuple       # per block: tuple of M_j scalars (carried for 'relative')
+    it: Any
+    converged: Any       # (N,) bool
+
+
+def bsdmm(
+    X,
+    proxs_f,
+    steps_f_cb,
+    proxs_g=None,
+    steps_g=None,
+    Ls=None,
+    update_order=None,
+    steps_g_update="steps_f",
+    max_iter=1000,
+    e_rel=1e-6,
+    e_abs=0,
+    callback=None,
+):
+    """Block-Simultaneous Method of Multipliers.
+
+    Drop-in equivalent of the reference ``proxmin.bsdmm``
+    (``algorithms.py:653-850``). ``proxs_f(X_j, step, Xs=None, j=None)``
+    must be jit-traceable; ``steps_f_cb(Xs, j=None)`` computes the per-block
+    step. ``steps_g_update`` in {'steps_f', 'fixed', 'relative'} selects
+    how per-constraint steps track the block steps
+    (reference ``algorithms.py:739-749``).
+
+    Returns:
+        ``SolverResult`` unpacking as the per-block converged tuple (the
+        reference returns that list) with attributes ``.x``,
+        ``.iterations``, ``.converged``.
+    """
+    x0, originals, _ = tupleize(X)
+    N = len(x0)
+
+    if proxs_g is None:
+        proxs_g = [None] * N
+    proxs_g = list(proxs_g)
+    assert len(proxs_g) == N
+    steps_g_update = steps_g_update.lower()
+    assert steps_g_update in ("steps_f", "fixed", "relative")
+
+    e_rel = [e_rel] * N if np.isscalar(e_rel) else list(e_rel)
+    e_abs = [e_abs] * N if np.isscalar(e_abs) else list(e_abs)
+    assert len(e_rel) == N and len(e_abs) == N
+
+    if update_order is None:
+        update_order = tuple(range(N))
+    else:
+        update_order = tuple(int(j) for j in update_order)
+
+    if steps_g_update == "steps_f" and steps_g is not None:
+        logger.debug("Setting steps_g = None for update strategy 'steps_f'.")
+        steps_g = None
+    if steps_g_update in ("fixed", "relative") and steps_g is None:
+        logger.debug(
+            "Ignoring steps_g update strategy %r because steps_g is None.",
+            steps_g_update,
+        )
+        steps_g_update = "steps_f"
+
+    # normalize nested structures: steps_g[j][i], Ls[j][i]
+    if not hasattr(steps_g, "__iter__"):
+        steps_g = [steps_g] * N
+    if not hasattr(Ls, "__iter__"):
+        Ls = [Ls] * N
+    steps_g = list(steps_g)
+    Ls = list(Ls)
+    assert len(steps_g) == N and len(Ls) == N
+
+    M = [0] * N
+    for j in range(N):
+        if proxs_g[j] is not None:
+            if not hasattr(proxs_g[j], "__iter__"):
+                proxs_g[j] = [proxs_g[j]]
+            proxs_g[j] = tuple(proxs_g[j])
+            M[j] = len(proxs_g[j])
+            if not hasattr(steps_g[j], "__iter__"):
+                steps_g[j] = [steps_g[j]] * M[j]
+            if not hasattr(Ls[j], "__iter__"):
+                Ls[j] = [Ls[j]] * M[j]
+            steps_g[j] = tuple(steps_g[j])
+            Ls[j] = tuple(as_linear_operator(Li) for Li in Ls[j])
+            assert len(steps_g[j]) == M[j] and len(Ls[j]) == M[j]
+        else:
+            Ls[j] = as_linear_operator(None)
+
+    has_g = tuple(M[j] > 0 for j in range(N))
+    dtype = jnp.result_type(*[x.dtype for x in x0])
+
+    def init_zu(x):
+        Z, U = [], []
+        for j in range(N):
+            if has_g[j]:
+                Zj, Uj = utils.initZU(x[j], list(Ls[j]))
+                Z.append(tuple(jnp.array(z, copy=True) for z in Zj))
+                U.append(tuple(Uj))
+            else:
+                Z.append(jnp.array(x[j], copy=True))
+                U.append(jnp.zeros_like(x[j]))
+        return tuple(Z), tuple(U)
+
+    def init_steps_g():
+        out = []
+        for j in range(N):
+            if has_g[j] and steps_g[j][0] is not None:
+                out.append(tuple(jnp.asarray(s, dtype) for s in steps_g[j]))
+            elif has_g[j]:
+                out.append(tuple(jnp.asarray(0.0, dtype) for _ in range(M[j])))
+            else:
+                out.append(())
+        return tuple(out)
+
+    def body(state: BSDMMState) -> BSDMMState:
+        it = state.it
+        x = list(state.x)
+        z = list(state.z)
+        u = list(state.u)
+        steps_f_arr = state.steps_f
+        steps_g_carry = list(state.steps_g)
+        converged = state.converged
+
+        for j in update_order:
+            # block prox sees ALL current blocks (Gauss-Seidel propagation)
+            xs_now = tuple(x)
+
+            def prox_f_j(v, s, _j=j, _xs=xs_now):
+                return proxs_f(v, s, Xs=_xs, j=_j)
+
+            steps_f_j = steps_f_cb(xs_now, j=j)  # slack is identically 1.0
+                                                 # in the reference (never
+                                                 # updated, algorithms.py:794)
+
+            if has_g[j]:
+                if steps_g_update == "relative":
+                    # rescale carried steps_g by the step_f change; skipped
+                    # on the first sweep (reference divides by None there)
+                    prev = steps_f_arr[j]
+                    scale = jnp.where(it > 0, steps_f_j / prev, 1.0)
+                    steps_g_carry[j] = tuple(
+                        s * scale for s in steps_g_carry[j]
+                    )
+                if steps_g_update == "steps_f":
+                    steps_g_j = tuple(
+                        utils.get_step_g(
+                            steps_f_j, Ls[j][i].spectral_norm_sq, N=N, M=M[j]
+                        )
+                        for i in range(M[j])
+                    )
+                else:
+                    steps_g_j = steps_g_carry[j]
+
+                xj, zj, uj, lxj, rj, sj = utils.update_variables(
+                    x[j], list(z[j]), list(u[j]), prox_f_j, steps_f_j,
+                    list(proxs_g[j]), list(steps_g_j), list(Ls[j]),
+                )
+                conv_j, _ = utils.check_constraint_convergence(
+                    xj, list(Ls[j]), list(lxj), list(zj), list(uj),
+                    list(rj), list(sj), steps_f_j, list(steps_g_j),
+                    e_rel[j], e_abs[j],
+                )
+            else:
+                xj, zj, uj, lxj, rj, sj = utils.update_variables(
+                    x[j], z[j], u[j], prox_f_j, steps_f_j, None, None, Ls[j]
+                )
+                conv_j, _ = utils.check_constraint_convergence(
+                    xj, Ls[j], lxj, zj, uj, rj, sj, steps_f_j, None,
+                    e_rel[j], e_abs[j],
+                )
+
+            x[j] = xj
+            z[j] = zj
+            u[j] = uj
+            steps_f_arr = steps_f_arr.at[j].set(steps_f_j)
+            converged = converged.at[j].set(conv_j)
+
+        return BSDMMState(
+            x=tuple(x), z=tuple(z), u=tuple(u),
+            steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
+            it=it + 1, converged=converged,
+        )
+
+    def init_state():
+        z0, u0 = init_zu(x0)
+        return BSDMMState(
+            x=tuple(jnp.array(x, copy=True) for x in x0),
+            z=z0, u=u0,
+            steps_f=jnp.ones((N,), dtype),
+            steps_g=init_steps_g(),
+            it=jnp.int32(0),
+            converged=jnp.zeros((N,), bool),
+        )
+
+    if callback is None:
+        def run(state):
+            def cond(s):
+                return jnp.logical_and(
+                    s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
+                )
+            return jax.lax.while_loop(cond, body, state)
+
+        state = jax.jit(run, donate_argnums=0)(init_state())
+    else:
+        step_jit = jax.jit(body, donate_argnums=0)
+        state = init_state()
+        while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
+            try:
+                callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
+            except StopIteration:
+                break
+            state = step_jit(state)
+
+    iterations = int(state.it)
+    logger.info("Completed %d iterations", iterations)
+    converged = tuple(bool(c) for c in np.asarray(state.converged))
+    if not all(converged):
+        logger.warning("Solution did not converge")
+
+    writeback(originals, state.x)
+    return SolverResult(
+        converged,
+        x=state.x, iterations=iterations, converged=converged,
+    )

@@ -36,6 +36,25 @@ __all__ = [
 ]
 
 
+class BoolResult(int):
+    """A bool-valued result that also carries named attributes.
+
+    The reference ``sdmm`` returns a bare convergence flag
+    (``algorithms.py:650``); wrapping it in a tuple would break truthiness
+    (``if sdmm(...)`` must be False when not converged), so this subclasses
+    int (bool cannot be subclassed) with attribute storage.
+    """
+
+    def __new__(cls, value, **attrs):
+        obj = super().__new__(cls, bool(value))
+        for k, v in attrs.items():
+            object.__setattr__(obj, k, v)
+        return obj
+
+    def __repr__(self):
+        return f"BoolResult({bool(self)}, {self.__dict__})"
+
+
 class SolverResult(tuple):
     """A tuple that unpacks like the reference return value but also carries
     named attributes (``.x``, ``.iterations``, ...).

@@ -1,0 +1,283 @@
+"""ADMM / SDMM / bSDMM solver tests: analytic optima, constraint handling,
+restart machinery, and reference parity."""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, "/root/reference")
+ref = pytest.importorskip("proxmin")
+
+from proxmin_tpu import admm, sdmm, bsdmm, operators  # noqa: E402
+import proxmin_tpu as pt  # noqa: E402
+
+
+CENTER = np.array([1.0, 0.5])
+RADIUS = 0.5
+DISK_OPT = RADIUS * CENTER / np.linalg.norm(CENTER)
+
+
+def prox_f_quad(v, step):
+    """prox of f(x) = 0.5 ||x - CENTER||^2."""
+    return (v + step * jnp.asarray(CENTER)) / (1.0 + step)
+
+
+def prox_f_quad_np(v, step):
+    return (v + step * CENTER) / (1.0 + step)
+
+
+def prox_disk(v, step, r=RADIUS):
+    nrm = jnp.sqrt(jnp.sum(v ** 2))
+    return jnp.where(nrm > r, v * (r / nrm), v)
+
+
+def prox_disk_np(v, step, r=RADIUS):
+    nrm = np.linalg.norm(v)
+    if nrm > r:
+        v = v * (r / nrm)
+    return v
+
+
+def test_admm_disk():
+    res = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               prox_g=prox_disk, e_rel=1e-8, max_iter=2000)
+    converged, error = res
+    np.testing.assert_allclose(np.asarray(res.x), DISK_OPT, atol=1e-5)
+    assert converged
+    assert len(error) == 4
+
+
+def test_admm_no_constraint_fixed_point():
+    """prox_g=None falls back to the plain fixed-point method on prox_f."""
+    res = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               e_rel=1e-10, max_iter=2000, e_abs=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), CENTER, atol=1e-5)
+
+
+def test_admm_with_linear_operator(rng):
+    """L inside g: soft-threshold on Lx. Verified against the reference."""
+    L = rng.normal(size=(3, 2))
+
+    def prox_g(v, step):
+        return operators.prox_soft(v, step, thresh=0.1)
+
+    def prox_g_np(v, step):
+        t = 0.1 * step
+        return np.sign(v) * np.maximum(np.abs(v) - t, 0)
+
+    x_ref = np.array([-1.0, -1.0])
+    ref.admm(x_ref, prox_f_quad_np, lambda X, it=None: 0.3,
+             prox_g=prox_g_np, L=L, e_rel=0, e_abs=0, max_iter=40)
+
+    res = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.3,
+               prox_g=prox_g, L=jnp.asarray(L), e_rel=0, e_abs=0,
+               max_iter=40)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-9,
+                               atol=1e-11)
+
+
+def test_admm_parity_disk():
+    x_ref = np.array([-1.0, -1.0])
+    ref.admm(x_ref, prox_f_quad_np, lambda X, it=None: 0.5,
+             prox_g=prox_disk_np, e_rel=0, max_iter=30)
+    res = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               prox_g=prox_disk, e_rel=0, max_iter=30)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_admm_restart_triggers_and_terminates():
+    """A stalling problem must trigger the slack-halving restart and still
+    terminate (the reference can spin forever; we cap total work)."""
+    def prox_f_const(v, step):
+        return jnp.asarray([0.3, 0.3])  # ignores input -> X stalls
+
+    def prox_g_const(v, step):
+        return jnp.asarray([9.0, 9.0])  # unreachable constraint -> R stalls
+
+    res = admm(jnp.asarray([0.0, 0.0]), prox_f_const, 0.5,
+               prox_g=prox_g_const, e_rel=1e-6, max_iter=50)
+    assert res.slack < 1.0                      # restarts happened
+    assert res.total_iterations > res.iterations
+    assert res.total_iterations <= 8 * 50       # bounded work
+
+
+def test_sdmm_two_constraints():
+    """Disk + half-plane x_1 >= 0.15: optimum is the disk boundary point
+    with x_1 clamped."""
+    def prox_halfplane(v, step):
+        return v.at[1].set(jnp.maximum(v[1], 0.15))
+
+    res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               proxs_g=[prox_disk, prox_halfplane],
+               e_rel=1e-8, max_iter=3000)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(x) <= RADIUS + 1e-4
+    assert x[1] >= 0.15 - 1e-4
+    # optimal: project CENTER onto the intersection
+    # (for this geometry the disk constraint binds, x stays near DISK_OPT
+    # which already satisfies x1 > 0.15)
+    np.testing.assert_allclose(x, DISK_OPT, atol=1e-3)
+
+
+def test_sdmm_parity(rng):
+    L1 = rng.normal(size=(2, 2))
+
+    def pg1(v, step):
+        return operators.prox_soft(v, step, thresh=0.05)
+
+    def pg1_np(v, step):
+        t = 0.05 * step
+        return np.sign(v) * np.maximum(np.abs(v) - t, 0)
+
+    def pg2(v, step):
+        return jnp.maximum(v, 0)
+
+    def pg2_np(v, step):
+        return np.maximum(v, 0)
+
+    x_ref = np.array([-1.0, -1.0])
+    ref.sdmm(x_ref, prox_f_quad_np, lambda X, it=None: 0.3,
+             proxs_g=[pg1_np, pg2_np], Ls=[L1, None],
+             e_rel=0, max_iter=25)
+    res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.3,
+               proxs_g=[pg1, pg2], Ls=[jnp.asarray(L1), None],
+               e_rel=0, max_iter=25)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-9,
+                               atol=1e-11)
+
+
+def test_sdmm_falls_back_to_admm():
+    res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               proxs_g=prox_disk, e_rel=1e-8, max_iter=2000)
+    converged, error = res  # admm-style return
+    np.testing.assert_allclose(np.asarray(res.x), DISK_OPT, atol=1e-5)
+
+
+def test_sdmm_result_truthiness():
+    """Reference sdmm returns a bare flag; ours must keep its truthiness."""
+    res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+               proxs_g=[prox_disk], e_rel=1e-8, max_iter=3)
+    assert not res  # 3 iterations can't converge
+    res2 = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+                proxs_g=[prox_disk], e_rel=1e-6, max_iter=3000)
+    assert res2
+
+
+def test_admm_callback_stopiteration():
+    seen = []
+
+    def cb(X, it=None):
+        seen.append(it)
+        if it >= 3:
+            raise StopIteration
+
+    admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5, prox_g=prox_disk,
+         callback=cb, e_rel=1e-12, max_iter=100)
+    assert seen == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# bSDMM
+
+
+def test_bsdmm_nmf_parity(rng):
+    """The CMF backend: gradient-step prox_f per block inside the dual
+    loop, vs the reference bsdmm driven the same way."""
+    b, n, k = 12, 10, 2
+    Y = rng.random((b, k)) @ rng.random((k, n))
+    A0, S0 = rng.random((b, k)), rng.random((k, n))
+
+    # ours (through the nmf application layer)
+    A_j, S_j = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A_j, S_j, algorithm="bsdmm", e_rel=0, max_iter=15)
+
+    # reference (through its nmf layer)
+    A_r, S_r = A0.copy(), S0.copy()
+    ref.nmf.nmf(Y, A_r, S_r, algorithm=ref.bsdmm, e_rel=0, max_iter=15)
+
+    np.testing.assert_allclose(A_j, A_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(S_j, S_r, rtol=1e-9, atol=1e-11)
+
+
+def test_bsdmm_with_constraints_parity(rng):
+    """Blocks with per-block constraint lists (nested proxs_g)."""
+    c1 = np.array([1.0, -0.5])
+    c2 = np.array([0.2, 0.8, -0.1])
+
+    def proxs_f_np(x, step, Xs=None, j=None):
+        c = [c1, c2][j]
+        return (x + step * c) / (1 + step)
+
+    def proxs_f(x, step, Xs=None, j=None):
+        c = jnp.asarray([c1, c2][j])
+        return (x + step * c) / (1 + step)
+
+    def steps_np(Xs, j=None):
+        return 0.4
+
+    def pg_np(v, step):
+        return np.maximum(v, 0)
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    x_ref = [c1 * 0, c2 * 0]
+    ref.bsdmm(x_ref, proxs_f_np, steps_np,
+              proxs_g=[[pg_np], [pg_np, pg_np]],
+              e_rel=0, max_iter=20)
+
+    res = bsdmm([jnp.zeros(2), jnp.zeros(3)], proxs_f, steps_np,
+                proxs_g=[[pg], [pg, pg]], e_rel=0, max_iter=20)
+    np.testing.assert_allclose(np.asarray(res.x[0]), x_ref[0], rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x[1]), x_ref[1], rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_bsdmm_update_order(rng):
+    """Custom update order changes the Gauss-Seidel sweep (parity with
+    reference under the same order)."""
+    c1, c2 = np.array([2.0]), np.array([3.0])
+
+    def proxs_f_np(x, step, Xs=None, j=None):
+        # couple the blocks: target depends on the other block
+        other = Xs[1 - j]
+        c = [c1, c2][j] + 0.1 * other
+        return (x + step * c) / (1 + step)
+
+    def proxs_f(x, step, Xs=None, j=None):
+        other = Xs[1 - j]
+        c = jnp.asarray([c1, c2][j]) + 0.1 * other
+        return (x + step * c) / (1 + step)
+
+    steps = lambda Xs, j=None: 0.5
+
+    for order in [(0, 1), (1, 0)]:
+        x_ref = [np.zeros(1), np.zeros(1)]
+        ref.bsdmm(x_ref, proxs_f_np, steps, update_order=list(order),
+                  e_rel=0, max_iter=12)
+        res = bsdmm([jnp.zeros(1), jnp.zeros(1)], proxs_f, steps,
+                    update_order=order, e_rel=0, max_iter=12)
+        np.testing.assert_allclose(np.asarray(res.x[0]), x_ref[0],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.x[1]), x_ref[1],
+                                   rtol=1e-10)
+
+
+def test_bsdmm_callback():
+    seen = []
+
+    def cb(*X, it=None):
+        seen.append(it)
+        if it >= 2:
+            raise StopIteration
+
+    def proxs_f(x, step, Xs=None, j=None):
+        return x * 0.5
+
+    bsdmm([jnp.ones(2)], proxs_f, lambda Xs, j=None: 0.5,
+          callback=cb, max_iter=100)
+    assert seen == [0, 1, 2]
