@@ -1,0 +1,179 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: the sharded NMF
+paths must agree with the single-device solver bit-for-tolerance, and the
+explicit-collective step must agree with the auto-SPMD path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import proxmin_tpu as pt
+from proxmin_tpu import operators
+from proxmin_tpu.parallel import (
+    make_mesh,
+    make_nmf_pgm_step,
+    nmf_pgm_sharded,
+    prox_unity_sharded,
+    shard_nmf_problem,
+)
+
+
+@pytest.fixture
+def problem(rng):
+    C, N, K = 6, 64, 3
+    A_true = rng.random((C, K))
+    S_true = rng.random((K, N))
+    Y = A_true @ S_true + 0.01 * rng.standard_normal((C, N))
+    A0 = rng.random((C, K))
+    S0 = rng.random((K, N))
+    return Y, A0, S0
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_make_mesh_1d():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.size == jax.device_count()
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh(shape=(4, 2))
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_shard_problem_layout(problem):
+    Y, A0, S0 = problem
+    mesh = make_mesh()
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0)
+    assert Ys.sharding.spec == P(None, "data")
+    assert Ss.sharding.spec == P(None, "data")
+    # A replicated
+    assert As.sharding.is_fully_replicated
+
+
+def test_auto_sharded_nmf_matches_single_device(problem):
+    Y, A0, S0 = problem
+    # single device
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=20)
+
+    # sharded inputs through the same solver (auto-SPMD)
+    mesh = make_mesh()
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0)
+    res = pt.nmf.nmf(Ys, As, Ss, e_rel=0, max_iter=20)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-9, atol=1e-12)
+
+
+def test_explicit_step_matches_reference_math(problem):
+    """One explicit shard_map step == one hand-computed PGM step."""
+    Y, A0, S0 = problem
+    mesh = make_mesh()
+    step = make_nmf_pgm_step(mesh)
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0)
+    A1, S1, loss = step(As, Ss, Ys)
+
+    # NumPy oracle for one step
+    D = A0 @ S0 - Y
+    gA, gS = D @ S0.T, A0.T @ D
+    sA = 1.0 / np.linalg.eigvalsh(S0 @ S0.T).max()
+    sS = 1.0 / np.linalg.eigvalsh(A0.T @ A0).max()
+    A_exp = np.maximum(A0 - sA * gA, 0)
+    S_exp = np.maximum(S0 - sS * gS, 0)
+
+    np.testing.assert_allclose(np.asarray(A1), A_exp, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(S1), S_exp, rtol=1e-7)
+    np.testing.assert_allclose(float(loss), np.sum(D * D) / 2, rtol=1e-10)
+
+
+def test_explicit_step_2d_mesh(problem):
+    """TP×DP: channel axis sharded over 'model', pixel axis over 'data'."""
+    Y, A0, S0 = problem
+    mesh = make_mesh(shape=(4, 2))
+    step = make_nmf_pgm_step(mesh, model_axis="model")
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0, model_axis="model")
+    A1, S1, loss = step(As, Ss, Ys)
+
+    mesh1 = make_mesh()
+    step1 = make_nmf_pgm_step(mesh1)
+    Y1, A1r, S1r, _ = shard_nmf_problem(mesh1, Y, A0, S0)
+    A1_ref, S1_ref, loss_ref = step1(A1r, S1r, Y1)
+
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A1_ref), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S1_ref), rtol=1e-7)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-10)
+
+
+def test_full_sharded_solve_matches_single_device(problem):
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=30)
+
+    mesh = make_mesh()
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                          e_rel=0, max_iter=30)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-11)
+    assert res.iterations == 30
+
+
+def test_full_sharded_solve_weighted(problem, rng):
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, e_rel=0, max_iter=15)
+
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W,
+                          mesh=make_mesh(), e_rel=0, max_iter=15)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
+
+
+def test_full_sharded_solve_2d(problem):
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=20)
+
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(),
+                          mesh=make_mesh(shape=(4, 2)), model_axis="model",
+                          e_rel=0, max_iter=20)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-11)
+
+
+def test_prox_unity_sharded(problem):
+    """Simplex projection along the sharded pixel axis needs the psum."""
+    Y, A0, S0 = problem
+    mesh = make_mesh()
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding
+
+    X = jnp.asarray(S0)
+    Xs = jax.device_put(X, NamedSharding(mesh, P(None, "data")))
+
+    fn = shard_map(
+        lambda x: prox_unity_sharded(x, 0.5, axis=1, axis_name="data"),
+        mesh=mesh, in_specs=P(None, "data"), out_specs=P(None, "data"),
+    )
+    out = np.asarray(jax.jit(fn)(Xs))
+    expected = np.asarray(S0) / np.asarray(S0).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(out, expected, rtol=1e-10)
+
+
+def test_sharded_convergence_early_stop(problem):
+    """e_rel > 0: the psum'd convergence flags stop the loop on device."""
+    Y, A0, S0 = problem
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=make_mesh(),
+                          e_rel=1e-2, max_iter=5000)
+    assert res.iterations < 5000
+    assert all(res.converged)
