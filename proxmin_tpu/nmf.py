@@ -27,6 +27,7 @@ Key TPU-first changes vs the reference:
   (see ``proxmin_tpu.parallel``).
 """
 
+import functools
 from functools import partial
 
 import jax
@@ -46,6 +47,7 @@ __all__ = [
     "step_pgm",
     "step_adaprox",
     "nmf",
+    "nmf_pgm_fused",
 ]
 
 
@@ -163,6 +165,117 @@ def step_adaprox(*X, it=None):
     """Per-element AdaProx step heuristic (reference ``nmf.py:91-93``)."""
     A, S = X
     return (jnp.mean(A, axis=0) / 10, jnp.mean(S, axis=1, keepdims=True) / 10)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
+                           C, K, N, dtype):
+    """Build (and cache) the jitted fused-PGM solve for one problem
+    configuration. Everything — padding, the while-loop of fused kernel
+    steps, unpadding — happens inside one compiled executable, so repeated
+    solves pay zero retrace/dispatch overhead."""
+    import jax
+    from .ops.nmf_kernels import fused_nmf_pgm_step, _round_up, _SUBLANE, _LANE
+
+    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
+    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    tile = min(tile_n, _round_up(N, _LANE))
+    Np = _round_up(N, tile)
+    dims = (C, K, N)
+
+    @jax.jit
+    def run(A, S, Y, max_iter):
+        A_p = jnp.pad(A.astype(jnp.float32),
+                      ((0, Cp - C), (0, Kp - K)))
+        S_p = jnp.pad(S.astype(jnp.float32),
+                      ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(jnp.float32),
+                      ((0, Cp - C), (0, Np - N)))
+        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+
+        def body(carry):
+            A, S, SSt, it, _, _, _ = carry
+            # exact top eigenvalues of the tiny K×K Grams (padded zero
+            # rows/cols only add zero eigenvalues; lambda_max unchanged)
+            sA = 1.0 / jnp.linalg.eigvalsh(SSt)[-1]
+            sS = 1.0 / jnp.linalg.eigvalsh(A.T @ A)[-1]
+            gA, S_new, SSt_new, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
+                A, S, Y_p, sS, prox_S=prox_S, tile_n=tile, dims=dims
+            )
+            A_new = prox_A(A - sA * gA, sA) * a_mask
+            conv_A = (jnp.sum((A_new - A) ** 2)
+                      <= e_rel ** 2 * jnp.sum(A_new ** 2))
+            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            return (A_new, S_new, SSt_new, it + 1, conv_A, conv_S, loss)
+
+        def cond(carry):
+            _, _, _, it, conv_A, conv_S, _ = carry
+            done = jnp.logical_and(conv_A, conv_S)
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        init = (A_p, S_p, S_p @ S_p.T, jnp.int32(0), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
+        A_f, S_f, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
+            cond, body, init
+        )
+        return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
+                it, conv_A, conv_S, loss)
+
+    return run
+
+
+def nmf_pgm_fused(
+    Y,
+    A,
+    S,
+    prox_A=operators.prox_plus,
+    prox_S=None,
+    e_rel=1e-3,
+    max_iter=1000,
+    tile_n=8192,
+):
+    """PGM-NMF with the fully-fused Pallas iteration — the fast path.
+
+    Mathematically identical to ``nmf(algorithm='pgm')`` for the
+    unweighted model: each iteration is ONE pass over the pixel data
+    (:func:`proxmin_tpu.ops.fused_nmf_grad`'s big sibling
+    ``fused_nmf_pgm_step``): residual, both factor gradients, the proxed
+    S update, the next iteration's ``S S^T`` Gram and the fixed-point
+    convergence statistics all come out of a single HBM read of S/Y.
+    The Lipschitz recursion stays **exact** (not lagged): the Gram of the
+    just-produced S is exactly what the next step size needs.
+
+    ``prox_S`` must be elementwise or factor-axis-local (the kernel
+    applies it per pixel tile); pixel-axis-normalizing proxs need the
+    sharded path. Weighted problems (W != 1) use ``nmf()``.
+
+    Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
+    ``.converged``, ``.loss``.
+    """
+    from .solvers.common import SolverResult, writeback
+
+    A = jnp.asarray(A)
+    S = jnp.asarray(S)
+    Y = jnp.asarray(Y)
+    C, K = A.shape
+    N = S.shape[1]
+    run = _make_fused_pgm_runner(
+        prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+    )
+    A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
+    A_out, S_out = A_f, S_f
+
+    converged = (bool(conv_A), bool(conv_S))
+    iterations = int(it)
+    logger.info("Completed %d iterations", iterations)
+    if not all(converged):
+        logger.warning("Solution did not converge")
+    writeback((A, S), (A_out, S_out))
+    return SolverResult(
+        converged,
+        x=(A_out, S_out), iterations=iterations, converged=converged,
+        loss=float(loss),
+    )
 
 
 def nmf(

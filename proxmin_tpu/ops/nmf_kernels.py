@@ -1,0 +1,316 @@
+"""Fused NMF gradient kernel.
+
+The XLA path for one NMF iteration materializes the residual
+``D = W * (A S - Y)`` (C×N) in HBM and reads it back for each of the two
+factor-gradient matmuls (reference math: ``nmf.py:39-41``). At the 1e6-pixel
+scale the iteration is HBM-bandwidth-bound, so that extra round trip is the
+dominant waste.
+
+:func:`fused_nmf_grad` streams S/Y(/W) tiles through VMEM once and produces
+
+* ``grad_A = D S^T``            (C×K, accumulated across tiles in VMEM)
+* ``grad_S = A^T D``            (K×N, written tile by tile)
+* ``SSt    = S S^T``            (K×K Gram, for the Lipschitz step — free
+                                 since S is already in VMEM)
+* ``loss   = sum(W (A S - Y)^2) / 2``
+
+D never touches HBM. Factor dims are zero-padded to the float32 tile
+sublane (8); zero rows/columns contribute exact zeros to every output, so
+no masking is needed (padding correctness argued in the tests).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_nmf_grad", "fused_nmf_pgm_step"]
+
+_SUBLANE = 8          # float32 sublane tile
+_LANE = 128
+_DEFAULT_TILE_N = 8192
+
+
+def _pad_to(x, rows=None, cols=None):
+    r = 0 if rows is None else rows - x.shape[0]
+    c = 0 if cols is None else cols - x.shape[1]
+    if r == 0 and c == 0:
+        return x
+    return jnp.pad(x, ((0, r), (0, c)))
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _kernel(A_ref, S_ref, Y_ref, W_ref, gA_ref, gS_ref, SSt_ref, loss_ref,
+            *, weighted):
+    j = pl.program_id(0)
+
+    A = A_ref[:]                     # (Cp, Kp)
+    S = S_ref[:]                     # (Kp, TN)
+    Y = Y_ref[:]                     # (Cp, TN)
+
+    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
+    D = W_ref[:] * R if weighted else R
+
+    @pl.when(j == 0)
+    def _():
+        gA_ref[:] = jnp.zeros_like(gA_ref)
+        SSt_ref[:] = jnp.zeros_like(SSt_ref)
+        loss_ref[0, 0] = jnp.float32(0.0)
+
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
+    gS_ref[:] = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
+    SSt_ref[:] += jnp.dot(S, S.T, preferred_element_type=jnp.float32)
+    # loss = sum(W R^2)/2 = sum(D R)/2 (reduces to sum(R^2)/2 unweighted)
+    loss_ref[0, 0] += jnp.sum(D * R) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _fused_call(A, S, Y, W, tile_n, interpret):
+    C, K = A.shape
+    N = S.shape[1]
+    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
+    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    Np = _round_up(N, tile_n)
+
+    A_p = _pad_to(A.astype(jnp.float32), Cp, Kp)
+    S_p = _pad_to(S.astype(jnp.float32), Kp, Np)
+    Y_p = _pad_to(Y.astype(jnp.float32), Cp, Np)
+    weighted = W is not None
+    W_p = _pad_to(W.astype(jnp.float32), Cp, Np) if weighted else Y_p
+
+    grid = (Np // tile_n,)
+    kernel = functools.partial(_kernel, weighted=weighted)
+
+    gA, gS, SSt, loss = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * (Cp * Kp * 3 + Kp * Kp),
+            bytes_accessed=4 * Np * (Kp * 2 + Cp * (2 if weighted else 1)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A_p, S_p, Y_p, W_p)
+
+    return gA[:C, :K], gS[:K, :N], SSt[:K, :K], loss[0, 0]
+
+
+def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, W_ref,
+                     gA_ref, Snew_ref, SSt_ref, stats_ref, *,
+                     weighted, prox_S, tile_n):
+    """One whole PGM iteration's S-side work in a single pass over the tile:
+
+        R        = A S - Y            (residual, VMEM only)
+        D        = W R (or R)
+        gS       = A^T D
+        S_new    = prox_S(S - sS gS, sS)      masked to valid rows/cols
+        gA      += D S^T                       (uses OLD S — Jacobi block
+                                                update, reference pgm
+                                                semantics algorithms.py:105-108)
+        SSt_new += S_new S_new^T               (the NEXT iteration's
+                                                Lipschitz input — exact,
+                                                not lagged)
+        stats   += [loss, ||S_new - S||^2, ||S_new||^2]
+    """
+    j = pl.program_id(0)
+    C_orig = dims_ref[0]
+    K_orig = dims_ref[1]
+    N_orig = dims_ref[2]
+    sS = sS_ref[0, 0]
+
+    A = A_ref[:]
+    S = S_ref[:]
+    Y = Y_ref[:]
+
+    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
+    D = W_ref[:] * R if weighted else R
+
+    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
+    S_new = prox_S(S - sS * gS, sS)
+
+    # zero out padded rows/columns so arbitrary prox functions (which may
+    # move zeros) cannot leak padding into the next iteration
+    Kp, TN = S.shape
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 0) < K_orig
+    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 1)
+              + j * TN) < N_orig
+    S_new = jnp.where(jnp.logical_and(row_ok, col_ok), S_new, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        gA_ref[:] = jnp.zeros_like(gA_ref)
+        SSt_ref[:] = jnp.zeros_like(SSt_ref)
+        stats_ref[0] = jnp.float32(0.0)
+        stats_ref[1] = jnp.float32(0.0)
+        stats_ref[2] = jnp.float32(0.0)
+
+    Snew_ref[:] = S_new
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
+    SSt_ref[:] += jnp.dot(S_new, S_new.T, preferred_element_type=jnp.float32)
+    stats_ref[0] += jnp.sum(D * R) / 2
+    dS = S_new - S
+    stats_ref[1] += jnp.sum(dS * dS)
+    stats_ref[2] += jnp.sum(S_new * S_new)
+
+
+def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
+                       tile_n=_DEFAULT_TILE_N, dims=None, interpret=None):
+    """Single fused PGM-NMF iteration (S-side) — one HBM pass.
+
+    Inputs must be pre-padded to tile-aligned shapes (use
+    :func:`pad_nmf_problem`); ``dims = (C, K, N)`` gives the true sizes for
+    padding masks. Returns ``(gA, S_new, SSt_new, loss, dS_sq, nS_sq)``:
+
+    * ``gA``: gradient of the A factor at the (old) iterate — the caller
+      applies ``A_new = prox_A(A - sA * gA, sA)`` (a tiny C×K op);
+    * ``S_new``: the proxed S update with step ``sS``;
+    * ``SSt_new = S_new S_new^T``: the exact Gram the *next* iteration
+      needs for its Lipschitz step — so the PGM recursion stays exact
+      while doing one pass per iteration;
+    * ``loss`` at the old iterate, and the fixed-point convergence
+      statistics ``||S_new - S||^2`` / ``||S_new||^2``.
+
+    ``prox_S`` must be a jittable elementwise-or-factor-axis-local
+    operator (anything normalizing along the pixel axis needs the sharded
+    path instead). Default: non-negativity.
+    """
+    import jax.numpy as jnp  # local alias for clarity
+
+    if prox_S is None:
+        prox_S = lambda x, s: jnp.maximum(x, 0.0)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    Cp, Kp = A.shape
+    Np = S.shape[1]
+    assert Cp % _SUBLANE == 0 and Kp % _SUBLANE == 0 and Np % tile_n == 0, (
+        "fused_nmf_pgm_step expects pre-padded shapes; use pad_nmf_problem"
+    )
+    if dims is None:
+        dims = (Cp, Kp, Np)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    sS_arr = jnp.full((1, 1), sS, jnp.float32)
+    weighted = W is not None
+    W_in = W if weighted else Y
+
+    kernel = functools.partial(
+        _pgm_step_kernel, weighted=weighted, prox_S=prox_S, tile_n=tile_n
+    )
+    grid = (Np // tile_n,)
+
+    gA, S_new, SSt, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dims (3,)
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),       # sS
+            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * (Cp * Kp * 3 + Kp * Kp),
+            bytes_accessed=4 * Np * (Kp * 2 + Cp * (2 if weighted else 1)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dims_arr, sS_arr, A, S, Y, W_in)
+
+    return gA, S_new, SSt, stats[0], stats[1], stats[2]
+
+
+def pad_nmf_problem(A, S, Y, W=None, tile_n=_DEFAULT_TILE_N):
+    """Zero-pad an NMF problem to tile-aligned shapes (one-time cost).
+
+    Zero rows/columns are exact fixed points of the fused iteration (the
+    kernel masks them after the prox), so padding changes nothing.
+    Returns ``(A_p, S_p, Y_p, W_p, dims)`` with ``dims = (C, K, N)``.
+    """
+    C, K = A.shape
+    N = S.shape[1]
+    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
+    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    tile_n = min(tile_n, _round_up(N, _LANE))
+    Np = _round_up(N, tile_n)
+    A_p = _pad_to(jnp.asarray(A, jnp.float32), Cp, Kp)
+    S_p = _pad_to(jnp.asarray(S, jnp.float32), Kp, Np)
+    Y_p = _pad_to(jnp.asarray(Y, jnp.float32), Cp, Np)
+    W_p = (_pad_to(jnp.asarray(W, jnp.float32), Cp, Np)
+           if W is not None else None)
+    return A_p, S_p, Y_p, W_p, (C, K, N), tile_n
+
+
+def fused_nmf_grad(A, S, Y, W=None, tile_n=_DEFAULT_TILE_N, interpret=None):
+    """One-pass fused NMF gradients.
+
+    Returns ``(grad_A, grad_S, SSt, loss)`` for the Gaussian model with
+    residual ``D = W * (A S - Y)`` (W=None for unweighted): both factor
+    gradients, the ``S S^T`` Gram (Lipschitz step input) and the loss,
+    reading S/Y/W from HBM exactly once and never materializing D.
+
+    ``interpret=None`` auto-selects: compiled on TPU backends, interpreter
+    elsewhere (for tests).
+    """
+    A = jnp.asarray(A)
+    S = jnp.asarray(S)
+    Y = jnp.asarray(Y)
+    if W is not None:
+        W = jnp.asarray(W)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    N = S.shape[1]
+    tile_n = min(tile_n, _round_up(N, _LANE))
+    return _fused_call(A, S, Y, W, tile_n, interpret)

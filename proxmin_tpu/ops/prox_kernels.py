@@ -1,0 +1,143 @@
+"""Batched proximal-operator Pallas kernels.
+
+Elementwise prox operators fuse fine under XLA, so these exist for the
+cases where the prox is applied standalone over HBM-resident factors (one
+read + one write at exactly memory bandwidth) and as the building blocks
+for fused update kernels. Each is parity-tested against the jnp operator
+library (``proxmin_tpu.operators``).
+
+All kernels stream (8, TILE_N) float32 tiles through VMEM on a 1-D grid;
+inputs are zero-padded to tile boundaries (zeros are fixed points of every
+operator here, so padding is harmless, except ``prox_unity`` which
+normalizes along the unsharded factor axis and masks padding explicitly).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "prox_plus_pallas",
+    "prox_soft_pallas",
+    "prox_hard_pallas",
+    "prox_unity_pallas",
+]
+
+_SUBLANE = 8
+_LANE = 128
+_TILE_N = 16384
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
+
+def _elementwise_call(kernel, X, thresh, interpret):
+    """Run an elementwise kernel over a 2-D array with (rows, TILE) tiles."""
+    R, C = X.shape
+    Rp = _round_up(max(R, _SUBLANE), _SUBLANE)
+    tile = min(_TILE_N, _round_up(C, _LANE))
+    Cp = _round_up(C, tile)
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, Rp - R), (0, Cp - C)))
+    t = jnp.full((1, 1), thresh, jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Cp // tile,),
+        in_specs=[
+            pl.BlockSpec((Rp, tile), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((Rp, tile), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, Cp), jnp.float32),
+        interpret=interpret,
+    )(Xp, t)
+    return out[:R, :C].astype(X.dtype)
+
+
+def _plus_kernel(x_ref, t_ref, o_ref):
+    o_ref[:] = jnp.maximum(x_ref[:], 0.0)
+
+
+def _soft_kernel(x_ref, t_ref, o_ref):
+    t = t_ref[0, 0]
+    x = x_ref[:]
+    o_ref[:] = jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _hard_kernel(x_ref, t_ref, o_ref):
+    t = t_ref[0, 0]
+    x = x_ref[:]
+    o_ref[:] = jnp.where(jnp.abs(x) < t, 0.0, x)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prox_plus(X, interpret):
+    return _elementwise_call(_plus_kernel, X, 0.0, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prox_soft(X, thresh, interpret):
+    return _elementwise_call(_soft_kernel, X, thresh, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prox_hard(X, thresh, interpret):
+    return _elementwise_call(_hard_kernel, X, thresh, interpret)
+
+
+def prox_plus_pallas(X, step, interpret=None):
+    """Pallas non-negativity projection (== ``operators.prox_plus``)."""
+    return _prox_plus(jnp.asarray(X), _auto_interpret(interpret))
+
+
+def prox_soft_pallas(X, step, thresh=0, type="relative", interpret=None):
+    """Pallas soft threshold (== ``operators.prox_soft``)."""
+    from ..operators import get_thresh
+
+    t = get_thresh(step, thresh, type)
+    return _prox_soft(jnp.asarray(X), t, _auto_interpret(interpret))
+
+
+def prox_hard_pallas(X, step, thresh=0, type="relative", interpret=None):
+    """Pallas hard threshold (== ``operators.prox_hard``)."""
+    from ..operators import get_thresh
+
+    t = get_thresh(step, thresh, type)
+    return _prox_hard(jnp.asarray(X), t, _auto_interpret(interpret))
+
+
+def _unity_kernel(x_ref, n_ref, o_ref):
+    # normalize along axis 0 (the factor axis, fully resident in the
+    # tile); padded rows are zero so they don't perturb the sum; padded
+    # columns produce 0/0 but are sliced away by the wrapper
+    x = x_ref[:]
+    s = jnp.sum(x, axis=0, keepdims=True)
+    o_ref[:] = x / s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prox_unity(X, interpret):
+    return _elementwise_call(_unity_kernel, X, 1.0, interpret)
+
+
+def prox_unity_pallas(X, step, axis=0, interpret=None):
+    """Pallas sum-to-one rescale along ``axis``
+    (== ``operators.prox_unity``). Internally normalizes along the row
+    axis; ``axis=1`` transposes at the XLA level."""
+    X = jnp.asarray(X)
+    if axis == 1:
+        return _prox_unity(X.T, _auto_interpret(interpret)).T
+    return _prox_unity(X, _auto_interpret(interpret))

@@ -1,0 +1,181 @@
+"""Parity tests for the Pallas kernels against the jnp reference path
+(interpreter mode on CPU; the same code compiles on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import proxmin_tpu.operators as op
+from proxmin_tpu.ops import (
+    fused_nmf_grad,
+    prox_hard_pallas,
+    prox_plus_pallas,
+    prox_soft_pallas,
+    prox_unity_pallas,
+)
+from proxmin_tpu.nmf import grad_likelihood, log_likelihood
+
+
+@pytest.fixture
+def X(rng):
+    return jnp.asarray(rng.normal(size=(5, 300)).astype(np.float32))
+
+
+def test_prox_plus_parity(X):
+    np.testing.assert_array_equal(
+        np.asarray(prox_plus_pallas(X, 0.5)),
+        np.asarray(op.prox_plus(X, 0.5)),
+    )
+
+
+@pytest.mark.parametrize("type_", ["relative", "absolute"])
+def test_prox_soft_parity(X, type_):
+    np.testing.assert_allclose(
+        np.asarray(prox_soft_pallas(X, 0.5, thresh=0.3, type=type_)),
+        np.asarray(op.prox_soft(X, 0.5, thresh=0.3, type=type_)),
+        atol=1e-7,
+    )
+
+
+def test_prox_hard_parity(X):
+    np.testing.assert_array_equal(
+        np.asarray(prox_hard_pallas(X, 0.5, thresh=0.3)),
+        np.asarray(op.prox_hard(X, 0.5, thresh=0.3)),
+    )
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_prox_unity_parity(rng, axis):
+    X = jnp.asarray((0.1 + rng.random((6, 200))).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(prox_unity_pallas(X, 0.5, axis=axis)),
+        np.asarray(op.prox_unity(X, 0.5, axis=axis)),
+        rtol=1e-6,
+    )
+
+
+def test_prox_odd_shapes(rng):
+    """Non-tile-aligned shapes round-trip through padding correctly."""
+    for shape in [(1, 7), (5, 129), (13, 1000), (8, 128)]:
+        X = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(prox_plus_pallas(X, 1.0)),
+            np.maximum(np.asarray(X), 0),
+        )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_nmf_grad_parity(rng, weighted):
+    C, K, N = 5, 7, 1000   # deliberately unaligned everywhere
+    A = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S = jnp.asarray(rng.random((K, N)).astype(np.float32))
+    Y = jnp.asarray(rng.random((C, N)).astype(np.float32))
+    W = jnp.asarray((0.5 + rng.random((C, N))).astype(np.float32)) \
+        if weighted else None
+
+    gA, gS, SSt, loss = fused_nmf_grad(A, S, Y, W=W, tile_n=256)
+
+    W_ref = W if weighted else 1
+    gA_ref, gS_ref = grad_likelihood(A, S, Y=Y, W=W_ref)
+    loss_ref = log_likelihood(A, S, Y=Y, W=W_ref)
+
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gA_ref),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gS), np.asarray(gS_ref),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(SSt), np.asarray(S @ S.T),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+
+
+def test_fused_nmf_grad_tile_divisible(rng):
+    """N an exact multiple of the tile: no padding path."""
+    C, K, N = 8, 8, 512
+    A = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S = jnp.asarray(rng.random((K, N)).astype(np.float32))
+    Y = jnp.asarray(rng.random((C, N)).astype(np.float32))
+    gA, gS, SSt, loss = fused_nmf_grad(A, S, Y, tile_n=128)
+    gA_ref, gS_ref = grad_likelihood(A, S, Y=Y)
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gA_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gS), np.asarray(gS_ref),
+                               rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_pgm_step_parity(rng, weighted):
+    """One fused kernel step == one hand-computed PGM S-side step."""
+    from proxmin_tpu.ops.nmf_kernels import (
+        fused_nmf_pgm_step, pad_nmf_problem,
+    )
+
+    C, K, N = 5, 7, 700
+    A = rng.random((C, K)).astype(np.float32)
+    S = rng.random((K, N)).astype(np.float32)
+    Y = rng.random((C, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32) if weighted else None
+    sS = 0.05
+
+    A_p, S_p, Y_p, W_p, dims, tile = pad_nmf_problem(A, S, Y, W, tile_n=256)
+    gA, S_new, SSt, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
+        A_p, S_p, Y_p, sS, W=W_p, tile_n=tile, dims=dims
+    )
+
+    R = A @ S - Y
+    D = (W * R) if weighted else R
+    gA_ref = D @ S.T
+    gS_ref = A.T @ D
+    S_new_ref = np.maximum(S - sS * gS_ref, 0)
+
+    np.testing.assert_allclose(np.asarray(gA)[:C, :K], gA_ref, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(S_new)[:K, :N], S_new_ref,
+                               rtol=2e-4, atol=1e-5)
+    # padded region stays exactly zero
+    assert np.all(np.asarray(S_new)[K:, :] == 0)
+    assert np.all(np.asarray(S_new)[:, N:] == 0)
+    np.testing.assert_allclose(np.asarray(SSt)[:K, :K],
+                               S_new_ref @ S_new_ref.T, rtol=2e-4)
+    np.testing.assert_allclose(float(loss), np.sum(D * R) / 2, rtol=1e-4)
+    np.testing.assert_allclose(float(dS_sq), np.sum((S_new_ref - S) ** 2),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(nS_sq), np.sum(S_new_ref ** 2),
+                               rtol=1e-3)
+
+
+def test_fused_pgm_driver_matches_xla_path(rng):
+    """nmf_pgm_fused must track nmf(algorithm='pgm') iterate-for-iterate
+    (both float32, same math, different execution engines)."""
+    import proxmin_tpu as pt
+
+    C, K, N = 5, 3, 400
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=20)
+
+    res = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                               max_iter=20, tile_n=128)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-3, atol=1e-5)
+    assert res.iterations == 20
+
+
+def test_fused_pgm_driver_custom_prox(rng):
+    """Factor-axis-local prox (simplex over K) through the fused kernel."""
+    import proxmin_tpu as pt
+    from proxmin_tpu import operators
+
+    C, K, N = 4, 3, 300
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    def proxS(x, s):
+        return operators.prox_unity_plus(x, s, axis=0)
+
+    res = pt.nmf.nmf_pgm_fused(Y, A0, S0, prox_S=proxS, e_rel=0,
+                               max_iter=10, tile_n=128)
+    _, S2 = res.x
+    np.testing.assert_allclose(np.asarray(S2).sum(axis=0), 1.0, rtol=1e-4)
