@@ -14,6 +14,28 @@ __init__.py``): solvers and operators are re-exported flat; ``nmf`` and
 ``utils`` are submodules.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache, on by default (opt out with
+# PROXMIN_TPU_NO_COMPILE_CACHE=1, or pre-set jax_compilation_cache_dir).
+# Solver drivers are closure-configured jits, so repeated solves re-lower;
+# caching the compiled executables makes the second-and-later runs cheap —
+# essential on TPU deployments where compiles are expensive.
+if (_os.environ.get("PROXMIN_TPU_NO_COMPILE_CACHE") != "1"
+        and _jax.config.jax_compilation_cache_dir is None):
+    _cache_dir = _os.environ.get(
+        "PROXMIN_TPU_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/proxmin_tpu/xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # read-only FS etc. — cache is an optimization only
+        pass
+
 from .algorithms import *  # noqa: F401,F403
 from .operators import *  # noqa: F401,F403
 from . import nmf  # noqa: F401
@@ -22,5 +44,6 @@ from . import operators  # noqa: F401
 from . import algorithms  # noqa: F401
 from . import linop  # noqa: F401
 from . import special  # noqa: F401
+from . import checkpoint  # noqa: F401
 
 __version__ = "0.1.0"

@@ -136,6 +136,7 @@ class AdaProxState(NamedTuple):
     it: Any
     converged: Any       # (N,) bool
     sub_iters: Any       # (N,) int32, cumulative prox sub-iterations
+    history: Any         # (max_iter, N) relative residuals (trace mode)
 
 
 def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
@@ -166,7 +167,8 @@ def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
 
 
 def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
-                       p, e_rel, check_convergence, prox_max_iter):
+                       p, e_rel, check_convergence, prox_max_iter,
+                       trace=False):
     n = len(prox)
 
     def body(state: AdaProxState) -> AdaProxState:
@@ -202,6 +204,15 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
         else:
             converged = state.converged
 
+        history = state.history
+        if trace:
+            res = jnp.stack([
+                jnp.sqrt(l2sq(x_new[j] - state.x[j])
+                         / jnp.maximum(l2sq(x_new[j]), 1e-30))
+                for j in range(n)
+            ])
+            history = history.at[it].set(res.astype(history.dtype))
+
         return AdaProxState(
             x=tuple(x_new),
             M=tuple(M_new),
@@ -211,6 +222,7 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             it=it + 1,
             converged=converged,
             sub_iters=sub_iters,
+            history=history,
         )
 
     return body
@@ -234,6 +246,7 @@ def adaprox(
     V=None,
     Vhat=None,
     callback=None,
+    trace=False,
 ):
     """Adaptive Proximal Gradient Method (proximal Adam family).
 
@@ -296,7 +309,7 @@ def adaprox(
     stepper = make_stepper(step, n)
     body = _make_adaprox_body(
         grad, stepper, prox, has_prox, phi_psi, b1, b2, eps, p, e_rel,
-        check_convergence, prox_max_iter,
+        check_convergence, prox_max_iter, trace=trace,
     )
 
     def init_state():
@@ -310,6 +323,10 @@ def adaprox(
             it=jnp.int32(0),
             converged=jnp.zeros((n,), bool),
             sub_iters=jnp.zeros((n,), jnp.int32),
+            history=jnp.zeros(
+                (max_iter if trace else 0, n),
+                jnp.result_type(*[x.dtype for x in x0], jnp.float32),
+            ),
         )
 
     if callback is None:
@@ -348,9 +365,10 @@ def adaprox(
 
     writeback(originals, state.x)
     x_out = state.x[0] if was_single else state.x
+    history = np.asarray(state.history[:iterations]) if trace else None
     return SolverResult(
         (converged, state.M, state.V, state.Vhat),
         x=x_out, iterations=iterations, converged=converged,
         sub_iterations=sub_iterations,
-        M=state.M, V=state.V, Vhat=state.Vhat,
+        M=state.M, V=state.V, Vhat=state.Vhat, history=history,
     )

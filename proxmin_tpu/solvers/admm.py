@@ -54,6 +54,8 @@ class ADMMState(NamedTuple):
     errors: Any          # (M, 4) array: e_pri, e_dual, |R|, |S| per constraint
     x_prev: Any
     r_prev: Any          # same structure as z
+    history: Any         # (cap, M, 4) residual trace indexed by total_it
+                         # (restarts keep appending; empty when trace off)
 
 
 def _stack_errors(errors, multi):
@@ -68,7 +70,7 @@ def _stack_errors(errors, multi):
 
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
-    callback, return_errors,
+    callback, return_errors, trace=False,
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
@@ -128,6 +130,11 @@ def _sdmm_core(
 
         it = it + 1
         errors_arr = _stack_errors(errors, M > 1)
+        history = state.history
+        if trace:
+            history = history.at[state.total_it].set(
+                errors_arr.astype(history.dtype)
+            )
 
         # stall detector (reference algorithms.py:504-514 / 634-641):
         # X and primal residual unchanged since last iteration -> halve the
@@ -159,7 +166,7 @@ def _sdmm_core(
         return ADMMState(
             x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
             slack=slack, converged=conv, errors=errors_arr,
-            x_prev=x, r_prev=r,
+            x_prev=x, r_prev=r, history=history,
         )
 
     def init_state(x):
@@ -181,6 +188,9 @@ def _sdmm_core(
             errors=jnp.zeros((max(M, 1), 4)),
             x_prev=jnp.array(x, copy=True),
             r_prev=r0,
+            history=jnp.zeros(
+                (_RESTART_BUDGET * max_iter if trace else 0, max(M, 1), 4)
+            ),
         )
 
     total_cap = _RESTART_BUDGET * max_iter
@@ -220,6 +230,7 @@ def admm(
     e_abs=0,
     max_iter=1000,
     callback=None,
+    trace=False,
 ):
     """Linearized Alternating Direction Method of Multipliers.
 
@@ -239,7 +250,7 @@ def admm(
 
     state = _sdmm_core(
         x0, prox_f, step_f, proxs_g, steps_g, (Lop,) if prox_g is not None else (),
-        e_rel, e_abs, max_iter, callback, return_errors=True,
+        e_rel, e_abs, max_iter, callback, return_errors=True, trace=trace,
     )
 
     converged = bool(state.converged)
@@ -249,12 +260,14 @@ def admm(
         logger.warning("Solution did not converge")
 
     errors = tuple(float(v) for v in np.asarray(state.errors[0]))
+    history = (np.asarray(state.history[:int(state.total_it)])
+               if trace else None)
     writeback(originals, (state.x,))
     return SolverResult(
         (converged, errors),
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(state.slack),
-        total_iterations=int(state.total_it),
+        total_iterations=int(state.total_it), history=history,
     )
 
 
@@ -269,6 +282,7 @@ def sdmm(
     e_abs=0,
     max_iter=1000,
     callback=None,
+    trace=False,
 ):
     """Simultaneous-Direction Method of Multipliers (M constraints).
 
@@ -287,6 +301,7 @@ def sdmm(
         return admm(
             X, prox_f, step_f, prox_g=proxs_g, step_g=steps_g, L=Ls,
             e_rel=e_rel, e_abs=e_abs, max_iter=max_iter, callback=callback,
+            trace=trace,
         )
 
     (x0,), originals, _ = tupleize(X)
@@ -303,7 +318,7 @@ def sdmm(
 
     state = _sdmm_core(
         x0, prox_f, step_f, tuple(proxs_g), steps_g, Lops,
-        e_rel, e_abs, max_iter, callback, return_errors=False,
+        e_rel, e_abs, max_iter, callback, return_errors=False, trace=trace,
     )
 
     converged = bool(state.converged)
@@ -315,10 +330,12 @@ def sdmm(
     errors = tuple(
         tuple(float(v) for v in row) for row in np.asarray(state.errors)
     )
+    history = (np.asarray(state.history[:int(state.total_it)])
+               if trace else None)
     writeback(originals, (state.x,))
     return BoolResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(state.slack),
-        total_iterations=int(state.total_it),
+        total_iterations=int(state.total_it), history=history,
     )

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import utils
-from ..utils import make_stepper, nesterov_next, fixed_point_converged
+from ..utils import make_stepper, nesterov_next, fixed_point_converged, l2sq
 from .common import (
     SolverResult,
     normalize_per_block,
@@ -54,9 +54,12 @@ class PGMState(NamedTuple):
     stepper_state: Any
     it: Any
     converged: Any         # (N,) bool
+    history: Any           # (max_iter, N) per-block relative residuals
+                           # (device-side trace buffer; empty when trace off)
 
 
-def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f):
+def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
+                   trace=False):
     """Build the single-iteration body (pure state -> state)."""
     n = len(prox)
 
@@ -129,6 +132,18 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f):
             for j in range(n)
         ])
 
+        history = state.history
+        if trace:
+            # device-side trace buffer (SURVEY.md §5): per-block relative
+            # fixed-point residual sqrt(||x-x_||^2 / ||x||^2), recorded in
+            # the preallocated carry array — no host round trip
+            res = jnp.stack([
+                jnp.sqrt(l2sq(x_new[j] - x_old[j])
+                         / jnp.maximum(l2sq(x_new[j]), 1e-30))
+                for j in range(n)
+            ])
+            history = history.at[it].set(res.astype(history.dtype))
+
         return PGMState(
             x=x_new,
             x_prev=x_old,
@@ -140,12 +155,13 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f):
             stepper_state=stepper_state,
             it=it + 1,
             converged=converged,
+            history=history,
         )
 
     return body
 
 
-def _init_state(x0, grad, stepper, n):
+def _init_state(x0, grad, stepper, n, max_iter, trace):
     dtype = jnp.result_type(*[x.dtype for x in x0], jnp.float32)
     G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
     stepper_state0 = stepper.init_state(x0, G0)
@@ -169,6 +185,7 @@ def _init_state(x0, grad, stepper, n):
         stepper_state=stepper_state0,
         it=jnp.int32(0),
         converged=jnp.zeros((n,), bool),
+        history=jnp.zeros((max_iter if trace else 0, n), dtype),
     )
 
 
@@ -192,6 +209,7 @@ def pgm(
     e_rel=1e-6,
     max_iter=1000,
     callback=None,
+    trace=False,
 ):
     """Proximal Gradient Method (ISTA; FISTA when ``accelerated=True``).
 
@@ -218,6 +236,10 @@ def pgm(
         callback: optional ``callback(*X, it=...)`` host hook; switches to
             the compiled-step host loop. Raising ``StopIteration`` from the
             callback terminates cleanly (reference ``algorithms.py:137``).
+        trace: record per-iteration relative residuals per block in a
+            device-side buffer, returned as ``result.history`` (shape
+            ``(iterations, n_blocks)``) — the fused-mode replacement for
+            the reference's host-side ``Traceback``.
 
     Returns:
         ``SolverResult`` unpacking as ``(converged, G, S)`` like the
@@ -232,16 +254,16 @@ def pgm(
     stepper = make_stepper(step, n)
 
     body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
-                          backtracking, f)
+                          backtracking, f, trace=trace)
 
     if callback is None:
         run = jax.jit(
             lambda s: _run_fused(s, body, max_iter, n), donate_argnums=0
         )
-        state = run(_init_state(x0, grad, stepper, n))
+        state = run(_init_state(x0, grad, stepper, n, max_iter, trace))
     else:
         step_fn = jax.jit(body, donate_argnums=0)
-        state = _init_state(x0, grad, stepper, n)
+        state = _init_state(x0, grad, stepper, n, max_iter, trace)
         for it in range(max_iter):
             try:
                 callback(*[np.asarray(x) for x in state.x], it=it)
@@ -261,7 +283,9 @@ def pgm(
     x_out = state.x[0] if was_single else state.x
     G = state.G[0] if was_single else state.G
     S = state.S[0] if was_single else state.S
+    history = np.asarray(state.history[:iterations]) if trace else None
     return SolverResult(
         (converged, G, S),
         x=x_out, iterations=iterations, converged=converged, G=G, S=S,
+        history=history,
     )

@@ -448,6 +448,18 @@ def check_constraint_convergence(X, L, LX, Z, U, R, S, step_f, step_g, e_rel, e_
     return convergence, (e_pri, e_dual, lR, lS)
 
 
+def hasNotNone(l):
+    """Reference-parity helper (``utils.py:409-418``): distance from the
+    first element of ``l`` that contains a non-None entry to the end of
+    the list, or 0 if none do."""
+    for i, ll in enumerate(l):
+        if ll is not None and hasattr(ll, "__iter__"):
+            for lll in ll:
+                if lll is not None:
+                    return len(l) - i
+    return 0
+
+
 def check_convergence(newX, oldX, e_rel):
     """Langville 2014 §5 NMF convergence test (reference ``utils.py:394-406``)."""
     new_old = jnp.sum(newX * oldX)

@@ -1,0 +1,119 @@
+"""Auxiliary subsystems: device-side trace buffers, checkpoint/resume,
+misc reference-parity helpers (SURVEY.md §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import proxmin_tpu as pt
+from proxmin_tpu import utils
+
+
+CENTER = np.array([1.0, 0.5])
+
+
+def grad_f(x):
+    return x - CENTER
+
+
+def prox_disk(x, step, r=0.5):
+    nrm = jnp.sqrt(jnp.sum(x ** 2))
+    return jnp.where(nrm > r, x * (r / nrm), x)
+
+
+def test_pgm_trace():
+    res = pt.pgm(jnp.asarray([-1.0, -1.0]), grad_f, 0.3,
+                 e_rel=1e-8, max_iter=500, trace=True)
+    h = res.history
+    assert h.shape == (res.iterations, 1)
+    # residuals of a contraction decrease and end below tolerance
+    assert h[-1, 0] <= 1e-8
+    assert h[0, 0] > h[-1, 0]
+
+
+def test_pgm_trace_multiblock():
+    def g(x1, x2):
+        return x1 - 1.0, x2 - 2.0
+
+    res = pt.pgm([jnp.zeros(2), jnp.zeros(3)], g, 0.5,
+                 e_rel=1e-8, max_iter=200, trace=True)
+    assert res.history.shape == (res.iterations, 2)
+
+
+def test_pgm_no_trace_by_default():
+    res = pt.pgm(jnp.asarray([-1.0, -1.0]), grad_f, 0.3, max_iter=50)
+    assert res.history is None
+
+
+def test_adaprox_trace():
+    res = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad_f, 0.1,
+                     e_rel=1e-6, max_iter=500, trace=True)
+    assert res.history.shape == (res.iterations, 1)
+    assert res.history[-1, 0] <= 1e-6
+
+
+def test_admm_trace():
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(CENTER)) / (1 + step)
+
+    res = pt.admm(jnp.asarray([-1.0, -1.0]), prox_f, 0.5,
+                  prox_g=prox_disk, e_rel=1e-7, max_iter=2000, trace=True)
+    h = res.history
+    assert h.shape == (res.total_iterations, 1, 4)
+    # primal/dual norms in columns 2,3 fall below thresholds in cols 0,1
+    assert h[-1, 0, 2] <= h[-1, 0, 0]
+    assert h[-1, 0, 3] <= h[-1, 0, 1]
+
+
+def test_sdmm_trace():
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(CENTER)) / (1 + step)
+
+    res = pt.sdmm(jnp.asarray([-1.0, -1.0]), prox_f, 0.5,
+                  proxs_g=[prox_disk, lambda v, s: jnp.maximum(v, 0)],
+                  e_rel=1e-6, max_iter=2000, trace=True)
+    assert res.history.shape[1:] == (2, 4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    x = {"a": np.arange(6.0).reshape(2, 3), "b": (np.ones(4), np.zeros(2))}
+    p = save_checkpoint(str(tmp_path / "ck"), **x)
+    back = load_checkpoint(p)
+    np.testing.assert_array_equal(back["a"], x["a"])
+    np.testing.assert_array_equal(back["b"][0], x["b"][0])
+
+
+def test_checkpoint_fallback_roundtrip(tmp_path):
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    x = {"m": np.ones((3, 3))}
+    p = save_checkpoint(str(tmp_path / "ck2"), use_orbax=False, **x)
+    back = load_checkpoint(p, use_orbax=False)
+    np.testing.assert_array_equal(back["m"], x["m"])
+
+
+def test_adaprox_checkpoint_resume(tmp_path):
+    """Full checkpoint/resume cycle through the warm-start interface."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    r1 = pt.adaprox(x0, grad_f, 0.1, e_rel=0, max_iter=15,
+                    check_convergence=False)
+    p = save_checkpoint(str(tmp_path / "adaprox"), use_orbax=False,
+                        x=r1.x, M=r1.M, V=r1.V, Vhat=r1.Vhat)
+    ck = load_checkpoint(p, use_orbax=False)
+    r2 = pt.adaprox(jnp.asarray(ck["x"]), grad_f, 0.1,
+                    e_rel=0, max_iter=15, check_convergence=False,
+                    M=ck["M"], V=ck["V"], Vhat=ck["Vhat"])
+    # resumed run keeps descending
+    d1 = np.linalg.norm(np.asarray(r1.x) - CENTER)
+    d2 = np.linalg.norm(np.asarray(r2.x) - CENTER)
+    assert d2 < d1
+
+
+def test_hasnotnone_parity():
+    assert utils.hasNotNone([None, None]) == 0
+    assert utils.hasNotNone([[None], [1, None]]) == 1
+    assert utils.hasNotNone([[2], [None]]) == 2
