@@ -47,3 +47,21 @@ from . import special  # noqa: F401
 from . import checkpoint  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def clear_caches():
+    """Drop all cached solver drivers (and jax's own caches).
+
+    Solver drivers are cached by callable identity — the standard
+    ``jax.jit`` contract. If your ``grad``/``prox``/``step`` callables
+    close over NumPy arrays that you mutate in place between solves,
+    either rebuild the callables (fresh identity) or call this.
+    """
+    from .solvers.pgm import _PGM_CACHE
+    from .solvers.adaprox import _ADAPROX_CACHE
+    from .nmf import _make_fused_pgm_runner
+
+    _PGM_CACHE._d.clear()
+    _ADAPROX_CACHE._d.clear()
+    _make_fused_pgm_runner.cache_clear()
+    _jax.clear_caches()

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from .. import utils
 from ..utils import make_stepper, fixed_point_converged, l2sq
 from .common import (
+    DriverCache,
     SolverResult,
+    abstract_key,
+    callable_key,
     normalize_per_block,
     normalize_prox,
     tupleize,
@@ -125,6 +128,9 @@ SCHEMES = {
     "adamx": _adamx_phi_psi,
     "radam": _radam_phi_psi,
 }
+
+
+_ADAPROX_CACHE = DriverCache()
 
 
 class AdaProxState(NamedTuple):
@@ -307,10 +313,33 @@ def adaprox(
     Vhat0 = init_moments(Vhat)
 
     stepper = make_stepper(step, n)
-    body = _make_adaprox_body(
-        grad, stepper, prox, has_prox, phi_psi, b1, b2, eps, p, e_rel,
-        check_convergence, prox_max_iter, trace=trace,
-    )
+
+    from .pgm import _stepper_cache_key
+
+    key = ("adaprox", callable_key(grad), _stepper_cache_key(step, stepper),
+           tuple(callable_key(p) for p in prox), has_prox, scheme,
+           float(b2), float(eps), float(p), e_rel, check_convergence,
+           max_iter, prox_max_iter, trace, callback is None,
+           hash(np.asarray(b1).tobytes()),  # b1 schedule is a trace constant
+           abstract_key(x0))
+
+    def build():
+        body = _make_adaprox_body(
+            grad, stepper, prox, has_prox, phi_psi, b1, b2, eps, p, e_rel,
+            check_convergence, prox_max_iter, trace=trace,
+        )
+        if callback is None:
+            def run(state):
+                def cond(s):
+                    not_done = jnp.logical_not(jnp.all(s.converged)) \
+                        if check_convergence else True
+                    return jnp.logical_and(s.it < max_iter, not_done)
+                return jax.lax.while_loop(cond, body, state)
+
+            return stepper, jax.jit(run, donate_argnums=0)
+        return stepper, jax.jit(body, donate_argnums=0)
+
+    cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)
 
     def init_state():
         G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
@@ -319,7 +348,7 @@ def adaprox(
             M=M0,
             V=V0,
             Vhat=Vhat0,
-            stepper_state=stepper.init_state(x0, G0),
+            stepper_state=cached_stepper.init_state(x0, G0),
             it=jnp.int32(0),
             converged=jnp.zeros((n,), bool),
             sub_iters=jnp.zeros((n,), jnp.int32),
@@ -330,16 +359,9 @@ def adaprox(
         )
 
     if callback is None:
-        def run(state):
-            def cond(s):
-                not_done = jnp.logical_not(jnp.all(s.converged)) \
-                    if check_convergence else True
-                return jnp.logical_and(s.it < max_iter, not_done)
-            return jax.lax.while_loop(cond, body, state)
-
-        state = jax.jit(run, donate_argnums=0)(init_state())
+        state = compiled(init_state())
     else:
-        step_fn = jax.jit(body, donate_argnums=0)
+        step_fn = compiled
         state = init_state()
         for it in range(max_iter):
             try:

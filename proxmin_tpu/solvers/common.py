@@ -111,6 +111,65 @@ def normalize_per_block(val, n_blocks):
     return val
 
 
+def callable_key(fn):
+    """A cache key for a user callable.
+
+    ``functools.partial`` objects are keyed structurally (wrapped function
+    plus ids of the bound arguments) because APIs like ``nmf`` rebuild
+    their partials per call; everything else is keyed by identity. Safe
+    because the cache entry holds a strong reference to the callable (via
+    the compiled closure), so its id cannot be recycled while the key is
+    alive — and evicting the entry also evicts the key.
+    """
+    import functools as _ft
+
+    if isinstance(fn, _ft.partial):
+        return (
+            "partial",
+            callable_key(fn.func),
+            tuple(id(a) for a in fn.args),
+            tuple(sorted((k, id(v)) for k, v in fn.keywords.items())),
+        )
+    return ("id", id(fn))
+
+
+class DriverCache:
+    """Bounded LRU of compiled solver drivers.
+
+    Solvers are configured by user callables (grad/step/prox closures), so
+    a fresh ``jax.jit`` per call would re-trace and re-compile every solve.
+    Caching the jitted driver keyed by (callable keys, static params,
+    input shapes/dtypes) makes repeated solves pay only the device run.
+    Entries hold the user callables alive (see :func:`callable_key`).
+    """
+
+    def __init__(self, maxsize=32):
+        from collections import OrderedDict
+
+        self._d = OrderedDict()
+        self.maxsize = maxsize
+
+    def get_or_build(self, key, build):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        value = build()
+        self._d[key] = value
+        if len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+        return value
+
+
+def abstract_key(tree):
+    """Shapes/dtypes signature of a pytree of arrays."""
+    import jax
+
+    return tuple(
+        (l.shape, str(l.dtype))
+        for l in jax.tree_util.tree_leaves(tree)
+    )
+
+
 def zeros_like_shapes(fn, *args, **kwargs):
     """Zeros pytree matching ``jax.eval_shape(fn, *args)`` — used to build
     while-loop carries for quantities first produced inside the loop body."""

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from .. import utils
 from ..utils import make_stepper, nesterov_next, fixed_point_converged, l2sq
 from .common import (
+    DriverCache,
     SolverResult,
+    abstract_key,
+    callable_key,
     normalize_per_block,
     normalize_prox,
     tupleize,
@@ -189,6 +192,22 @@ def _init_state(x0, grad, stepper, n, max_iter, trace):
     )
 
 
+_PGM_CACHE = DriverCache()
+
+
+def _stepper_cache_key(step, stepper):
+    from ..utils import BarzilaiBorweinStepper, ConstantStepper
+
+    if isinstance(stepper, ConstantStepper):
+        try:
+            return ("const", tuple(float(v) for v in stepper.value))
+        except (TypeError, ValueError):
+            return ("const-id", tuple(id(v) for v in stepper.value))
+    if isinstance(stepper, BarzilaiBorweinStepper):
+        return ("bb", stepper.type, stepper.r)
+    return ("fn", callable_key(step))
+
+
 def _run_fused(x0, body, max_iter, n):
     def cond(state):
         return jnp.logical_and(
@@ -253,17 +272,30 @@ def pgm(
     assert backtracking is False or f is not None
     stepper = make_stepper(step, n)
 
-    body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
-                          backtracking, f, trace=trace)
+    # driver cache: repeated solves with the same callables/shapes reuse
+    # the compiled executable (standard jax.jit contract — callables keyed
+    # by identity, closure-captured arrays treated as fixed)
+    key = ("pgm", callable_key(grad), _stepper_cache_key(step, stepper),
+           tuple(callable_key(p) for p in prox), accelerated, backtracking,
+           callable_key(f) if f is not None else None, e_rel, max_iter,
+           trace, callback is None, abstract_key(x0))
+
+    def build():
+        body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
+                              backtracking, f, trace=trace)
+        if callback is None:
+            return stepper, jax.jit(
+                lambda s: _run_fused(s, body, max_iter, n), donate_argnums=0
+            )
+        return stepper, jax.jit(body, donate_argnums=0)
+
+    cached_stepper, run = _PGM_CACHE.get_or_build(key, build)
 
     if callback is None:
-        run = jax.jit(
-            lambda s: _run_fused(s, body, max_iter, n), donate_argnums=0
-        )
-        state = run(_init_state(x0, grad, stepper, n, max_iter, trace))
+        state = run(_init_state(x0, grad, cached_stepper, n, max_iter, trace))
     else:
-        step_fn = jax.jit(body, donate_argnums=0)
-        state = _init_state(x0, grad, stepper, n, max_iter, trace)
+        step_fn = run
+        state = _init_state(x0, grad, cached_stepper, n, max_iter, trace)
         for it in range(max_iter):
             try:
                 callback(*[np.asarray(x) for x in state.x], it=it)
