@@ -290,6 +290,7 @@ def nmf(
     max_iter=1000,
     e_rel=1e-3,
     callback=None,
+    engine="xla",
     **algorithm_args,
 ):
     """Non-negative / constrained matrix factorization.
@@ -308,6 +309,9 @@ def nmf(
             Default: pgm.
         step: optional custom step callable ``step(*X, it=...)``.
         max_iter, e_rel, callback: forwarded to the solver.
+        engine: "xla" (default — XLA-fused solver loop) or "pallas" (the
+            single-pass fused iteration kernel, :func:`nmf_pgm_fused`; pgm
+            + unweighted + default steps only).
         algorithm_args: extra solver kwargs (e.g. ``accelerated=True``).
 
     Returns:
@@ -318,6 +322,21 @@ def nmf(
         algorithm = algorithms.pgm
     if isinstance(algorithm, str):
         algorithm = getattr(algorithms, algorithm.lower())
+
+    if engine == "pallas":
+        if (algorithm is not algorithms.pgm or step is not None
+                or not _is_unweighted(W) or callback is not None):
+            raise ValueError(
+                "engine='pallas' supports algorithm='pgm' with default "
+                "steps, unweighted W and no callback; use engine='xla'"
+            )
+        return nmf_pgm_fused(
+            Y, A, S, prox_A=prox_A,
+            prox_S=prox_S if prox_S is not operators.prox_plus else None,
+            e_rel=e_rel, max_iter=max_iter, **algorithm_args,
+        )
+    elif engine != "xla":
+        raise ValueError(f"unknown engine {engine!r}")
 
     Y = jnp.asarray(Y)
     if hasattr(W, "shape") or hasattr(W, "__len__"):

@@ -179,3 +179,24 @@ def test_fused_pgm_driver_custom_prox(rng):
                                max_iter=10, tile_n=128)
     _, S2 = res.x
     np.testing.assert_allclose(np.asarray(S2).sum(axis=0), 1.0, rtol=1e-4)
+
+
+def test_nmf_engine_pallas(rng):
+    """nmf(engine='pallas') dispatches to the fused driver."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=15)
+    r2 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=15,
+                    engine="pallas")
+    np.testing.assert_allclose(np.asarray(r2.x[1]), np.asarray(r1.x[1]),
+                               rtol=1e-3, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        pt.nmf.nmf(Y, A0, S0, engine="pallas", algorithm="adaprox")
+    with pytest.raises(ValueError):
+        pt.nmf.nmf(Y, A0, S0, engine="bogus")

@@ -191,3 +191,33 @@ def test_pgm_matches_numpy_oracle():
               e_rel=0.0, max_iter=n_iter)
     # this backend computes f64 at ~48-bit precision -> rtol accordingly
     np.testing.assert_allclose(np.asarray(res.x), x, rtol=1e-9)
+
+
+def test_pgm_with_jax_grad():
+    """jax.grad replaces the reference's autograd compatibility
+    (README.md:33 of the reference): pass jax.grad(f) directly."""
+    import jax
+
+    def loss(x):
+        return 0.5 * jnp.sum((x - jnp.asarray(CENTER)) ** 2)
+
+    res = pgm(jnp.asarray([-1.0, -1.0]), jax.grad(loss), 1.0,
+              prox=prox_disk, e_rel=1e-10, max_iter=1000)
+    np.testing.assert_allclose(np.asarray(res.x), DISK_OPT, atol=1e-7)
+
+
+def test_pgm_multiblock_jax_grad():
+    import jax
+
+    c1, c2 = jnp.asarray([2.0, 0.0]), jnp.asarray([0.5, 3.0])
+
+    def loss(x1, x2):
+        return 0.5 * jnp.sum((x1 - c1) ** 2) + 0.5 * jnp.sum((x2 - c2) ** 2)
+
+    grad = jax.grad(loss, argnums=(0, 1))
+    res = pgm([jnp.zeros(2), jnp.zeros(2)], grad, 1.0,
+              e_rel=1e-10, max_iter=500)
+    np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(c1),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x[1]), np.asarray(c2),
+                               atol=1e-8)
