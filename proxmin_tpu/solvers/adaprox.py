@@ -143,6 +143,7 @@ class AdaProxState(NamedTuple):
     converged: Any       # (N,) bool
     sub_iters: Any       # (N,) int32, cumulative prox sub-iterations
     history: Any         # (max_iter, N) relative residuals (trace mode)
+    diverged: Any        # bool — a non-finite iterate was produced
 
 
 def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
@@ -219,6 +220,10 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             ])
             history = history.at[it].set(res.astype(history.dtype))
 
+        finite = jnp.stack([
+            jnp.all(jnp.isfinite(x_new[j])) for j in range(n)
+        ]).all()
+
         return AdaProxState(
             x=tuple(x_new),
             M=tuple(M_new),
@@ -229,6 +234,7 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             converged=converged,
             sub_iters=sub_iters,
             history=history,
+            diverged=jnp.logical_or(state.diverged, jnp.logical_not(finite)),
         )
 
     return body
@@ -333,7 +339,8 @@ def adaprox(
                 def cond(s):
                     not_done = jnp.logical_not(jnp.all(s.converged)) \
                         if check_convergence else True
-                    return jnp.logical_and(s.it < max_iter, not_done)
+                    go = jnp.logical_and(s.it < max_iter, not_done)
+                    return jnp.logical_and(go, jnp.logical_not(s.diverged))
                 return jax.lax.while_loop(cond, body, state)
 
             return stepper, jax.jit(run, donate_argnums=0)
@@ -356,6 +363,7 @@ def adaprox(
                 (max_iter if trace else 0, n),
                 jnp.result_type(*[x.dtype for x in x0], jnp.float32),
             ),
+            diverged=jnp.asarray(False),
         )
 
     if callback is None:
@@ -369,7 +377,8 @@ def adaprox(
             except StopIteration:
                 break
             state = step_fn(state)
-            if check_convergence and bool(jnp.all(state.converged)):
+            if bool(state.diverged) or (
+                    check_convergence and bool(jnp.all(state.converged))):
                 break
 
     iterations = int(state.it)
@@ -378,12 +387,20 @@ def adaprox(
         "Completed %d iterations and %s sub-iterations",
         iterations, list(sub_iterations),
     )
+    diverged = bool(state.diverged)
     if check_convergence:
         converged = tuple(bool(c) for c in np.asarray(state.converged))
-        if not all(converged):
+        if not diverged and not all(converged):
             logger.warning("Solution did not converge")
     else:
         converged = (None,) * n
+    if diverged:
+        status = "diverged"
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif check_convergence and all(converged):
+        status = "converged"
+    else:
+        status = "max_iter"
 
     writeback(originals, state.x)
     x_out = state.x[0] if was_single else state.x
@@ -393,4 +410,5 @@ def adaprox(
         x=x_out, iterations=iterations, converged=converged,
         sub_iterations=sub_iterations,
         M=state.M, V=state.V, Vhat=state.Vhat, history=history,
+        status=status,
     )

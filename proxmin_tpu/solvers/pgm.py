@@ -59,6 +59,7 @@ class PGMState(NamedTuple):
     converged: Any         # (N,) bool
     history: Any           # (max_iter, N) per-block relative residuals
                            # (device-side trace buffer; empty when trace off)
+    diverged: Any          # bool — a non-finite iterate was produced
 
 
 def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
@@ -135,6 +136,13 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
             for j in range(n)
         ])
 
+        # failure detection (SURVEY.md §5): a non-finite iterate (diverged
+        # step, bad prox, NaN data) stops the loop instead of burning the
+        # remaining iterations on NaNs
+        finite = jnp.stack([
+            jnp.all(jnp.isfinite(x_new[j])) for j in range(n)
+        ]).all()
+
         history = state.history
         if trace:
             # device-side trace buffer (SURVEY.md §5): per-block relative
@@ -159,6 +167,7 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
             it=it + 1,
             converged=converged,
             history=history,
+            diverged=jnp.logical_or(state.diverged, jnp.logical_not(finite)),
         )
 
     return body
@@ -189,6 +198,7 @@ def _init_state(x0, grad, stepper, n, max_iter, trace):
         it=jnp.int32(0),
         converged=jnp.zeros((n,), bool),
         history=jnp.zeros((max_iter if trace else 0, n), dtype),
+        diverged=jnp.asarray(False),
     )
 
 
@@ -210,9 +220,10 @@ def _stepper_cache_key(step, stepper):
 
 def _run_fused(x0, body, max_iter, n):
     def cond(state):
-        return jnp.logical_and(
+        go = jnp.logical_and(
             state.it < max_iter, jnp.logical_not(jnp.all(state.converged))
         )
+        return jnp.logical_and(go, jnp.logical_not(state.diverged))
 
     return jax.lax.while_loop(cond, body, x0)
 
@@ -302,13 +313,20 @@ def pgm(
             except StopIteration:
                 break
             state = step_fn(state)
-            if bool(jnp.all(state.converged)):
+            if bool(jnp.all(state.converged)) or bool(state.diverged):
                 break
 
     iterations = int(state.it)
     logger.info("Completed %d iterations", iterations)
     converged = tuple(bool(c) for c in np.asarray(state.converged))
-    if not all(converged):
+    diverged = bool(state.diverged)
+    if diverged:
+        status = "diverged"
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif all(converged):
+        status = "converged"
+    else:
+        status = "max_iter"
         logger.warning("Solution did not converge")
 
     writeback(originals, state.x)
@@ -319,5 +337,5 @@ def pgm(
     return SolverResult(
         (converged, G, S),
         x=x_out, iterations=iterations, converged=converged, G=G, S=S,
-        history=history,
+        history=history, status=status,
     )

@@ -70,10 +70,16 @@ def l2(x):
 def fixed_point_converged(x, x_prev, e_rel):
     """Per-block fixed-point test ``||x - x_prev||^2 <= e_rel^2 ||x||^2``.
 
-    The convergence criterion used by pgm/adaprox
-    (reference ``algorithms.py:130-133,404-407``).
+    The convergence criterion used by pgm/adaprox (reference
+    ``algorithms.py:130-133,404-407``), hardened against overflow: when the
+    norms are non-finite the test is False (the reference would declare
+    ``inf <= inf`` converged on a diverging iterate).
     """
-    return l2sq(x - x_prev) <= (e_rel ** 2) * l2sq(x)
+    d = l2sq(x - x_prev)
+    nx = l2sq(x)
+    ok = d <= (e_rel ** 2) * nx
+    finite = jnp.logical_and(jnp.isfinite(d), jnp.isfinite(nx))
+    return jnp.logical_and(ok, finite)
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,32 @@ def test_hasnotnone_parity():
     assert utils.hasNotNone([None, None]) == 0
     assert utils.hasNotNone([[None], [1, None]]) == 1
     assert utils.hasNotNone([[2], [None]]) == 2
+
+
+def test_pgm_divergence_detection():
+    """A diverging step produces NaN/Inf; the solver stops early with
+    status='diverged' instead of burning max_iter on NaNs."""
+    res = pt.pgm(jnp.asarray([1.0, 1.0]), lambda x: -x * 1e30, 1e30,
+                 e_rel=1e-8, max_iter=1000)
+    assert res.status == "diverged"
+    assert res.iterations < 1000
+
+
+def test_adaprox_divergence_detection():
+    def bad_grad(x):
+        return x * jnp.nan
+
+    res = pt.adaprox(jnp.asarray([1.0, 1.0]), bad_grad, 0.1,
+                     e_rel=1e-8, max_iter=1000)
+    assert res.status == "diverged"
+    assert res.iterations < 1000
+
+
+def test_pgm_status_values():
+    c = jnp.asarray([1.0, 0.5])
+    ok = pt.pgm(jnp.zeros(2), lambda x: x - c, 0.5, e_rel=1e-8,
+                max_iter=500)
+    assert ok.status == "converged"
+    capped = pt.pgm(jnp.zeros(2), lambda x: x - c, 1e-6, e_rel=1e-12,
+                    max_iter=5)
+    assert capped.status == "max_iter"
