@@ -7,7 +7,7 @@ solver's resumable state is a pytree of arrays, so checkpointing is generic:
 
 * :func:`save_checkpoint` / :func:`load_checkpoint` persist any pytree of
   arrays. Orbax is used when available (async, multi-host-safe, the
-  TPU-native choice); otherwise a flattened ``.npz`` fallback keeps the
+  TPU-native choice); otherwise a pickle fallback (``.pkl``) keeps the
   feature dependency-free.
 * For AdaProx, ``save_checkpoint(path, x=res.x, M=res.M, V=res.V,
   Vhat=res.Vhat)`` then ``adaprox(ckpt["x"], ..., M=ckpt["M"], ...)``
@@ -33,9 +33,10 @@ def _try_orbax():
 def save_checkpoint(path, tree=None, *, use_orbax=None, **named):
     """Persist a pytree (or keyword arrays) of solver state.
 
-    ``path``: directory (orbax) or file path (npz fallback; ``.npz``
+    ``path``: directory (orbax) or file path (pickle fallback; ``.pkl``
     appended if missing). Pass either a single ``tree`` or keyword
-    entries; they merge into one dict pytree.
+    entries; they merge into one dict pytree. Returns the path actually
+    written.
     """
     state = dict(named)
     if tree is not None:

@@ -254,6 +254,9 @@ def nmf_pgm_fused(
     """
     from .solvers.common import SolverResult, writeback
 
+    A_in, S_in = A, S  # keep originals for the NumPy in-place contract
+    if prox_A is None:
+        prox_A = operators.prox_id
     A = jnp.asarray(A)
     S = jnp.asarray(S)
     Y = jnp.asarray(Y)
@@ -270,7 +273,7 @@ def nmf_pgm_fused(
     logger.info("Completed %d iterations", iterations)
     if not all(converged):
         logger.warning("Solution did not converge")
-    writeback((A, S), (A_out, S_out))
+    writeback((A_in, S_in), (A_out, S_out))
     return SolverResult(
         converged,
         x=(A_out, S_out), iterations=iterations, converged=converged,
@@ -330,9 +333,17 @@ def nmf(
                 "engine='pallas' supports algorithm='pgm' with default "
                 "steps, unweighted W and no callback; use engine='xla'"
             )
+        # None means identity (unconstrained), matching the xla engine;
+        # the kernel's builtin default is non-negativity (== prox_plus)
+        prox_A_k = operators.prox_id if prox_A is None else prox_A
+        if prox_S is operators.prox_plus:
+            prox_S_k = None          # kernel builtin
+        elif prox_S is None:
+            prox_S_k = operators.prox_id
+        else:
+            prox_S_k = prox_S
         return nmf_pgm_fused(
-            Y, A, S, prox_A=prox_A,
-            prox_S=prox_S if prox_S is not operators.prox_plus else None,
+            Y, A, S, prox_A=prox_A_k, prox_S=prox_S_k,
             e_rel=e_rel, max_iter=max_iter, **algorithm_args,
         )
     elif engine != "xla":

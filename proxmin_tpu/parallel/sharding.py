@@ -147,8 +147,8 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
 
     def local_step(A, S, Y, W):
         dt = jnp.result_type(A, S)
-        AS = jnp.dot(A, S, preferred_element_type=dt)
-        D = (W * (AS - Y)) if weighted else (AS - Y)
+        R = jnp.dot(A, S, preferred_element_type=dt) - Y
+        D = (W * R) if weighted else R
 
         grad_A = jax.lax.psum(
             jnp.dot(D, S.T, preferred_element_type=dt), data_axis
@@ -168,7 +168,8 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
         A_new = prox_A(A - step_A * grad_A, step_A)
         S_new = prox_S(S - step_S * grad_S, step_S)
 
-        loss = jax.lax.psum(jnp.sum(D * D) / 2, data_axis)
+        # loss = sum(W R^2)/2 = sum(D R)/2 (reduces to sum(R^2)/2 unweighted)
+        loss = jax.lax.psum(jnp.sum(D * R) / 2, data_axis)
         if model_axis is not None:
             loss = jax.lax.psum(loss, model_axis)
         return A_new, S_new, loss
@@ -242,8 +243,8 @@ def nmf_pgm_sharded(
 
         def body(state):
             A, S = state.A, state.S
-            AS = jnp.dot(A, S, preferred_element_type=dt)
-            D = W * (AS - Y) if weighted else (AS - Y)
+            R = jnp.dot(A, S, preferred_element_type=dt) - Y
+            D = W * R if weighted else R
 
             grad_A = all_sum(
                 jnp.dot(D, S.T, preferred_element_type=dt), data_axis
@@ -257,18 +258,41 @@ def nmf_pgm_sharded(
                 # nmf.step_pgm, assembled with collectives:
                 # max_c lmax(S diag(W_c) S^T): sum over pixels (psum over
                 # data), max over channels (pmax over model); and dually
-                # for max_n lmax(A^T diag(W_n) A)
+                # for max_n lmax(A^T diag(W_n) A). The per-pixel bound uses
+                # implicit batched power iteration (an (N_local, K) iterate
+                # only — never materializing (N, K, K)).
                 H_A = all_sum(
                     jnp.einsum("kn,cn,ln->ckl", S, W, S), data_axis
                 )
                 LA = jnp.max(jax.vmap(_lambda_max_small)(H_A))
                 if model_axis is not None:
                     LA = jax.lax.pmax(LA, model_axis)
-                H_S = all_sum(
-                    jnp.einsum("ck,cn,cl->nkl", A, W, A), model_axis
-                )
-                LS = jnp.max(jax.vmap(_lambda_max_small)(H_S))
-                LS = jax.lax.pmax(LS, data_axis)
+
+                def Hv_S(v):
+                    # v: (N_local, K); H_n = A^T diag(W_n) A summed over
+                    # the (possibly model-sharded) channel axis
+                    t = jnp.einsum("nk,ck->cn", v, A)
+                    u = W * t
+                    hv = jnp.einsum("cn,ck->nk", u, A)
+                    return all_sum(hv, model_axis)
+
+                K_ = A.shape[1]
+                v = jnp.ones((S.shape[1], K_), dt) \
+                    + 0.01 * jnp.arange(K_, dtype=dt)
+                v = v + 0.0 * S.T  # inherit device-varying type
+                v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+                def pow_body(_, v):
+                    w = Hv_S(v)
+                    return w / jnp.maximum(
+                        jnp.linalg.norm(w, axis=1, keepdims=True),
+                        jnp.finfo(dt).tiny,
+                    )
+
+                v = jax.lax.fori_loop(0, 48, pow_body, v)
+                rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.sum(v * v,
+                                                                  axis=1)
+                LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
                 step_A = 1.0 / LA
                 step_S = 1.0 / LS
             else:
@@ -285,7 +309,8 @@ def nmf_pgm_sharded(
             nA = all_sum(jnp.sum(A_new ** 2), model_axis)
             dS = all_sum(jnp.sum((S_new - S) ** 2), data_axis, model_axis)
             nS = all_sum(jnp.sum(S_new ** 2), data_axis, model_axis)
-            loss = all_sum(jnp.sum(D * D) / 2, data_axis, model_axis)
+            # sum(W R^2)/2 == sum(D R)/2 (reduces to sum(R^2)/2 unweighted)
+            loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
 
             return ShardedNMFState(
                 A=A_new, S=S_new, it=state.it + 1,

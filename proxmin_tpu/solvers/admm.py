@@ -102,8 +102,12 @@ def _sdmm_core(
                     state.x, state.z, state.u, prox_f, step_f_,
                     proxs_g[0], step_g_, Ls[0],
                 )
+                # reference admm passes the USER step_g (None by default)
+                # to the convergence test (algorithms.py:495), which makes
+                # e_dual use l2(L^T U) un-divided; keep that for parity
+                # (sdmm passes the evaluated value, algorithms.py:625)
                 conv, errors = utils.check_constraint_convergence(
-                    x, Ls[0], lx, z, u, r, s, step_f_, step_g_, e_rel, e_abs
+                    x, Ls[0], lx, z, u, r, s, step_f_, sg, e_rel, e_abs
                 )
             else:
                 steps_g_ = tuple(

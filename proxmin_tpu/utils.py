@@ -243,10 +243,10 @@ class BarzilaiBorweinStepper:
 
 
 def make_stepper(step, n_blocks):
-    """Coerce a float / tuple / callable / Stepper into the stepper protocol."""
+    """Coerce a float / tuple / callable / Stepper into the stepper
+    protocol (any object with ``init_state``, e.g.
+    :class:`BarzilaiBorweinStepper`, passes through)."""
     if hasattr(step, "init_state") and callable(step):
-        return step
-    if isinstance(step, BarzilaiBorweinStepper):
         return step
     if callable(step):
         return FunctionStepper(step, n_blocks)

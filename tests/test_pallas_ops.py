@@ -200,3 +200,38 @@ def test_nmf_engine_pallas(rng):
         pt.nmf.nmf(Y, A0, S0, engine="pallas", algorithm="adaprox")
     with pytest.raises(ValueError):
         pt.nmf.nmf(Y, A0, S0, engine="bogus")
+
+
+def test_nmf_engine_pallas_none_prox(rng):
+    """None proxes mean identity in both engines (regression: the pallas
+    path used to silently substitute non-negativity / crash)."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 3, 256
+    Y = rng.standard_normal((C, N)).astype(np.float32)  # signed data
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r_x = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_A=None, prox_S=None,
+                     e_rel=0, max_iter=10)
+    r_p = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_A=None, prox_S=None,
+                     e_rel=0, max_iter=10, engine="pallas")
+    # unconstrained factorization of signed data goes negative
+    assert np.asarray(r_x.x[1]).min() < 0
+    assert np.asarray(r_p.x[1]).min() < 0
+    np.testing.assert_allclose(np.asarray(r_p.x[1]), np.asarray(r_x.x[1]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_nmf_engine_pallas_inplace_writeback(rng):
+    """NumPy inputs are updated in place by the pallas engine too
+    (regression: writeback saw jnp rebinds and silently skipped)."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 3, 128
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    A_before = A0.copy()
+    pt.nmf.nmf(Y, A0, S0, e_rel=0, max_iter=10, engine="pallas")
+    assert not np.allclose(A0, A_before)

@@ -177,3 +177,21 @@ def test_sharded_convergence_early_stop(problem):
                           e_rel=1e-2, max_iter=5000)
     assert res.iterations < 5000
     assert all(res.converged)
+
+
+def test_weighted_sharded_loss_matches_likelihood(problem, rng):
+    """Regression: the weighted loss is sum(W R^2)/2, not sum((WR)^2)/2."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+    mesh = make_mesh()
+    step = make_nmf_pgm_step(mesh, weighted=True)
+    Ys, As, Ss, Ws = shard_nmf_problem(mesh, Y, A0, S0, W)
+    _, _, loss = step(As, Ss, Ys, Ws)
+    expected = float(pt.nmf.log_likelihood(
+        jnp.asarray(A0), jnp.asarray(S0), Y=jnp.asarray(Y),
+        W=jnp.asarray(W)))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-10)
+
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                          e_rel=0, max_iter=2)
+    assert np.isfinite(res.loss)
