@@ -46,6 +46,8 @@ class BSDMMState(NamedTuple):
     steps_g: tuple       # per block: tuple of M_j scalars (carried for 'relative')
     it: Any
     converged: Any       # (N,) bool
+    history: Any         # (max_iter, N, 2) per-block aggregated primal/dual
+                         # residual norms (trace mode; empty otherwise)
 
 
 def bsdmm(
@@ -61,6 +63,7 @@ def bsdmm(
     e_rel=1e-6,
     e_abs=0,
     callback=None,
+    trace=False,
 ):
     """Block-Simultaneous Method of Multipliers.
 
@@ -165,6 +168,7 @@ def bsdmm(
         steps_f_arr = state.steps_f
         steps_g_carry = list(state.steps_g)
         converged = state.converged
+        history = state.history
 
         for j in update_order:
             # block prox sees ALL current blocks (Gauss-Seidel propagation)
@@ -200,19 +204,30 @@ def bsdmm(
                     x[j], list(z[j]), list(u[j]), prox_f_j, steps_f_j,
                     list(proxs_g[j]), list(steps_g_j), list(Ls[j]),
                 )
-                conv_j, _ = utils.check_constraint_convergence(
+                conv_j, err_j = utils.check_constraint_convergence(
                     xj, list(Ls[j]), list(lxj), list(zj), list(uj),
                     list(rj), list(sj), steps_f_j, list(steps_g_j),
                     e_rel[j], e_abs[j],
                 )
+                err_list = err_j
             else:
                 xj, zj, uj, lxj, rj, sj = utils.update_variables(
                     x[j], z[j], u[j], prox_f_j, steps_f_j, None, None, Ls[j]
                 )
-                conv_j, _ = utils.check_constraint_convergence(
+                conv_j, err_j = utils.check_constraint_convergence(
                     xj, Ls[j], lxj, zj, uj, rj, sj, steps_f_j, None,
                     e_rel[j], e_abs[j],
                 )
+                err_list = (err_j,)
+
+            if trace:
+                # aggregate primal/dual residual norms across constraints
+                lr = jnp.sqrt(sum(e[2] ** 2 for e in err_list))
+                ls = jnp.sqrt(sum(e[3] ** 2 for e in err_list))
+                history = history.at[it, j, 0].set(
+                    lr.astype(history.dtype))
+                history = history.at[it, j, 1].set(
+                    ls.astype(history.dtype))
 
             x[j] = xj
             z[j] = zj
@@ -223,7 +238,7 @@ def bsdmm(
         return BSDMMState(
             x=tuple(x), z=tuple(z), u=tuple(u),
             steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
-            it=it + 1, converged=converged,
+            it=it + 1, converged=converged, history=history,
         )
 
     def init_state():
@@ -235,6 +250,7 @@ def bsdmm(
             steps_g=init_steps_g(),
             it=jnp.int32(0),
             converged=jnp.zeros((N,), bool),
+            history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
         )
 
     if callback is None:
@@ -263,7 +279,9 @@ def bsdmm(
         logger.warning("Solution did not converge")
 
     writeback(originals, state.x)
+    history = np.asarray(state.history[:iterations]) if trace else None
     return SolverResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,
+        history=history,
     )

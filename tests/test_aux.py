@@ -146,3 +146,21 @@ def test_pgm_status_values():
     capped = pt.pgm(jnp.zeros(2), lambda x: x - c, 1e-6, e_rel=1e-12,
                     max_iter=5)
     assert capped.status == "max_iter"
+
+
+def test_bsdmm_trace():
+    def proxs_f(x, step, Xs=None, j=None):
+        c = jnp.asarray([1.0, 0.5])
+        return (x + step * c) / (1 + step)
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    res = pt.bsdmm([jnp.zeros(2)], proxs_f, lambda Xs, j=None: 0.5,
+                   proxs_g=[[pg]], e_rel=1e-6, max_iter=500, trace=True)
+    h = res.history
+    assert h.shape == (res.iterations, 1, 2)
+    # dual residual shrinks (primal stays 0: the constraint is never
+    # violated on this problem)
+    assert h[0, 0, 1] > 0
+    assert h[-1, 0, 1] < h[0, 0, 1]
