@@ -175,11 +175,13 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     steps, unpadding — happens inside one compiled executable, so repeated
     solves pay zero retrace/dispatch overhead."""
     import jax
-    from .ops.nmf_kernels import fused_nmf_pgm_step, _round_up, _SUBLANE, _LANE
+    from .ops.nmf_kernels import (
+        _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
+    )
 
     Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
     Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
-    tile = min(tile_n, _round_up(N, _LANE))
+    tile = _auto_tile(Cp, Kp, False, tile_n, N)
     Np = _round_up(N, tile)
     dims = (C, K, N)
 

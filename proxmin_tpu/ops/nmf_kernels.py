@@ -46,8 +46,35 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-def _kernel(A_ref, S_ref, Y_ref, W_ref, gA_ref, gS_ref, SSt_ref, loss_ref,
-            *, weighted):
+_VMEM_BUDGET = 12 * 2 ** 20  # leave headroom under the ~16MB scoped limit
+
+
+def _auto_tile(Cp, Kp, weighted, tile_n, N):
+    """Shrink the pixel tile until the working set fits VMEM (large-C
+    problems would otherwise OOM the ~16MB scoped allocation).
+
+    Model (bytes per pixel column, f32): double-buffered I/O blocks
+    (S, S_new, Y, and W when weighted) plus the kernel's live
+    intermediates (residual/D at Cp rows; gS, S_new, iota masks at Kp
+    rows) — validated against Mosaic's scoped-allocation report.
+    """
+    tile_n = min(tile_n, _round_up(N, _LANE))
+    io_cols = 2 * (2 * Kp + Cp * (2 if weighted else 1))
+    tmp_cols = Cp * (2 if weighted else 1) + 4 * Kp
+    per_col = 4 * (io_cols + tmp_cols)
+    while tile_n > _LANE and tile_n * per_col > _VMEM_BUDGET:
+        tile_n //= 2
+    return max(_round_up(tile_n, _LANE), _LANE)
+
+
+def _kernel(A_ref, S_ref, Y_ref, *refs, weighted):
+    # refs = (W_ref?, gA_ref, gS_ref, SSt_ref, loss_ref): the W input only
+    # exists in the weighted variant — declaring an unused block would
+    # still be DMA'd into VMEM (bandwidth + scoped-memory cost)
+    if weighted:
+        W_ref, gA_ref, gS_ref, SSt_ref, loss_ref = refs
+    else:
+        gA_ref, gS_ref, SSt_ref, loss_ref = refs
     j = pl.program_id(0)
 
     A = A_ref[:]                     # (Cp, Kp)
@@ -76,30 +103,35 @@ def _fused_call(A, S, Y, W, tile_n, interpret):
     N = S.shape[1]
     Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
     Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    weighted = W is not None
+    tile_n = _auto_tile(Cp, Kp, weighted, tile_n, N)
     Np = _round_up(N, tile_n)
 
     A_p = _pad_to(A.astype(jnp.float32), Cp, Kp)
     S_p = _pad_to(S.astype(jnp.float32), Kp, Np)
     Y_p = _pad_to(Y.astype(jnp.float32), Cp, Np)
-    weighted = W is not None
-    W_p = _pad_to(W.astype(jnp.float32), Cp, Np) if weighted else Y_p
 
     grid = (Np // tile_n,)
     kernel = functools.partial(_kernel, weighted=weighted)
 
+    in_specs = [
+        pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [A_p, S_p, Y_p]
+    if weighted:
+        in_specs.append(pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(_pad_to(W.astype(jnp.float32), Cp, Np))
+
     gA, gS, SSt, loss = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -122,13 +154,12 @@ def _fused_call(A, S, Y, W, tile_n, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A_p, S_p, Y_p, W_p)
+    )(*inputs)
 
     return gA[:C, :K], gS[:K, :N], SSt[:K, :K], loss[0, 0]
 
 
-def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, W_ref,
-                     gA_ref, Snew_ref, SSt_ref, stats_ref, *,
+def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
                      weighted, prox_S, tile_n):
     """One whole PGM iteration's S-side work in a single pass over the tile:
 
@@ -144,6 +175,10 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, W_ref,
                                                 not lagged)
         stats   += [loss, ||S_new - S||^2, ||S_new||^2]
     """
+    if weighted:
+        W_ref, gA_ref, Snew_ref, SSt_ref, stats_ref = refs
+    else:
+        gA_ref, Snew_ref, SSt_ref, stats_ref = refs
     j = pl.program_id(0)
     C_orig = dims_ref[0]
     K_orig = dims_ref[1]
@@ -223,29 +258,33 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
     dims_arr = jnp.asarray(dims, jnp.int32)
     sS_arr = jnp.full((1, 1), sS, jnp.float32)
     weighted = W is not None
-    W_in = W if weighted else Y
 
     kernel = functools.partial(
         _pgm_step_kernel, weighted=weighted, prox_S=prox_S, tile_n=tile_n
     )
     grid = (Np // tile_n,)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # dims (3,)
+        pl.BlockSpec((1, 1), lambda j: (0, 0),
+                     memory_space=pltpu.SMEM),       # sS
+        pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [dims_arr, sS_arr, A, S, Y]
+    if weighted:
+        in_specs.append(pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(W)
+
     gA, S_new, SSt, stats = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # dims (3,)
-            pl.BlockSpec((1, 1), lambda j: (0, 0),
-                         memory_space=pltpu.SMEM),       # sS
-            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -267,7 +306,7 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dims_arr, sS_arr, A, S, Y, W_in)
+    )(*inputs)
 
     return gA, S_new, SSt, stats[0], stats[1], stats[2]
 
@@ -283,7 +322,7 @@ def pad_nmf_problem(A, S, Y, W=None, tile_n=_DEFAULT_TILE_N):
     N = S.shape[1]
     Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
     Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
-    tile_n = min(tile_n, _round_up(N, _LANE))
+    tile_n = _auto_tile(Cp, Kp, W is not None, tile_n, N)
     Np = _round_up(N, tile_n)
     A_p = _pad_to(jnp.asarray(A, jnp.float32), Cp, Kp)
     S_p = _pad_to(jnp.asarray(S, jnp.float32), Kp, Np)
