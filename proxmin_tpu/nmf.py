@@ -296,6 +296,7 @@ def nmf(
     e_rel=1e-3,
     callback=None,
     engine="xla",
+    step_stride=None,
     **algorithm_args,
 ):
     """Non-negative / constrained matrix factorization.
@@ -317,6 +318,12 @@ def nmf(
         engine: "xla" (default — XLA-fused solver loop) or "pallas" (the
             single-pass fused iteration kernel, :func:`nmf_pgm_fused`; pgm
             + unweighted + default steps only).
+        step_stride: recompute the Lipschitz step sizes only every this
+            many iterations (in-carry :class:`~proxmin_tpu.utils.
+            StridedStepper` with a 0.9 safety factor). The weighted
+            bounds cost ~50 passes over W per evaluation, so striding
+            them is an order-of-magnitude win on large weighted problems
+            (the reference recomputes every iteration, ``nmf.py:69-88``).
         algorithm_args: extra solver kwargs (e.g. ``accelerated=True``).
 
     Returns:
@@ -362,6 +369,10 @@ def nmf(
     if algorithm is algorithms.pgm:
         if step is None:
             step = partial(step_pgm, W=W)
+        if step_stride is not None and step_stride > 1:
+            from .utils import StridedStepper
+
+            step = StridedStepper(step, 2, stride=step_stride)
         return algorithm(
             X, grad, step, prox=prox,
             max_iter=max_iter, e_rel=e_rel, callback=callback,

@@ -206,8 +206,13 @@ _PGM_CACHE = DriverCache()
 
 
 def _stepper_cache_key(step, stepper):
-    from ..utils import BarzilaiBorweinStepper, ConstantStepper
+    from ..utils import (
+        BarzilaiBorweinStepper, ConstantStepper, StridedStepper,
+    )
 
+    if isinstance(stepper, StridedStepper):
+        return ("strided", stepper.stride, stepper.safety,
+                callable_key(stepper._orig))
     if isinstance(stepper, ConstantStepper):
         try:
             return ("const", tuple(float(v) for v in stepper.value))

@@ -36,7 +36,7 @@ __all__ = [
     "l2", "l2sq", "MatrixAdapter", "get_spectral_norm",
     "Traceback", "NullCallback", "ApproximateCache",
     "NesterovAccelerator", "nesterov_next",
-    "BarzilaiBorweinStepper",
+    "BarzilaiBorweinStepper", "StridedStepper",
     "initZU", "do_the_mm", "update_variables",
     "get_step_g", "get_step_f",
     "get_variable_errors", "check_constraint_convergence", "check_convergence",
@@ -240,6 +240,62 @@ class BarzilaiBorweinStepper:
             self._host_state = self.init_state(X, grads)
         steps, self._host_state = self(self._host_state, X, it, grads)
         return tuple(np.asarray(s) for s in steps)
+
+
+class StridedStepper:
+    """Recompute an expensive step function only every ``stride``
+    iterations, holding the cached value in the solver carry.
+
+    The in-carry, jit-compatible version of :class:`ApproximateCache`
+    semantics (SURVEY.md §7: the reference recomputes weighted-NMF
+    Lipschitz constants every iteration — its worst scaling behavior; for
+    slowly-varying spectra a strided refresh trades a slightly stale step
+    for an order-of-magnitude cheaper iteration). Uses ``lax.cond``, so
+    only the taken branch executes on device.
+
+    ``safety`` (< 1) shrinks the cached steps to guard against the
+    Lipschitz constant growing between refreshes.
+    """
+
+    def __init__(self, step, n_blocks, stride=10, safety=0.9):
+        self.inner = make_stepper(step, n_blocks)
+        self._orig = step          # for structural driver-cache keying
+        self.n_blocks = n_blocks
+        self.stride = int(stride)
+        self.safety = float(safety)
+
+    def init_state(self, X, G):
+        inner0 = self.inner.init_state(X, G)
+        # cached step values: shapes discovered via eval_shape of one call
+        import jax
+
+        shapes = jax.eval_shape(
+            lambda st, x, g: tuple(
+                jnp.asarray(s) for s in self.inner(st, x, jnp.int32(0), g)[0]
+            ),
+            inner0, X, G,
+        )
+        cached = tuple(jnp.zeros(s.shape, s.dtype) for s in shapes)
+        return (inner0, cached)
+
+    def __call__(self, state, X, it, G):
+        inner_state, cached = state
+
+        def refresh(args):
+            inner_state, _ = args
+            steps, new_inner = self.inner(inner_state, X, it, G)
+            steps = tuple(
+                jnp.asarray(s) * self.safety for s in steps
+            )
+            return new_inner, steps
+
+        def reuse(args):
+            return args
+
+        inner_state, cached = jax.lax.cond(
+            it % self.stride == 0, refresh, reuse, (inner_state, cached)
+        )
+        return cached, (inner_state, cached)
 
 
 def make_stepper(step, n_blocks):
