@@ -1,0 +1,101 @@
+"""Engine scaling study: XLA-fused loop vs the Pallas single-pass kernel
+across channel counts, plus the weighted strided-step comparison.
+
+Reproduces the numbers quoted in docs/DESIGN.md and the README. Timing
+uses marginal slopes between two iteration counts of the same compiled
+executable (cancels per-call dispatch overhead; see bench.py).
+
+Run on the TPU:  python benchmarks/engine_scaling.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import proxmin_tpu as pt  # noqa: E402
+from proxmin_tpu import operators  # noqa: E402
+from proxmin_tpu.nmf import (  # noqa: E402
+    _make_fused_pgm_runner, grad_likelihood, step_pgm,
+)
+
+ITERS_LO, ITERS_HI = 100, 300
+
+
+def _slope(call):
+    call(ITERS_LO)  # compile/warm
+    t0 = time.perf_counter()
+    call(ITERS_LO)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    call(ITERS_HI)
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
+
+
+def engines_at(C, K, N):
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.random((C, N)).astype(np.float32))
+    A = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S = jnp.asarray(rng.random((K, N)).astype(np.float32))
+
+    def body(i, c):
+        A, S, _ = c
+        gA, gS = grad_likelihood(A, S, Y=Y)
+        sA, sS = step_pgm(A, S)
+        A_new = operators.prox_plus(A - sA * gA, sA)
+        S_new = operators.prox_plus(S - sS * gS, sS)
+        conv = jnp.logical_and(
+            jnp.sum((A_new - A) ** 2) <= 0.0,
+            jnp.sum((S_new - S) ** 2) <= 0.0,
+        )
+        return A_new, S_new, conv
+
+    @jax.jit
+    def run_xla(A, S, n):
+        return jax.lax.fori_loop(0, n, body, (A, S, jnp.asarray(False)))
+
+    t_xla = _slope(lambda n: np.asarray(run_xla(A, S, n)[0]))
+    runner = _make_fused_pgm_runner(
+        operators.prox_plus, None, 0.0, 8192, C, K, N, jnp.float32.dtype
+    )
+    t_pal = _slope(lambda n: np.asarray(runner(A, S, Y, n)[0]))
+    print(f"C={C:4d} K={K:3d} N={N:8d}: xla {t_xla * 1e3:7.3f} ms/iter  "
+          f"pallas {t_pal * 1e3:7.3f} ms/iter  "
+          f"xla/pallas {t_xla / t_pal:4.2f}x")
+
+
+def weighted_strided(C=5, K=7, N=1_000_000):
+    rng = np.random.default_rng(101)
+    Y = jnp.asarray(
+        (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32))
+    W = jnp.asarray((0.5 + rng.random((C, N))).astype(np.float32))
+    A0 = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S0 = jnp.asarray(rng.random((K, N)).astype(np.float32))
+
+    for tag, kw in [("exact steps", {}), ("step_stride=10",
+                                          dict(step_stride=10))]:
+        for it in (ITERS_LO, ITERS_HI):   # pre-compile both counts
+            pt.nmf.nmf(Y, A0, S0, W=W, e_rel=0, max_iter=it, **kw)
+        t0 = time.perf_counter()
+        pt.nmf.nmf(Y, A0, S0, W=W, e_rel=0, max_iter=ITERS_LO, **kw)
+        t1 = time.perf_counter()
+        r = pt.nmf.nmf(Y, A0, S0, W=W, e_rel=0, max_iter=ITERS_HI, **kw)
+        t2 = time.perf_counter()
+        per = ((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO)
+        loss = float(pt.nmf.log_likelihood(*r.x, Y=Y, W=W))
+        print(f"weighted {tag:15s} {per * 1e3:7.3f} ms/iter  "
+              f"loss@{ITERS_HI}={loss:.1f}")
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    engines_at(5, 7, 1_000_000)
+    engines_at(16, 8, 500_000)
+    engines_at(64, 16, 250_000)
+    engines_at(128, 32, 125_000)
+    weighted_strided()
