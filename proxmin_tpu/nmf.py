@@ -169,18 +169,25 @@ def step_adaprox(*X, it=None):
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
-                           C, K, N, dtype):
+                           C, K, N, dtype, store_dtype=None):
     """Build (and cache) the jitted fused-PGM solve for one problem
     configuration. Everything — padding, the while-loop of fused kernel
     steps, unpadding — happens inside one compiled executable, so repeated
-    solves pay zero retrace/dispatch overhead."""
+    solves pay zero retrace/dispatch overhead.
+
+    ``store_dtype=jnp.bfloat16`` stores S/Y at half the HBM footprint
+    (compute stays f32 on the MXU); the fixed-point residual then floors
+    at bf16 quantization (~4e-3 relative), so use only with loose
+    tolerances."""
     import jax
     from .ops.nmf_kernels import (
         _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
     )
 
-    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
-    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    store_dtype = jnp.dtype(store_dtype or jnp.float32)
+    sub = 16 if store_dtype == jnp.bfloat16 else _SUBLANE
+    Cp = _round_up(max(C, sub), sub)
+    Kp = _round_up(max(K, sub), sub)
     tile = _auto_tile(Cp, Kp, False, tile_n, N)
     Np = _round_up(N, tile)
     dims = (C, K, N)
@@ -189,9 +196,9 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     def run(A, S, Y, max_iter):
         A_p = jnp.pad(A.astype(jnp.float32),
                       ((0, Cp - C), (0, Kp - K)))
-        S_p = jnp.pad(S.astype(jnp.float32),
+        S_p = jnp.pad(S.astype(store_dtype),
                       ((0, Kp - K), (0, Np - N)))
-        Y_p = jnp.pad(Y.astype(jnp.float32),
+        Y_p = jnp.pad(Y.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
 
@@ -215,7 +222,8 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             done = jnp.logical_and(conv_A, conv_S)
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
-        init = (A_p, S_p, S_p @ S_p.T, jnp.int32(0), jnp.asarray(False),
+        SSt0 = jnp.dot(S_p, S_p.T, preferred_element_type=jnp.float32)
+        init = (A_p, S_p, SSt0, jnp.int32(0), jnp.asarray(False),
                 jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
         A_f, S_f, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
             cond, body, init
@@ -235,6 +243,7 @@ def nmf_pgm_fused(
     e_rel=1e-3,
     max_iter=1000,
     tile_n=8192,
+    store_dtype=None,
 ):
     """PGM-NMF with the fully-fused Pallas iteration — the fast path.
 
@@ -251,6 +260,14 @@ def nmf_pgm_fused(
     applies it per pixel tile); pixel-axis-normalizing proxs need the
     sharded path. Weighted problems (W != 1) use ``nmf()``.
 
+    ``store_dtype=jnp.bfloat16`` halves the S/Y HBM **footprint** (compute
+    stays f32) — for problems near the 16GB HBM capacity. Measured on v5e
+    it does not beat f32 on speed (the up/down-cast VPU work offsets the
+    bandwidth saving; 0.217 vs 0.240 ms/iter at C=128, slower at C=64),
+    and the fixed-point residual floors at bf16 quantization, so keep
+    e_rel >= ~1e-2. Needs channel counts >= 16 to avoid pure padding
+    (bf16 sublane tile is 16).
+
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
     ``.converged``, ``.loss``.
     """
@@ -266,6 +283,7 @@ def nmf_pgm_fused(
     N = S.shape[1]
     run = _make_fused_pgm_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+        store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
     A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
     A_out, S_out = A_f, S_f

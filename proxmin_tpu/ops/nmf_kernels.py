@@ -185,12 +185,17 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
     N_orig = dims_ref[2]
     sS = sS_ref[0, 0]
 
+    # storage dtype may be bfloat16 (half the HBM traffic); all compute is
+    # f32 — the MXU consumes bf16 operands natively with f32 accumulation
+    store_dt = S_ref.dtype
     A = A_ref[:]
-    S = S_ref[:]
-    Y = Y_ref[:]
+    S_raw = S_ref[:]
+    S = S_raw.astype(jnp.float32)
+    Y = Y_ref[:].astype(jnp.float32)
 
-    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
-    D = W_ref[:] * R if weighted else R
+    R = jnp.dot(A.astype(store_dt), S_raw,
+                preferred_element_type=jnp.float32) - Y
+    D = W_ref[:].astype(jnp.float32) * R if weighted else R
 
     gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
     S_new = prox_S(S - sS * gS, sS)
@@ -211,13 +216,19 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
         stats_ref[1] = jnp.float32(0.0)
         stats_ref[2] = jnp.float32(0.0)
 
-    Snew_ref[:] = S_new
+    S_new_stored = S_new.astype(store_dt)
+    Snew_ref[:] = S_new_stored
+    # the Gram feeding the next Lipschitz step uses the values that will
+    # actually be read back (post-rounding) so the recursion stays
+    # self-consistent under bf16 storage
+    S_next = S_new_stored.astype(jnp.float32)
     gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
-    SSt_ref[:] += jnp.dot(S_new, S_new.T, preferred_element_type=jnp.float32)
+    SSt_ref[:] += jnp.dot(S_next, S_next.T,
+                          preferred_element_type=jnp.float32)
     stats_ref[0] += jnp.sum(D * R) / 2
-    dS = S_new - S
+    dS = S_next - S
     stats_ref[1] += jnp.sum(dS * dS)
-    stats_ref[2] += jnp.sum(S_new * S_new)
+    stats_ref[2] += jnp.sum(S_next * S_next)
 
 
 def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
@@ -250,7 +261,8 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
 
     Cp, Kp = A.shape
     Np = S.shape[1]
-    assert Cp % _SUBLANE == 0 and Kp % _SUBLANE == 0 and Np % tile_n == 0, (
+    sub = 16 if S.dtype == jnp.bfloat16 else _SUBLANE
+    assert Cp % sub == 0 and Kp % sub == 0 and Np % tile_n == 0, (
         "fused_nmf_pgm_step expects pre-padded shapes; use pad_nmf_problem"
     )
     if dims is None:
@@ -296,13 +308,14 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Cp, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), S.dtype),
             jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
             jax.ShapeDtypeStruct((3,), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Np * (Cp * Kp * 3 + Kp * Kp),
-            bytes_accessed=4 * Np * (Kp * 2 + Cp * (2 if weighted else 1)),
+            bytes_accessed=S.dtype.itemsize * Np
+            * (Kp * 2 + Cp * (2 if weighted else 1)),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -235,3 +235,26 @@ def test_nmf_engine_pallas_inplace_writeback(rng):
     A_before = A0.copy()
     pt.nmf.nmf(Y, A0, S0, e_rel=0, max_iter=10, engine="pallas")
     assert not np.allclose(A0, A_before)
+
+
+def test_fused_pgm_bf16_storage(rng):
+    """bf16-stored factors converge to the f32 solution within bf16
+    quantization on a well-conditioned problem."""
+    import proxmin_tpu as pt
+
+    C, K, N = 16, 8, 512
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r32 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                               max_iter=50, tile_n=128)
+    r16 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                               max_iter=50, tile_n=128,
+                               store_dtype=jnp.bfloat16)
+    l32 = 0.5 * np.sum((Y - np.asarray(r32.x[0]) @ np.asarray(r32.x[1])) ** 2)
+    l16 = 0.5 * np.sum((Y - np.asarray(r16.x[0]) @ np.asarray(r16.x[1])) ** 2)
+    # bf16 run reaches a comparable loss (quantization-limited)
+    assert l16 < max(l32 * 3, l32 + 1.0)
+    np.testing.assert_allclose(np.asarray(r16.x[1]), np.asarray(r32.x[1]),
+                               atol=0.05)
