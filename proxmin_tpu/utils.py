@@ -34,7 +34,7 @@ from .linop import (  # noqa: F401  (re-exported for reference parity)
 
 __all__ = [
     "l2", "l2sq", "MatrixAdapter", "get_spectral_norm",
-    "Traceback", "NullCallback", "ApproximateCache",
+    "Traceback", "NullCallback", "ApproximateCache", "profile_trace",
     "NesterovAccelerator", "nesterov_next",
     "BarzilaiBorweinStepper", "StridedStepper",
     "initZU", "do_the_mm", "update_variables",
@@ -311,6 +311,30 @@ def make_stepper(step, n_blocks):
 
 # ---------------------------------------------------------------------------
 # callbacks (host-side; only used by the non-fused solver mode)
+
+class profile_trace:
+    """Context manager wrapping ``jax.profiler.trace`` for solver runs
+    (SURVEY.md §5 tracing/profiling): writes a TensorBoard-loadable
+    profile of everything executed inside the block.
+
+    >>> with utils.profile_trace("/tmp/prof"):
+    ...     pgm(x0, grad, step, ...)
+    """
+
+    def __init__(self, log_dir, create_perfetto_link=False):
+        self.log_dir = log_dir
+        self.create_perfetto_link = create_perfetto_link
+
+    def __enter__(self):
+        jax.profiler.start_trace(
+            self.log_dir, create_perfetto_link=self.create_perfetto_link
+        )
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
 
 class Traceback:
     """Record a copy of the iterates at every callback invocation

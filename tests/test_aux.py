@@ -208,3 +208,16 @@ def test_strided_stepper_refresh_cadence():
         vals.append(float(s[0]))
     # refreshed at 0, 5, 10 with safety 0.9 -> constant 0.45 throughout
     assert all(abs(v - 0.45) < 1e-12 for v in vals)
+
+
+def test_profile_trace(tmp_path):
+    """jax.profiler integration: a solve inside profile_trace produces a
+    TensorBoard-loadable trace directory."""
+    import os
+    with utils.profile_trace(str(tmp_path)):
+        pt.pgm(jnp.asarray([-1.0, -1.0]), grad_f, 0.5, e_rel=1e-6,
+               max_iter=50)
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert any(f.endswith(".pb") or "trace" in f for f in found), found

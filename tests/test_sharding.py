@@ -195,3 +195,17 @@ def test_weighted_sharded_loss_matches_likelihood(problem, rng):
     res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
                           e_rel=0, max_iter=2)
     assert np.isfinite(res.loss)
+
+
+def test_auto_sharded_adaprox(problem):
+    """The adaprox driver also runs on sharded inputs (auto-SPMD)."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="adaprox", e_rel=0, max_iter=15)
+
+    mesh = make_mesh()
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0)
+    res = pt.nmf.nmf(Ys, As, Ss, algorithm="adaprox", e_rel=0, max_iter=15)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-11)
