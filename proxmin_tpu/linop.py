@@ -17,8 +17,6 @@ clarity) so the ADMM step-size coupling ``step_g = step_f * ||L||_s^2 * N * M``
 matches the reference exactly.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

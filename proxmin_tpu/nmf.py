@@ -30,6 +30,7 @@ Key TPU-first changes vs the reference:
 import functools
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -333,9 +334,11 @@ def nmf(
             Default: pgm.
         step: optional custom step callable ``step(*X, it=...)``.
         max_iter, e_rel, callback: forwarded to the solver.
-        engine: "xla" (default — XLA-fused solver loop) or "pallas" (the
+        engine: "xla" (default — XLA-fused solver loop), "pallas" (the
             single-pass fused iteration kernel, :func:`nmf_pgm_fused`; pgm
-            + unweighted + default steps only).
+            + unweighted + default steps only), or "auto" (pallas for
+            channel counts >= 64 where it measures faster on v5e, else
+            xla; falls back to xla when pallas preconditions don't hold).
         step_stride: recompute the Lipschitz step sizes only every this
             many iterations (in-carry :class:`~proxmin_tpu.utils.
             StridedStepper` with a 0.9 safety factor). The weighted
@@ -352,6 +355,14 @@ def nmf(
         algorithm = algorithms.pgm
     if isinstance(algorithm, str):
         algorithm = getattr(algorithms, algorithm.lower())
+
+    if engine == "auto":
+        pallas_ok = (algorithm is algorithms.pgm and step is None
+                     and _is_unweighted(W) and callback is None)
+        # measured crossover on v5e (benchmarks/engine_scaling.py):
+        # XLA's loop fusion wins for few-channel problems, the fused
+        # kernel from C ~ 64 up
+        engine = "pallas" if (pallas_ok and np.shape(Y)[0] >= 64) else "xla"
 
     if engine == "pallas":
         if (algorithm is not algorithms.pgm or step is not None

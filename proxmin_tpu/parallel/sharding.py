@@ -28,7 +28,6 @@ mesh (reference has no distribution at all — SURVEY.md §2 checklist).
 """
 
 import math
-from functools import partial
 from typing import Any, NamedTuple
 
 import numpy as np

@@ -258,3 +258,24 @@ def test_fused_pgm_bf16_storage(rng):
     assert l16 < max(l32 * 3, l32 + 1.0)
     np.testing.assert_allclose(np.asarray(r16.x[1]), np.asarray(r32.x[1]),
                                atol=0.05)
+
+
+def test_nmf_engine_auto(rng):
+    """engine='auto' selects by channel count and falls back cleanly."""
+    import proxmin_tpu as pt
+
+    K, N = 3, 256
+    A0 = rng.random((4, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    Y = (A0 @ S0).astype(np.float32)
+    # small C -> xla path (just verify it runs and matches xla)
+    r_auto = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=5,
+                        engine="auto")
+    r_xla = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=5)
+    np.testing.assert_allclose(np.asarray(r_auto.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=1e-6)
+    # auto with unsupported combo (weighted) must not crash -> xla
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+    r_w = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=5,
+                     engine="auto")
+    assert np.isfinite(np.asarray(r_w.x[1])).all()
