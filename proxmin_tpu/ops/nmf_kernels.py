@@ -160,7 +160,7 @@ def _fused_call(A, S, Y, W, tile_n, interpret):
 
 
 def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
-                     weighted, prox_S, tile_n):
+                     weighted, prox_S, tile_n, mask_padding):
     """One whole PGM iteration's S-side work in a single pass over the tile:
 
         R        = A S - Y            (residual, VMEM only)
@@ -200,13 +200,17 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
     gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
     S_new = prox_S(S - sS * gS, sS)
 
-    # zero out padded rows/columns so arbitrary prox functions (which may
-    # move zeros) cannot leak padding into the next iteration
-    Kp, TN = S.shape
-    row_ok = jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 0) < K_orig
-    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 1)
-              + j * TN) < N_orig
-    S_new = jnp.where(jnp.logical_and(row_ok, col_ok), S_new, 0.0)
+    if mask_padding:
+        # zero out padded rows/columns so arbitrary prox functions (which
+        # may move zeros) cannot leak padding into the next iteration.
+        # Skipped for the built-in non-negativity prox: zeros are exact
+        # fixed points of the padded recursion, and the two iotas + select
+        # are measurable VPU overhead per tile.
+        Kp, TN = S.shape
+        row_ok = jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 0) < K_orig
+        col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 1)
+                  + j * TN) < N_orig
+        S_new = jnp.where(jnp.logical_and(row_ok, col_ok), S_new, 0.0)
 
     @pl.when(j == 0)
     def _():
@@ -254,6 +258,10 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
     """
     import jax.numpy as jnp  # local alias for clarity
 
+    # the built-in non-negativity prox preserves zeros exactly, so padded
+    # rows/columns stay zero without masking; arbitrary user proxs get the
+    # safety masks
+    mask_padding = prox_S is not None
     if prox_S is None:
         prox_S = lambda x, s: jnp.maximum(x, 0.0)
     if interpret is None:
@@ -272,7 +280,8 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
     weighted = W is not None
 
     kernel = functools.partial(
-        _pgm_step_kernel, weighted=weighted, prox_S=prox_S, tile_n=tile_n
+        _pgm_step_kernel, weighted=weighted, prox_S=prox_S, tile_n=tile_n,
+        mask_padding=mask_padding,
     )
     grid = (Np // tile_n,)
 
