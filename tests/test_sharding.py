@@ -209,3 +209,20 @@ def test_auto_sharded_adaprox(problem):
     A2, S2 = res.x
     np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-11)
+
+
+def test_full_sharded_solve_weighted_2d(problem, rng):
+    """Weighted solve on the 2-D TP×DP mesh exercises the psum+pmax
+    assembly of the weighted Lipschitz bounds across both axes."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, e_rel=0, max_iter=10)
+
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W,
+                          mesh=make_mesh(shape=(4, 2)), model_axis="model",
+                          e_rel=0, max_iter=10)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
