@@ -50,8 +50,8 @@ def engines_at(C, K, N):
         A_new = operators.prox_plus(A - sA * gA, sA)
         S_new = operators.prox_plus(S - sS * gS, sS)
         conv = jnp.logical_and(
-            jnp.sum((A_new - A) ** 2) <= 0.0,
-            jnp.sum((S_new - S) ** 2) <= 0.0,
+            jnp.sum((A_new - A) ** 2) <= 0.0 * jnp.sum(A_new ** 2),
+            jnp.sum((S_new - S) ** 2) <= 0.0 * jnp.sum(S_new ** 2),
         )
         return A_new, S_new, conv
 

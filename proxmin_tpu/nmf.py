@@ -116,7 +116,11 @@ def _weighted_lipschitz_A(S, W, num_iters=48):
         )
 
     v = jax.lax.fori_loop(0, num_iters, body, v)
-    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.sum(v * v, axis=1)
+    # fully-masked channels (W[c, :] == 0) drive their v row to zero; the
+    # block's lambda_max is genuinely 0 — guard the denominator so the
+    # Rayleigh quotient is 0, not 0/0 = NaN
+    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.maximum(
+        jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
     return jnp.max(rayleigh)
 
 
@@ -142,7 +146,9 @@ def _weighted_lipschitz_S(A, W, num_iters=48):
         )
 
     v = jax.lax.fori_loop(0, num_iters, body, v)
-    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.sum(v * v, axis=1)
+    # see _weighted_lipschitz_A: fully-masked pixels give a 0 block, not NaN
+    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.maximum(
+        jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
     return jnp.max(rayleigh)
 
 
@@ -357,8 +363,12 @@ def nmf(
         algorithm = getattr(algorithms, algorithm.lower())
 
     if engine == "auto":
-        pallas_ok = (algorithm is algorithms.pgm and step is None
-                     and _is_unweighted(W) and callback is None)
+        pallas_ok = (
+            algorithm is algorithms.pgm and step is None
+            and _is_unweighted(W) and callback is None
+            and step_stride is None
+            and set(algorithm_args) <= {"tile_n", "store_dtype"}
+        )
         # measured crossover on v5e (benchmarks/engine_scaling.py):
         # XLA's loop fusion wins for few-channel problems, the fused
         # kernel from C ~ 64 up
@@ -366,10 +376,12 @@ def nmf(
 
     if engine == "pallas":
         if (algorithm is not algorithms.pgm or step is not None
-                or not _is_unweighted(W) or callback is not None):
+                or not _is_unweighted(W) or callback is not None
+                or step_stride is not None):
             raise ValueError(
                 "engine='pallas' supports algorithm='pgm' with default "
-                "steps, unweighted W and no callback; use engine='xla'"
+                "steps, unweighted W, no callback and no step_stride; "
+                "use engine='xla'"
             )
         # None means identity (unconstrained), matching the xla engine;
         # the kernel's builtin default is non-negativity (== prox_plus)
@@ -394,6 +406,13 @@ def nmf(
     grad = partial(grad_likelihood, Y=Y, W=W)
     X = [A, S]
     prox = [prox_A, prox_S]
+
+    if step_stride is not None and algorithm is not algorithms.pgm:
+        raise ValueError(
+            "step_stride only applies to algorithm='pgm' (the adaprox "
+            "step heuristic is already cheap, and bsdmm recomputes "
+            "per-block steps by design)"
+        )
 
     if algorithm is algorithms.pgm:
         if step is None:

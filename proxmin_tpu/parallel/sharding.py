@@ -289,8 +289,11 @@ def nmf_pgm_sharded(
                     )
 
                 v = jax.lax.fori_loop(0, 48, pow_body, v)
-                rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.sum(v * v,
-                                                                  axis=1)
+                # fully-masked pixels (W[:, n] == 0) drive their v row to
+                # zero; their block's lambda_max is genuinely 0, so guard
+                # the Rayleigh denominator instead of producing 0/0 = NaN
+                rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.maximum(
+                    jnp.sum(v * v, axis=1), jnp.finfo(dt).tiny)
                 LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
                 step_A = 1.0 / LA
                 step_S = 1.0 / LS

@@ -70,11 +70,17 @@ def _stack_errors(errors, multi):
 
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
-    callback, return_errors, trace=False,
+    callback, return_errors, trace=False, admm_convention=True,
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
-    None); ``Ls``: tuple of M LinearOperators."""
+    None); ``Ls``: tuple of M LinearOperators.
+
+    ``admm_convention``: reference admm passes the USER step_g (None when
+    defaulted) to the convergence test (``algorithms.py:495``) while
+    reference sdmm passes the evaluated value (``algorithms.py:625``);
+    the flag selects which convention the single-constraint branch keeps.
+    """
     M = len(proxs_g)
     has_g = M > 0
     step_fn = _as_step_fn(step_f)
@@ -102,12 +108,9 @@ def _sdmm_core(
                     state.x, state.z, state.u, prox_f, step_f_,
                     proxs_g[0], step_g_, Ls[0],
                 )
-                # reference admm passes the USER step_g (None by default)
-                # to the convergence test (algorithms.py:495), which makes
-                # e_dual use l2(L^T U) un-divided; keep that for parity
-                # (sdmm passes the evaluated value, algorithms.py:625)
+                conv_sg = sg if admm_convention else step_g_
                 conv, errors = utils.check_constraint_convergence(
-                    x, Ls[0], lx, z, u, r, s, step_f_, sg, e_rel, e_abs
+                    x, Ls[0], lx, z, u, r, s, step_f_, conv_sg, e_rel, e_abs
                 )
             else:
                 steps_g_ = tuple(
@@ -323,6 +326,7 @@ def sdmm(
     state = _sdmm_core(
         x0, prox_f, step_f, tuple(proxs_g), steps_g, Lops,
         e_rel, e_abs, max_iter, callback, return_errors=False, trace=trace,
+        admm_convention=False,
     )
 
     converged = bool(state.converged)

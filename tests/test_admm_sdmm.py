@@ -281,3 +281,25 @@ def test_bsdmm_callback():
     bsdmm([jnp.ones(2)], proxs_f, lambda Xs, j=None: 0.5,
           callback=cb, max_iter=100)
     assert seen == [0, 1, 2]
+
+
+def test_sdmm_single_constraint_list_parity(rng):
+    """sdmm with a one-element constraint list follows the sdmm convention
+    (evaluated step_g in the convergence test, reference algorithms.py:625)
+    — regression for the shared-core admm parity fix."""
+    def pg_np(v, step):
+        return np.maximum(v, 0)
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    L = rng.normal(size=(2, 2))
+    x_ref = np.array([-1.0, -1.0])
+    flag = ref.sdmm(x_ref, prox_f_quad_np, lambda X, it=None: 0.3,
+                    proxs_g=[pg_np], Ls=[L], e_rel=1e-4, max_iter=500)
+    res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.3,
+               proxs_g=[pg], Ls=[jnp.asarray(L)], e_rel=1e-4, max_iter=500)
+    # identical stopping iteration and iterate
+    assert res.iterations == 25
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8,
+                               atol=1e-10)

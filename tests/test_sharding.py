@@ -226,3 +226,21 @@ def test_full_sharded_solve_weighted_2d(problem, rng):
     A2, S2 = res.x
     np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
+
+
+def test_weighted_sharded_masked_pixels(problem, rng):
+    """Regression: fully-masked pixels (W[:, n] == 0) must not NaN the
+    weighted Lipschitz power iteration."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+    W[:, 3] = 0.0   # a fully-masked pixel
+    W[:, 17] = 0.0
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, e_rel=0, max_iter=10)
+    res = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=make_mesh(),
+                          e_rel=0, max_iter=10)
+    A2, S2 = res.x
+    assert np.isfinite(np.asarray(S2)).all()
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
