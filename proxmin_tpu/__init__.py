@@ -45,6 +45,7 @@ from . import algorithms  # noqa: F401
 from . import linop  # noqa: F401
 from . import special  # noqa: F401
 from . import checkpoint  # noqa: F401
+from . import export  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -221,3 +221,30 @@ def test_profile_trace(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found.extend(files)
     assert any(f.endswith(".pb") or "trace" in f for f in found), found
+
+
+def test_export_nmf_solver(tmp_path, rng):
+    """AOT export/restore of the fused solver: serialize, reload, solve —
+    result matches the live runner."""
+    from proxmin_tpu.export import (
+        export_nmf_solver, load_exported, save_exported,
+    )
+
+    C, K, N = 4, 3, 256
+    blob = export_nmf_solver(C, K, N, e_rel=0.0, tile_n=128)
+    p = save_exported(str(tmp_path / "solver.bin"), blob)
+    solve = load_exported(p)
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1, it, cA, cS, loss = solve(A0, S0, Y, 15)
+    assert int(it) == 15
+
+    r = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                             max_iter=15, tile_n=128)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(r.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)

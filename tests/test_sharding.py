@@ -244,3 +244,27 @@ def test_weighted_sharded_masked_pixels(problem, rng):
     assert np.isfinite(np.asarray(S2)).all()
     np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
+
+
+def test_auto_sharded_admm(problem):
+    """The ADMM family also runs on sharded inputs via auto-SPMD."""
+    Y, A0, S0 = problem
+    x_np = S0.copy()
+
+    def prox_f(v, step):
+        return (v + step) / (1 + step)   # prox of 0.5||v - 1||^2
+
+    def prox_g(v, step):
+        return jnp.minimum(v, 0.8)
+
+    r1 = pt.admm(jnp.asarray(x_np), prox_f, 0.5, prox_g=prox_g,
+                 e_rel=1e-6, max_iter=500)
+
+    from jax.sharding import NamedSharding
+    mesh = make_mesh()
+    xs = jax.device_put(jnp.asarray(x_np),
+                        NamedSharding(mesh, P(None, "data")))
+    r2 = pt.admm(xs, prox_f, 0.5, prox_g=prox_g, e_rel=1e-6, max_iter=500)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=1e-9, atol=1e-12)
+    assert r2.iterations == r1.iterations
