@@ -64,11 +64,14 @@ def bench_numpy(Y, A0, S0):
     A, S = A0.copy(), S0.copy()
     for _ in range(2):
         A, S = numpy_step(A, S, Y)
-    t0 = time.perf_counter()
-    for _ in range(NUMPY_ITERS):
-        A, S = numpy_step(A, S, Y)
-    dt = (time.perf_counter() - t0) / NUMPY_ITERS
-    return dt, (A, S)
+    # best of 3 blocks: gives NumPy its best case against scheduler noise
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(NUMPY_ITERS):
+            A, S = numpy_step(A, S, Y)
+        best = min(best, (time.perf_counter() - t0) / NUMPY_ITERS)
+    return best, (A, S)
 
 
 def _timed(call, n_lo, n_hi):
