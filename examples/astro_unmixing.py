@@ -11,6 +11,12 @@ reference's weighted path crashes, nmf.py:64) against the AdaProx schemes.
 Run:  python examples/astro_unmixing.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -10,6 +10,12 @@ answer.
 Run:  python examples/parabola.py [--plot]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

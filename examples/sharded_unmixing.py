@@ -1,0 +1,91 @@
+"""Multi-device hyperspectral unmixing — the scaling demo.
+
+Shards a large synthetic unmixing problem over every available device
+(pixel-axis data parallelism; add a 2-D mesh for channel tensor
+parallelism) and solves it three ways, checking they agree:
+
+1. auto-SPMD: shard the inputs, run the ordinary solver;
+2. explicit collectives: the whole while-loop inside one ``shard_map``;
+3. single device, as the baseline.
+
+Works on real multi-chip meshes and on the virtual CPU mesh::
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/sharded_unmixing.py --cpu
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import proxmin_tpu as pt
+    from proxmin_tpu.parallel import (
+        make_mesh, nmf_pgm_sharded, shard_nmf_problem,
+    )
+
+    n_dev = jax.device_count()
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}")
+
+    rng = np.random.default_rng(7)
+    C, K = 8, 4
+    N = 16384 * n_dev          # scale the pixel axis with the mesh
+    A_true = rng.random((C, K)).astype(np.float32)
+    S_true = rng.random((K, N)).astype(np.float32)
+    Y = (A_true @ S_true + 0.01 * rng.standard_normal((C, N))).astype(
+        np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    iters = 100
+
+    mesh = make_mesh()
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+          f"Y {C}x{N}")
+
+    # 1. auto-SPMD
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0)
+    t0 = time.perf_counter()
+    r1 = pt.nmf.nmf(Ys, As, Ss, e_rel=0, max_iter=iters)
+    jax.block_until_ready(r1.x)
+    print(f"auto-SPMD:           {time.perf_counter() - t0:6.2f}s "
+          f"(incl compile)")
+
+    # 2. explicit shard_map collectives
+    t0 = time.perf_counter()
+    r2 = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                         e_rel=0, max_iter=iters)
+    jax.block_until_ready(r2.x)
+    print(f"explicit shard_map:  {time.perf_counter() - t0:6.2f}s "
+          f"(incl compile)")
+
+    # 3. single device
+    t0 = time.perf_counter()
+    r3 = pt.nmf.nmf(jnp.asarray(Y), A0.copy(), S0.copy(),
+                    e_rel=0, max_iter=iters)
+    print(f"single device:       {time.perf_counter() - t0:6.2f}s "
+          f"(incl compile)")
+
+    d12 = float(np.max(np.abs(np.asarray(r1.x[1]) - np.asarray(r2.x[1]))))
+    d13 = float(np.max(np.abs(np.asarray(r1.x[1]) - np.asarray(r3.x[1]))))
+    print(f"max |S_auto - S_explicit| = {d12:.2e}; "
+          f"max |S_auto - S_single| = {d13:.2e}")
+    assert d12 < 1e-4 and d13 < 1e-4
+    print("all three paths agree")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,12 @@ with the Hungarian algorithm.
 Run:  python examples/unmixing.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 
