@@ -21,14 +21,22 @@ from .nmf import _make_fused_pgm_runner
 __all__ = ["export_nmf_solver", "load_solver", "save_exported", "load_exported"]
 
 
-def export_nmf_solver(C, K, N, prox_A=operators.prox_plus, prox_S=None,
+def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
+                      prox_S=operators.prox_plus,
                       e_rel=1e-3, tile_n=8192, dtype=jnp.float32,
                       store_dtype=None):
     """Serialize the fused PGM-NMF solver for a fixed (C, K, N) shape.
 
     Returns the serialized bytes. The embedded executable has the
     signature ``(A: (C,K), S: (K,N), Y: (C,N), max_iter: i32)``.
+    ``prox_S=None`` means identity (same convention as ``nmf``).
     """
+    if prox_A is None:
+        prox_A = operators.prox_id
+    if prox_S is None:
+        prox_S = operators.prox_id
+    elif prox_S is operators.prox_plus:
+        prox_S = None  # kernel builtin
     run = _make_fused_pgm_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K), int(N),
         jnp.dtype(dtype),

@@ -153,7 +153,14 @@ def _weighted_lipschitz_S(A, W, num_iters=48):
 
 
 def _is_unweighted(W):
-    return not hasattr(W, "shape") and W == 1
+    """True for the scalar 1 (Python, NumPy or JAX scalar; the reference's
+    ``W == 1`` convention, ``nmf.py:64`` — which itself crashes for array
+    W)."""
+    if W is None:
+        return True
+    if np.isscalar(W) or getattr(W, "ndim", None) == 0:
+        return float(W) == 1.0
+    return False
 
 
 def step_pgm(*X, it=None, W=1):
@@ -246,7 +253,7 @@ def nmf_pgm_fused(
     A,
     S,
     prox_A=operators.prox_plus,
-    prox_S=None,
+    prox_S=operators.prox_plus,
     e_rel=1e-3,
     max_iter=1000,
     tile_n=8192,
@@ -281,8 +288,14 @@ def nmf_pgm_fused(
     from .solvers.common import SolverResult, writeback
 
     A_in, S_in = A, S  # keep originals for the NumPy in-place contract
+    # None means identity (matching nmf()); the kernel-internal None means
+    # its builtin non-negativity, which is what prox_plus maps to
     if prox_A is None:
         prox_A = operators.prox_id
+    if prox_S is None:
+        prox_S = operators.prox_id
+    elif prox_S is operators.prox_plus:
+        prox_S = None  # kernel builtin (skips the padding masks)
     A = jnp.asarray(A)
     S = jnp.asarray(S)
     Y = jnp.asarray(Y)
@@ -363,16 +376,24 @@ def nmf(
         algorithm = getattr(algorithms, algorithm.lower())
 
     if engine == "auto":
+        pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}
         pallas_ok = (
             algorithm is algorithms.pgm and step is None
             and _is_unweighted(W) and callback is None
             and step_stride is None
             and set(algorithm_args) <= {"tile_n", "store_dtype"}
         )
+        if pallas_only and not pallas_ok:
+            raise ValueError(
+                f"{sorted(pallas_only)} are pallas-engine options but the "
+                "call is not pallas-compatible (needs algorithm='pgm', "
+                "default steps, unweighted W, no callback/step_stride)"
+            )
         # measured crossover on v5e (benchmarks/engine_scaling.py):
         # XLA's loop fusion wins for few-channel problems, the fused
-        # kernel from C ~ 64 up
-        engine = "pallas" if (pallas_ok and np.shape(Y)[0] >= 64) else "xla"
+        # kernel from C ~ 64 up; explicit pallas-only kwargs force pallas
+        engine = "pallas" if (pallas_ok and (
+            pallas_only or np.shape(Y)[0] >= 64)) else "xla"
 
     if engine == "pallas":
         if (algorithm is not algorithms.pgm or step is not None
@@ -383,24 +404,21 @@ def nmf(
                 "steps, unweighted W, no callback and no step_stride; "
                 "use engine='xla'"
             )
-        # None means identity (unconstrained), matching the xla engine;
-        # the kernel's builtin default is non-negativity (== prox_plus)
-        prox_A_k = operators.prox_id if prox_A is None else prox_A
-        if prox_S is operators.prox_plus:
-            prox_S_k = None          # kernel builtin
-        elif prox_S is None:
-            prox_S_k = operators.prox_id
-        else:
-            prox_S_k = prox_S
         return nmf_pgm_fused(
-            Y, A, S, prox_A=prox_A_k, prox_S=prox_S_k,
+            Y, A, S, prox_A=prox_A, prox_S=prox_S,
             e_rel=e_rel, max_iter=max_iter, **algorithm_args,
         )
     elif engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")
 
     Y = jnp.asarray(Y)
-    if hasattr(W, "shape") or hasattr(W, "__len__"):
+    if _is_unweighted(W):
+        W = 1
+    elif np.isscalar(W) or getattr(W, "ndim", None) == 0:
+        # scalar weight != 1: materialize so the weighted Lipschitz math
+        # (which needs W's 2-D structure) works; the reference crashes here
+        W = jnp.full(Y.shape, W, Y.dtype)
+    else:
         W = jnp.asarray(W)
 
     grad = partial(grad_likelihood, Y=Y, W=W)

@@ -128,6 +128,52 @@ def _lambda_max_small(G, iters=32):
     return (v @ G @ v) / (v @ v)
 
 
+def _weighted_steps(A, S, W, data_axis, model_axis, dt):
+    """Weighted Lipschitz step sizes assembled with collectives:
+    ``1 / max_c lmax(S diag(W_c) S^T)`` (psum over data, pmax over model)
+    and ``1 / max_n lmax(A^T diag(W_n) A)`` via implicit batched power
+    iteration (an (N_local, K) iterate — never (N, K, K)). Fully-masked
+    pixels/channels contribute a 0 block, not NaN."""
+    H_A = jax.lax.psum(jnp.einsum("kn,cn,ln->ckl", S, W, S), data_axis)
+    LA = jnp.max(jax.vmap(_lambda_max_small)(H_A))
+    if model_axis is not None:
+        LA = jax.lax.pmax(LA, model_axis)
+
+    def Hv_S(v):
+        t = jnp.einsum("nk,ck->cn", v, A)
+        u = W * t
+        hv = jnp.einsum("cn,ck->nk", u, A)
+        if model_axis is not None:
+            hv = jax.lax.psum(hv, model_axis)
+        return hv
+
+    K_ = A.shape[1]
+    v = jnp.ones((S.shape[1], K_), dt) + 0.01 * jnp.arange(K_, dtype=dt)
+    v = v + 0.0 * S.T  # inherit device-varying type
+    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+    def pow_body(_, v):
+        w = Hv_S(v)
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=1, keepdims=True), jnp.finfo(dt).tiny
+        )
+
+    v = jax.lax.fori_loop(0, 48, pow_body, v)
+    rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.maximum(
+        jnp.sum(v * v, axis=1), jnp.finfo(dt).tiny)
+    LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
+    return 1.0 / LA, 1.0 / LS
+
+
+def _unweighted_steps(A, S, data_axis, model_axis):
+    """Unweighted Lipschitz steps: K×K Grams with one psum each."""
+    SSt = jax.lax.psum(S @ S.T, data_axis)
+    AtA = A.T @ A
+    if model_axis is not None:
+        AtA = jax.lax.psum(AtA, model_axis)
+    return 1.0 / _lambda_max_small(SSt), 1.0 / _lambda_max_small(AtA)
+
+
 def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
                       prox_S=operators.prox_plus, weighted=False,
                       data_axis="data", model_axis=None):
@@ -156,13 +202,11 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
         if model_axis is not None:
             grad_S = jax.lax.psum(grad_S, model_axis)
 
-        # Lipschitz steps: K×K Grams assembled with one psum each
-        SSt = jax.lax.psum(S @ S.T, data_axis)
-        AtA = A.T @ A
-        if model_axis is not None:
-            AtA = jax.lax.psum(AtA, model_axis)
-        step_A = 1.0 / _lambda_max_small(SSt)
-        step_S = 1.0 / _lambda_max_small(AtA)
+        if weighted:
+            step_A, step_S = _weighted_steps(A, S, W, data_axis,
+                                             model_axis, dt)
+        else:
+            step_A, step_S = _unweighted_steps(A, S, data_axis, model_axis)
 
         A_new = prox_A(A - step_A * grad_A, step_A)
         S_new = prox_S(S - step_S * grad_S, step_S)
@@ -253,55 +297,11 @@ def nmf_pgm_sharded(
             )
 
             if weighted:
-                # weighted Lipschitz bounds via the same implicit blocks as
-                # nmf.step_pgm, assembled with collectives:
-                # max_c lmax(S diag(W_c) S^T): sum over pixels (psum over
-                # data), max over channels (pmax over model); and dually
-                # for max_n lmax(A^T diag(W_n) A). The per-pixel bound uses
-                # implicit batched power iteration (an (N_local, K) iterate
-                # only — never materializing (N, K, K)).
-                H_A = all_sum(
-                    jnp.einsum("kn,cn,ln->ckl", S, W, S), data_axis
-                )
-                LA = jnp.max(jax.vmap(_lambda_max_small)(H_A))
-                if model_axis is not None:
-                    LA = jax.lax.pmax(LA, model_axis)
-
-                def Hv_S(v):
-                    # v: (N_local, K); H_n = A^T diag(W_n) A summed over
-                    # the (possibly model-sharded) channel axis
-                    t = jnp.einsum("nk,ck->cn", v, A)
-                    u = W * t
-                    hv = jnp.einsum("cn,ck->nk", u, A)
-                    return all_sum(hv, model_axis)
-
-                K_ = A.shape[1]
-                v = jnp.ones((S.shape[1], K_), dt) \
-                    + 0.01 * jnp.arange(K_, dtype=dt)
-                v = v + 0.0 * S.T  # inherit device-varying type
-                v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-
-                def pow_body(_, v):
-                    w = Hv_S(v)
-                    return w / jnp.maximum(
-                        jnp.linalg.norm(w, axis=1, keepdims=True),
-                        jnp.finfo(dt).tiny,
-                    )
-
-                v = jax.lax.fori_loop(0, 48, pow_body, v)
-                # fully-masked pixels (W[:, n] == 0) drive their v row to
-                # zero; their block's lambda_max is genuinely 0, so guard
-                # the Rayleigh denominator instead of producing 0/0 = NaN
-                rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.maximum(
-                    jnp.sum(v * v, axis=1), jnp.finfo(dt).tiny)
-                LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
-                step_A = 1.0 / LA
-                step_S = 1.0 / LS
+                step_A, step_S = _weighted_steps(A, S, W, data_axis,
+                                                 model_axis, dt)
             else:
-                SSt = all_sum(S @ S.T, data_axis)
-                AtA = all_sum(A.T @ A, model_axis)
-                step_A = 1.0 / _lambda_max_small(SSt)
-                step_S = 1.0 / _lambda_max_small(AtA)
+                step_A, step_S = _unweighted_steps(A, S, data_axis,
+                                                   model_axis)
 
             A_new = prox_A(A - step_A * grad_A, step_A)
             S_new = prox_S(S - step_S * grad_S, step_S)

@@ -309,9 +309,13 @@ def adaprox(
         assert len(given) == n
         out = []
         for g, x in zip(given, x0):
-            g = jnp.asarray(g)
+            # fresh buffer: the fused driver donates the carry, and
+            # donating a user-provided warm-start array would delete it
+            # for subsequent use (asarray/astype are no-copy when the
+            # dtype already matches)
+            g = jnp.array(g, copy=True, dtype=x.dtype)
             assert g.shape == x.shape
-            out.append(g.astype(x.dtype))
+            out.append(g)
         return tuple(out)
 
     M0 = init_moments(M)

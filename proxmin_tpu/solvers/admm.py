@@ -85,8 +85,7 @@ def _sdmm_core(
     has_g = M > 0
     step_fn = _as_step_fn(step_f)
 
-    L_struct = list(Ls) if M != 1 else Ls[0]
-    pg_struct = list(proxs_g) if M != 1 else (proxs_g[0] if has_g else None)
+    L_struct = list(Ls) if M != 1 else (Ls[0] if has_g else None)
 
     def init_zu(x):
         if not has_g:

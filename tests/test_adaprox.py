@@ -125,3 +125,16 @@ def test_adaprox_invalid_args():
         adaprox(x, grad_f, 0.1, b2=1.5)
     with pytest.raises(AssertionError):
         adaprox(x, grad_f, 0.1, p=0.9)
+
+
+def test_adaprox_warm_start_does_not_donate_user_moments():
+    """Regression: the documented warm-start workflow must not delete the
+    caller's moment buffers via carry donation."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    r1 = adaprox(x0, grad_f, 0.1, e_rel=0, max_iter=10,
+                 check_convergence=False)
+    adaprox(r1.x, grad_f, 0.1, e_rel=0, max_iter=10,
+            check_convergence=False, M=r1.M, V=r1.V, Vhat=r1.Vhat)
+    # reading the first run's moments must still work
+    assert np.isfinite(np.asarray(r1.M[0])).all()
+    assert np.isfinite(np.asarray(r1.V[0])).all()

@@ -279,3 +279,56 @@ def test_nmf_engine_auto(rng):
     r_w = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=5,
                      engine="auto")
     assert np.isfinite(np.asarray(r_w.x[1])).all()
+
+
+def test_nmf_auto_with_pallas_kwargs(rng):
+    """Regression: pallas-only kwargs with engine='auto' force the pallas
+    engine (instead of crashing pgm with unexpected kwargs), and raise
+    clearly when the call is not pallas-compatible."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=5,
+                   engine="auto", tile_n=128)   # C < 64 but tile_n -> pallas
+    assert np.isfinite(np.asarray(r.x[1])).all()
+
+    with pytest.raises(ValueError):
+        pt.nmf.nmf(Y, A0, S0, engine="auto", tile_n=128,
+                   algorithm="adaprox")
+
+
+def test_nmf_scalar_weights(rng):
+    """Regression: NumPy/JAX scalar W==1 routes unweighted; scalar W != 1
+    is materialized instead of crashing."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 2, 32
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+
+    r1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=np.float64(1.0),
+                    e_rel=0, max_iter=10)
+    r2 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=10)
+    np.testing.assert_allclose(np.asarray(r1.x[1]), np.asarray(r2.x[1]),
+                               rtol=1e-12)
+
+    r3 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=2.0, e_rel=0, max_iter=10)
+    assert np.isfinite(np.asarray(r3.x[1])).all()
+
+
+def test_nmf_pgm_fused_none_prox_means_identity(rng):
+    """Regression: nmf_pgm_fused(prox_S=None) must mean identity like
+    nmf(), not the kernel's builtin non-negativity."""
+    import proxmin_tpu as pt
+
+    C, K, N = 4, 3, 256
+    Y = rng.standard_normal((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    r = pt.nmf.nmf_pgm_fused(Y, A0, S0, prox_A=None, prox_S=None,
+                             e_rel=0, max_iter=10, tile_n=128)
+    assert np.asarray(r.x[1]).min() < 0   # unconstrained on signed data

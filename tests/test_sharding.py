@@ -268,3 +268,24 @@ def test_auto_sharded_admm(problem):
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
                                rtol=1e-9, atol=1e-12)
     assert r2.iterations == r1.iterations
+
+
+def test_explicit_step_weighted_uses_weighted_lipschitz(problem, rng):
+    """Regression: the explicit weighted step must use the weighted
+    Lipschitz bounds — with W >> 1 the unweighted steps exceed 1/L and the
+    iteration diverges."""
+    Y, A0, S0 = problem
+    W = np.full(Y.shape, 25.0)
+    mesh = make_mesh()
+    step = make_nmf_pgm_step(mesh, weighted=True)
+    Ys, As, Ss, Ws = shard_nmf_problem(mesh, Y, A0, S0, W)
+    losses = []
+    for _ in range(30):
+        As, Ss, loss = step(As, Ss, Ys, Ws)
+        losses.append(float(loss))
+    # simultaneous (Jacobi) block updates are not strictly monotone, but
+    # with the correct weighted bounds the loss must descend overall; the
+    # regression (unweighted steps with W=25) exploded to ~1e6 and grew
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.9
+    assert losses[-1] < 1e4
