@@ -26,13 +26,33 @@ import jax.numpy as jnp
 
 from .. import utils
 from ..linop import as_linear_operator
-from .common import BoolResult, SolverResult, tupleize, writeback
+from .common import (
+    BoolResult,
+    DriverCache,
+    SolverResult,
+    abstract_key,
+    callable_key,
+    tupleize,
+    writeback,
+)
 
 logger = logging.getLogger("proxmin")
 
 __all__ = ["admm", "sdmm"]
 
 _RESTART_BUDGET = 8  # total body evaluations allowed: budget * max_iter
+
+_ADMM_CACHE = DriverCache()
+
+
+def _value_key(v):
+    """Cache key for a step/operator value: hashable scalars by value,
+    None as None, arrays/objects by identity (retained via retain_refs)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return ("v", float(v))
+    return ("id", id(v))
 
 
 def _as_step_fn(step):
@@ -71,6 +91,7 @@ def _stack_errors(errors, multi):
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
     callback, return_errors, trace=False, admm_convention=True,
+    cache_key=None, retain_refs=(),
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
@@ -201,18 +222,34 @@ def _sdmm_core(
 
     total_cap = _RESTART_BUDGET * max_iter
 
-    if callback is None:
-        def run(state):
-            def cond(s):
-                return jnp.logical_and(
-                    jnp.logical_and(s.it < max_iter, s.total_it < total_cap),
-                    jnp.logical_not(s.converged),
-                )
-            return jax.lax.while_loop(cond, body, state)
+    def build():
+        if callback is None:
+            def run(state):
+                def cond(s):
+                    return jnp.logical_and(
+                        jnp.logical_and(s.it < max_iter,
+                                        s.total_it < total_cap),
+                        jnp.logical_not(s.converged),
+                    )
+                return jax.lax.while_loop(cond, body, state)
 
-        state = jax.jit(run, donate_argnums=0)(init_state(x0))
+            compiled = jax.jit(run, donate_argnums=0)
+        else:
+            compiled = jax.jit(body, donate_argnums=0)
+        # retain_refs keeps the cache-key objects (user L matrices etc.)
+        # alive so their ids cannot be recycled while the entry exists
+        return compiled, retain_refs
+
+    if cache_key is None:
+        compiled, _ = build()
     else:
-        step_jit = jax.jit(body, donate_argnums=0)
+        compiled, _ = _ADMM_CACHE.get_or_build(
+            cache_key + (callback is None, max_iter, trace), build
+        )
+
+    if callback is None:
+        state = compiled(init_state(x0))
+    else:
         state = init_state(x0)
         while (int(state.it) < max_iter and int(state.total_it) < total_cap
                and not bool(state.converged)):
@@ -220,7 +257,7 @@ def _sdmm_core(
                 callback(np.asarray(state.x), it=int(state.it))
             except StopIteration:
                 break
-            state = step_jit(state)
+            state = compiled(state)
 
     return state
 
@@ -254,9 +291,17 @@ def admm(
     proxs_g = (prox_g,) if prox_g is not None else ()
     steps_g = (step_g,) if prox_g is not None else ()
 
+    cache_key = (
+        "admm", callable_key(prox_f), _value_key(step_f) if not callable(step_f)
+        else callable_key(step_f),
+        callable_key(prox_g) if prox_g is not None else None,
+        _value_key(step_g), _value_key(L), float(e_rel), float(e_abs),
+        abstract_key((x0,)),
+    )
     state = _sdmm_core(
         x0, prox_f, step_f, proxs_g, steps_g, (Lop,) if prox_g is not None else (),
         e_rel, e_abs, max_iter, callback, return_errors=True, trace=trace,
+        cache_key=cache_key, retain_refs=(prox_f, step_f, prox_g, L),
     )
 
     converged = bool(state.converged)
@@ -322,10 +367,20 @@ def sdmm(
         assert len(steps_g) == M
         steps_g = tuple(steps_g)
 
+    cache_key = (
+        "sdmm", callable_key(prox_f),
+        _value_key(step_f) if not callable(step_f) else callable_key(step_f),
+        tuple(callable_key(p) for p in proxs_g),
+        tuple(_value_key(s) for s in steps_g),
+        tuple(_value_key(Li) for Li in Ls),
+        float(e_rel), float(e_abs), abstract_key((x0,)),
+    )
     state = _sdmm_core(
         x0, prox_f, step_f, tuple(proxs_g), steps_g, Lops,
         e_rel, e_abs, max_iter, callback, return_errors=False, trace=trace,
         admm_convention=False,
+        cache_key=cache_key,
+        retain_refs=(prox_f, step_f, tuple(proxs_g), tuple(Ls), steps_g),
     )
 
     converged = bool(state.converged)

@@ -31,11 +31,20 @@ import jax.numpy as jnp
 
 from .. import utils
 from ..linop import as_linear_operator
-from .common import SolverResult, tupleize, writeback
+from .common import (
+    DriverCache,
+    SolverResult,
+    abstract_key,
+    callable_key,
+    tupleize,
+    writeback,
+)
 
 logger = logging.getLogger("proxmin")
 
 __all__ = ["bsdmm"]
+
+_BSDMM_CACHE = DriverCache()
 
 
 class BSDMMState(NamedTuple):
@@ -81,6 +90,10 @@ def bsdmm(
     """
     x0, originals, _ = tupleize(X)
     N = len(x0)
+
+    # capture user-level argument identities BEFORE normalization wraps
+    # them (the driver cache must key on stable user objects)
+    _user_structs = (proxs_g, steps_g, Ls)
 
     if proxs_g is None:
         proxs_g = [None] * N
@@ -253,24 +266,50 @@ def bsdmm(
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
         )
 
-    if callback is None:
-        def run(state):
-            def cond(s):
-                return jnp.logical_and(
-                    s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
-                )
-            return jax.lax.while_loop(cond, body, state)
+    from .admm import _value_key
 
-        state = jax.jit(run, donate_argnums=0)(init_state())
+    def _nested_key(obj):
+        if isinstance(obj, (list, tuple)):
+            return tuple(_nested_key(o) for o in obj)
+        if callable(obj):
+            return callable_key(obj)
+        return _value_key(obj)
+
+    cache_key = (
+        "bsdmm", callable_key(proxs_f), callable_key(steps_f_cb),
+        _nested_key(_user_structs),
+        update_order, steps_g_update, tuple(e_rel), tuple(e_abs),
+        max_iter, trace, callback is None, abstract_key(x0),
+    )
+
+    def build():
+        if callback is None:
+            def run(state):
+                def cond(s):
+                    return jnp.logical_and(
+                        s.it < max_iter,
+                        jnp.logical_not(jnp.all(s.converged)),
+                    )
+                return jax.lax.while_loop(cond, body, state)
+
+            compiled = jax.jit(run, donate_argnums=0)
+        else:
+            compiled = jax.jit(body, donate_argnums=0)
+        # retain the key's id-referenced objects alive with the entry
+        return compiled, (proxs_f, steps_f_cb, _user_structs)
+
+    compiled, _ = _BSDMM_CACHE.get_or_build(cache_key, build)
+
+    if callback is None:
+        state = compiled(init_state())
     else:
-        step_jit = jax.jit(body, donate_argnums=0)
         state = init_state()
         while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
             try:
                 callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
             except StopIteration:
                 break
-            state = step_jit(state)
+            state = compiled(state)
 
     iterations = int(state.it)
     logger.info("Completed %d iterations", iterations)
