@@ -457,22 +457,7 @@ def nmf(
 
     bsdmm = getattr(algorithms, "bsdmm", None)
     if bsdmm is not None and algorithm is bsdmm:
-        # gradient steps wrapped as block prox_f (reference nmf.py:181-193;
-        # the reference bug of referencing an undefined `step_f` when a
-        # custom `step` is supplied — nmf.py:195-197 — is fixed here)
-        def prox_f(Xj, step_j, Xs=None, j=None):
-            grads = grad(*Xs)
-            return prox[j](Xj - step_j * grads[j], step_j)
-
-        if step is None:
-            step_ = partial(step_pgm, W=W)
-
-            def step_f(Xs, j=None):
-                return step_(*Xs)[j]
-        else:
-            def step_f(Xs, j=None):
-                return step(*Xs)[j]
-
+        prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step)
         return bsdmm(
             X, prox_f, step_f,
             max_iter=max_iter, e_rel=e_rel, callback=callback,
@@ -480,3 +465,42 @@ def nmf(
         )
 
     raise ValueError(f"unsupported algorithm: {algorithm!r}")
+
+
+_BSDMM_ADAPTERS = {}
+
+
+def _bsdmm_adapters(Y, W, prox, step):
+    """Build (and cache by input identity) the bsdmm prox_f/step_f
+    closures: gradient steps wrapped as block prox_f (reference
+    nmf.py:181-193; the reference bug of referencing an undefined
+    `step_f` when a custom `step` is supplied — nmf.py:195-197 — is
+    fixed here). Caching keeps the closures' identities stable so the
+    bsdmm driver cache can hit on repeated solves."""
+    key = (id(Y), id(W) if hasattr(W, "shape") else W,
+           tuple(id(p) for p in prox),
+           id(step) if step is not None else None)
+    hit = _BSDMM_ADAPTERS.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+
+    grad = partial(grad_likelihood, Y=Y, W=W)
+
+    def prox_f(Xj, step_j, Xs=None, j=None):
+        grads = grad(*Xs)
+        return prox[j](Xj - step_j * grads[j], step_j)
+
+    if step is None:
+        step_ = partial(step_pgm, W=W)
+
+        def step_f(Xs, j=None):
+            return step_(*Xs)[j]
+    else:
+        def step_f(Xs, j=None):
+            return step(*Xs)[j]
+
+    # retain the keyed objects so their ids cannot be recycled
+    _BSDMM_ADAPTERS[key] = (prox_f, step_f, (Y, W, prox, step))
+    if len(_BSDMM_ADAPTERS) > 16:
+        _BSDMM_ADAPTERS.pop(next(iter(_BSDMM_ADAPTERS)))
+    return prox_f, step_f
