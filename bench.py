@@ -74,15 +74,21 @@ def bench_numpy(Y, A0, S0):
     return best, (A, S)
 
 
-def _timed(call, n_lo, n_hi):
-    """Marginal per-iteration time between two iteration counts."""
-    t0 = time.perf_counter()
-    out_lo = call(n_lo)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out_hi = call(n_hi)
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (n_hi - n_lo), t_lo, out_hi
+def _timed(call, n_lo, n_hi, reps=2):
+    """Marginal per-iteration time between two iteration counts,
+    best of ``reps`` (device-side contention shows up as slow outliers)."""
+    best = float("inf")
+    t_lo = None
+    out_hi = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        call(n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out_hi = call(n_hi)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    return best, t_lo, out_hi
 
 
 def bench_tpu(Y, A0, S0):
