@@ -248,3 +248,27 @@ def test_export_nmf_solver(tmp_path, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
                                rtol=1e-6)
+
+
+def test_checkpoint_tree_arg(tmp_path):
+    """A bare pytree round-trips via the 'tree' argument."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {"state": (np.arange(3.0), {"k": np.eye(2)})}
+    p = save_checkpoint(str(tmp_path / "t"), tree=tree, use_orbax=False)
+    back = load_checkpoint(p, use_orbax=False)["__tree__"]
+    np.testing.assert_array_equal(back["state"][0], tree["state"][0])
+    np.testing.assert_array_equal(back["state"][1]["k"], tree["state"][1]["k"])
+
+
+def test_pgm_trace_backtracking_accelerated():
+    """All solver features compose: FISTA + backtracking + trace."""
+    def f(x):
+        return 0.5 * jnp.sum((x - jnp.asarray(CENTER)) ** 2)
+
+    res = pt.pgm(jnp.asarray([-1.0, -1.0]), grad_f, 20.0,
+                 prox=prox_disk, accelerated=True, backtracking=True,
+                 f=f, e_rel=1e-8, max_iter=500, trace=True)
+    assert res.history.shape[0] == res.iterations
+    opt = 0.5 * CENTER / np.linalg.norm(CENTER)
+    np.testing.assert_allclose(np.asarray(res.x), opt, atol=1e-4)

@@ -203,3 +203,29 @@ def test_operators_jittable(X):
         eager = np.asarray(fn(jnp.abs(X) + 0.1, 0.5))
         jitted = np.asarray(jax.jit(fn)(jnp.abs(X) + 0.1, 0.5))
         np.testing.assert_allclose(jitted, eager, rtol=1e-12)
+
+
+def test_pocs_converges_to_intersection():
+    """AlternatingProjections iterates into the intersection of convex
+    sets (halfplane x>=0.2 and ball ||x||<=1)."""
+    def proj_half(x, step):
+        return x.at[0].set(jnp.maximum(x[0], 0.2))
+
+    def proj_ball(x, step):
+        n = jnp.sqrt(jnp.sum(x ** 2))
+        return jnp.where(n > 1.0, x / n, x)
+
+    ap = op.AlternatingProjections([proj_ball, proj_half], repeat=20)
+    out = np.asarray(ap(jnp.asarray([-3.0, 4.0]), 0.5))
+    assert out[0] >= 0.2 - 1e-6
+    assert np.linalg.norm(out) <= 1.0 + 1e-6
+
+
+def test_matrix_operator_metadata(rng):
+    from proxmin_tpu.linop import MatrixOperator
+
+    L = MatrixOperator(jnp.asarray(rng.normal(size=(4, 3))))
+    assert L.shape == (4, 3)
+    assert L.ndim == 2
+    assert L.size == 12
+    assert len(L) == 4
