@@ -78,7 +78,7 @@ def _timed(call, n_lo, n_hi, reps=2):
     """Marginal per-iteration time between two iteration counts,
     best of ``reps`` (device-side contention shows up as slow outliers)."""
     best = float("inf")
-    t_lo = None
+    best_t_lo = None
     out_hi = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -87,8 +87,11 @@ def _timed(call, n_lo, n_hi, reps=2):
         t0 = time.perf_counter()
         out_hi = call(n_hi)
         t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
-    return best, t_lo, out_hi
+        marginal = (t_hi - t_lo) / (n_hi - n_lo)
+        if marginal < best:
+            best = marginal
+            best_t_lo = t_lo   # diagnostics from the same rep as `best`
+    return best, best_t_lo, out_hi
 
 
 def bench_tpu(Y, A0, S0):

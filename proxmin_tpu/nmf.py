@@ -411,6 +411,7 @@ def nmf(
     elif engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")
 
+    Y_orig, W_orig = Y, W  # pre-conversion identities for adapter caching
     Y = jnp.asarray(Y)
     if _is_unweighted(W):
         W = 1
@@ -457,7 +458,8 @@ def nmf(
 
     bsdmm = getattr(algorithms, "bsdmm", None)
     if bsdmm is not None and algorithm is bsdmm:
-        prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step)
+        prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step,
+                                         Y_orig, W_orig)
         return bsdmm(
             X, prox_f, step_f,
             max_iter=max_iter, e_rel=e_rel, callback=callback,
@@ -470,19 +472,31 @@ def nmf(
 _BSDMM_ADAPTERS = {}
 
 
-def _bsdmm_adapters(Y, W, prox, step):
-    """Build (and cache by input identity) the bsdmm prox_f/step_f
-    closures: gradient steps wrapped as block prox_f (reference
-    nmf.py:181-193; the reference bug of referencing an undefined
-    `step_f` when a custom `step` is supplied — nmf.py:195-197 — is
-    fixed here). Caching keeps the closures' identities stable so the
-    bsdmm driver cache can hit on repeated solves."""
-    key = (id(Y), id(W) if hasattr(W, "shape") else W,
-           tuple(id(p) for p in prox),
-           id(step) if step is not None else None)
-    hit = _BSDMM_ADAPTERS.get(key)
-    if hit is not None:
-        return hit[0], hit[1]
+def _bsdmm_adapters(Y, W, prox, step, Y_orig=None, W_orig=None):
+    """Build (and cache, when safe) the bsdmm prox_f/step_f closures:
+    gradient steps wrapped as block prox_f (reference nmf.py:181-193; the
+    reference bug of referencing an undefined `step_f` when a custom
+    `step` is supplied — nmf.py:195-197 — is fixed here).
+
+    Caching keeps the closures' identities stable so the bsdmm driver
+    cache can hit on repeated solves — but ONLY when the caller's
+    original Y/W are immutable jax arrays (a NumPy Y could be mutated in
+    place, and a fresh device copy per call would make id-keys useless
+    while pinning dead device buffers)."""
+    prox = tuple(p if p is not None else operators.prox_id for p in prox)
+
+    cache_safe = isinstance(Y_orig, jax.Array) and (
+        not hasattr(W_orig, "shape") or isinstance(W_orig, jax.Array)
+    )
+    key = None
+    if cache_safe:
+        key = (id(Y_orig),
+               id(W_orig) if hasattr(W_orig, "shape") else W_orig,
+               tuple(id(p) for p in prox),
+               id(step) if step is not None else None)
+        hit = _BSDMM_ADAPTERS.get(key)
+        if hit is not None:
+            return hit[0], hit[1]
 
     grad = partial(grad_likelihood, Y=Y, W=W)
 
@@ -499,8 +513,9 @@ def _bsdmm_adapters(Y, W, prox, step):
         def step_f(Xs, j=None):
             return step(*Xs)[j]
 
-    # retain the keyed objects so their ids cannot be recycled
-    _BSDMM_ADAPTERS[key] = (prox_f, step_f, (Y, W, prox, step))
-    if len(_BSDMM_ADAPTERS) > 16:
-        _BSDMM_ADAPTERS.pop(next(iter(_BSDMM_ADAPTERS)))
+    if key is not None:
+        # retain the keyed objects so their ids cannot be recycled
+        _BSDMM_ADAPTERS[key] = (prox_f, step_f, (Y_orig, W_orig, prox, step))
+        if len(_BSDMM_ADAPTERS) > 16:
+            _BSDMM_ADAPTERS.pop(next(iter(_BSDMM_ADAPTERS)))
     return prox_f, step_f

@@ -31,8 +31,11 @@ from .common import (
     DriverCache,
     SolverResult,
     abstract_key,
+    cacheable,
     callable_key,
+    nested_key,
     tupleize,
+    value_key,
     writeback,
 )
 
@@ -43,16 +46,6 @@ __all__ = ["admm", "sdmm"]
 _RESTART_BUDGET = 8  # total body evaluations allowed: budget * max_iter
 
 _ADMM_CACHE = DriverCache()
-
-
-def _value_key(v):
-    """Cache key for a step/operator value: hashable scalars by value,
-    None as None, arrays/objects by identity (retained via retain_refs)."""
-    if v is None:
-        return None
-    if isinstance(v, (int, float)):
-        return ("v", float(v))
-    return ("id", id(v))
 
 
 def _as_step_fn(step):
@@ -240,7 +233,10 @@ def _sdmm_core(
         # alive so their ids cannot be recycled while the entry exists
         return compiled, retain_refs
 
-    if cache_key is None:
+    # mutable NumPy data in the key -> bypass the cache (id-keying could
+    # serve a stale trace after in-place mutation; retrace-per-call is
+    # always correct)
+    if cache_key is None or not cacheable(cache_key):
         compiled, _ = build()
     else:
         compiled, _ = _ADMM_CACHE.get_or_build(
@@ -292,10 +288,10 @@ def admm(
     steps_g = (step_g,) if prox_g is not None else ()
 
     cache_key = (
-        "admm", callable_key(prox_f), _value_key(step_f) if not callable(step_f)
-        else callable_key(step_f),
+        "admm", callable_key(prox_f),
+        callable_key(step_f) if callable(step_f) else value_key(step_f),
         callable_key(prox_g) if prox_g is not None else None,
-        _value_key(step_g), _value_key(L), float(e_rel), float(e_abs),
+        value_key(step_g), value_key(L), float(e_rel), float(e_abs),
         abstract_key((x0,)),
     )
     state = _sdmm_core(
@@ -369,10 +365,10 @@ def sdmm(
 
     cache_key = (
         "sdmm", callable_key(prox_f),
-        _value_key(step_f) if not callable(step_f) else callable_key(step_f),
+        callable_key(step_f) if callable(step_f) else value_key(step_f),
         tuple(callable_key(p) for p in proxs_g),
-        tuple(_value_key(s) for s in steps_g),
-        tuple(_value_key(Li) for Li in Ls),
+        nested_key(tuple(steps_g)),
+        nested_key(tuple(Ls)),
         float(e_rel), float(e_abs), abstract_key((x0,)),
     )
     state = _sdmm_core(

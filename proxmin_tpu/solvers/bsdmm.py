@@ -35,7 +35,9 @@ from .common import (
     DriverCache,
     SolverResult,
     abstract_key,
+    cacheable,
     callable_key,
+    nested_key,
     tupleize,
     writeback,
 )
@@ -266,19 +268,11 @@ def bsdmm(
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
         )
 
-    from .admm import _value_key
-
-    def _nested_key(obj):
-        if isinstance(obj, (list, tuple)):
-            return tuple(_nested_key(o) for o in obj)
-        if callable(obj):
-            return callable_key(obj)
-        return _value_key(obj)
-
     cache_key = (
         "bsdmm", callable_key(proxs_f), callable_key(steps_f_cb),
-        _nested_key(_user_structs),
-        update_order, steps_g_update, tuple(e_rel), tuple(e_abs),
+        nested_key(_user_structs),
+        update_order, steps_g_update,
+        tuple(float(v) for v in e_rel), tuple(float(v) for v in e_abs),
         max_iter, trace, callback is None, abstract_key(x0),
     )
 
@@ -298,7 +292,11 @@ def bsdmm(
         # retain the key's id-referenced objects alive with the entry
         return compiled, (proxs_f, steps_f_cb, _user_structs)
 
-    compiled, _ = _BSDMM_CACHE.get_or_build(cache_key, build)
+    if cacheable(cache_key):
+        compiled, _ = _BSDMM_CACHE.get_or_build(cache_key, build)
+    else:
+        # mutable NumPy data in the key: bypass (retrace per call)
+        compiled, _ = build()
 
     if callback is None:
         state = compiled(init_state())

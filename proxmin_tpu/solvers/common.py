@@ -111,6 +111,54 @@ def normalize_per_block(val, n_blocks):
     return val
 
 
+UNCACHEABLE = object()
+
+
+def value_key(v):
+    """Cache key for a data argument (step value, operator matrix).
+
+    Hashable scalars key by value; ``None`` by None; **immutable** jax
+    arrays by identity. Mutable NumPy arrays return :data:`UNCACHEABLE` —
+    id-keying them could serve stale compiled traces after in-place
+    mutation, so callers must bypass the cache instead (the pre-cache
+    behavior: retrace per call, always correct).
+    """
+    import jax
+    import numpy as _np
+
+    if v is None:
+        return None
+    if isinstance(v, (bool, int, float)):
+        return ("v", float(v))
+    if isinstance(v, jax.Array):
+        return ("id", id(v))
+    if isinstance(v, _np.ndarray):
+        return UNCACHEABLE
+    return ("id", id(v))
+
+
+def nested_key(obj):
+    """value_key/callable_key over (possibly nested) lists and tuples;
+    propagates UNCACHEABLE upward."""
+    if isinstance(obj, (list, tuple)):
+        parts = tuple(nested_key(o) for o in obj)
+        if any(p is UNCACHEABLE for p in parts):
+            return UNCACHEABLE
+        return parts
+    if callable(obj):
+        return callable_key(obj)
+    return value_key(obj)
+
+
+def cacheable(key):
+    """True if no component of the (nested tuple) key is UNCACHEABLE."""
+    if key is UNCACHEABLE:
+        return False
+    if isinstance(key, tuple):
+        return all(cacheable(k) for k in key)
+    return True
+
+
 def callable_key(fn):
     """A cache key for a user callable.
 

@@ -303,3 +303,41 @@ def test_sdmm_single_constraint_list_parity(rng):
     assert res.iterations == 25
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8,
                                atol=1e-10)
+
+
+def test_admm_numpy_L_mutation_not_stale(rng):
+    """Regression: mutable NumPy operator arguments bypass the driver
+    cache — in-place mutation between solves must be honored."""
+    L = np.eye(2)
+    r1 = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+              prox_g=prox_disk, L=L, e_rel=1e-8, max_iter=2000)
+    x1 = np.asarray(r1.x)
+    L[:] = 2 * np.eye(2)   # mutate in place, same object id
+    r2 = admm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+              prox_g=prox_disk, L=L, e_rel=1e-8, max_iter=2000)
+    x2 = np.asarray(r2.x)
+    # with 2I inside g, the effective disk radius halves
+    assert not np.allclose(x1, x2)
+    assert np.linalg.norm(x2) <= 0.25 + 1e-4
+
+
+def test_bsdmm_jnp_array_tolerances():
+    """Regression: jnp-array per-block tolerances must not crash the
+    cache-key construction."""
+    def proxs_f(x, step, Xs=None, j=None):
+        return (x + step * jnp.asarray(CENTER)) / (1 + step)
+
+    res = bsdmm([jnp.zeros(2)], proxs_f, lambda Xs, j=None: 0.5,
+                e_rel=jnp.asarray([1e-6]), e_abs=jnp.asarray([0.0]),
+                max_iter=20)
+    assert np.isfinite(np.asarray(res.x[0])).all()
+
+
+def test_nmf_bsdmm_none_prox(rng):
+    """Regression: prox_A=None with algorithm='bsdmm' means identity like
+    the other paths (was TypeError)."""
+    Y = rng.standard_normal((6, 8))
+    A0, S0 = rng.random((6, 2)), rng.random((2, 8))
+    res = pt.nmf.nmf(Y, A0, S0, algorithm="bsdmm", prox_A=None,
+                     prox_S=None, e_rel=0, max_iter=10)
+    assert np.isfinite(np.asarray(res.x[1])).all()

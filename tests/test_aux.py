@@ -272,3 +272,14 @@ def test_pgm_trace_backtracking_accelerated():
     assert res.history.shape[0] == res.iterations
     opt = 0.5 * CENTER / np.linalg.norm(CENTER)
     np.testing.assert_allclose(np.asarray(res.x), opt, atol=1e-4)
+
+
+def test_clear_caches_clears_bsdmm_adapters(rng):
+    from proxmin_tpu.nmf import _BSDMM_ADAPTERS
+
+    Y = jnp.asarray(rng.random((4, 8)))
+    A0, S0 = rng.random((4, 2)), rng.random((2, 8))
+    pt.nmf.nmf(Y, A0, S0, algorithm="bsdmm", e_rel=0, max_iter=3)
+    assert len(_BSDMM_ADAPTERS) >= 1
+    pt.clear_caches()
+    assert len(_BSDMM_ADAPTERS) == 0
