@@ -75,32 +75,31 @@ def bench_numpy(Y, A0, S0):
 
 
 def _timed(call, n_lo, n_hi, reps=2):
-    """Marginal per-iteration time between two iteration counts,
-    best of ``reps`` (device-side contention shows up as slow outliers)."""
-    best = float("inf")
-    best_t_lo = None
+    """Marginal per-iteration time between two iteration counts.
+
+    Device-side contention shows up as slow outliers, so the least-
+    contended estimate of each call is taken independently (min over
+    reps) before forming the slope — min-of-paired-slopes would instead
+    amplify mismatched pairs (slow lo + fast hi) into impossibly low
+    marginals."""
+    t_los, t_his = [], []
     out_hi = None
     for _ in range(reps):
         t0 = time.perf_counter()
         call(n_lo)
-        t_lo = time.perf_counter() - t0
+        t_los.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         out_hi = call(n_hi)
-        t_hi = time.perf_counter() - t0
-        marginal = (t_hi - t_lo) / (n_hi - n_lo)
-        if marginal < best:
-            best = marginal
-            best_t_lo = t_lo   # diagnostics from the same rep as `best`
-    return best, best_t_lo, out_hi
+        t_his.append(time.perf_counter() - t0)
+    marginal = (min(t_his) - min(t_los)) / (n_hi - n_lo)
+    return marginal, min(t_los), out_hi
 
 
 def bench_tpu(Y, A0, S0):
     import jax
     import jax.numpy as jnp
     from proxmin_tpu import operators
-    from proxmin_tpu.nmf import (
-        _make_fused_pgm_runner, grad_likelihood, step_pgm,
-    )
+    from proxmin_tpu.nmf import _make_fused_pgm_runner, pgm_nmf_iteration
 
     log(f"devices: {jax.devices()}")
     Y_dev = jnp.asarray(Y)
@@ -108,20 +107,11 @@ def bench_tpu(Y, A0, S0):
     S = jnp.asarray(S0)
 
     # --- engine 1: XLA-fused solver loop --------------------------------
-    # convergence norms are carried (live outputs) so XLA cannot eliminate
-    # them — the real solver computes them every iteration and NumPy pays
-    # for them too
+    # pgm_nmf_iteration carries the convergence norms as live outputs so
+    # XLA cannot eliminate work the real solver (and NumPy) performs
     def body(i, carry):
         A, S, _ = carry
-        gA, gS = grad_likelihood(A, S, Y=Y_dev)
-        sA, sS = step_pgm(A, S)
-        A_new = operators.prox_plus(A - sA * gA, sA)
-        S_new = operators.prox_plus(S - sS * gS, sS)
-        conv = jnp.logical_and(
-            jnp.sum((A_new - A) ** 2) <= 0.0 * jnp.sum(A_new ** 2),
-            jnp.sum((S_new - S) ** 2) <= 0.0 * jnp.sum(S_new ** 2),
-        )
-        return A_new, S_new, conv
+        return pgm_nmf_iteration(A, S, Y_dev)
 
     @jax.jit
     def run_xla(A, S, n):
@@ -136,8 +126,9 @@ def bench_tpu(Y, A0, S0):
     call_xla(ITERS_LO)  # compile
     compile_time = time.perf_counter() - t0
     t_xla, first, A_xla = _timed(call_xla, ITERS_LO, ITERS_HI)
+    fixed = max(first - ITERS_LO * t_xla, 0.0)
     log(f"tpu/xla:    {t_xla * 1e3:.3f} ms/iter (marginal; "
-        f"{first * 1e3:.0f} ms fixed/call; compile {compile_time:.0f}s)")
+        f"~{fixed * 1e3:.0f} ms fixed/call; compile {compile_time:.0f}s)")
 
     # skip the second engine when compiles are cold and very slow (keeps
     # the bench inside external time budgets; xla is the default engine)
@@ -156,8 +147,9 @@ def bench_tpu(Y, A0, S0):
 
     call_pallas(ITERS_LO)  # compile
     t_pal, first, A_pal = _timed(call_pallas, ITERS_LO, ITERS_HI)
+    fixed = max(first - ITERS_LO * t_pal, 0.0)
     log(f"tpu/pallas: {t_pal * 1e3:.3f} ms/iter (marginal; "
-        f"{first * 1e3:.0f} ms fixed/call)")
+        f"~{fixed * 1e3:.0f} ms fixed/call)")
 
     if t_pal < t_xla:
         return t_pal, "pallas"

@@ -20,21 +20,26 @@ import jax.numpy as jnp  # noqa: E402
 import proxmin_tpu as pt  # noqa: E402
 from proxmin_tpu import operators  # noqa: E402
 from proxmin_tpu.nmf import (  # noqa: E402
-    _make_fused_pgm_runner, grad_likelihood, step_pgm,
+    _make_fused_pgm_runner, pgm_nmf_iteration,
 )
 
 ITERS_LO, ITERS_HI = 100, 300
 
 
-def _slope(call):
+def _slope(call, reps=2):
+    """Marginal per-iteration time from independently min'd call times
+    (same methodology as bench.py: contention outliers rejected without
+    pairing artifacts)."""
     call(ITERS_LO)  # compile/warm
-    t0 = time.perf_counter()
-    call(ITERS_LO)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    call(ITERS_HI)
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
+    t_los, t_his = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        call(ITERS_LO)
+        t_los.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        call(ITERS_HI)
+        t_his.append(time.perf_counter() - t0)
+    return (min(t_his) - min(t_los)) / (ITERS_HI - ITERS_LO)
 
 
 def engines_at(C, K, N):
@@ -45,15 +50,7 @@ def engines_at(C, K, N):
 
     def body(i, c):
         A, S, _ = c
-        gA, gS = grad_likelihood(A, S, Y=Y)
-        sA, sS = step_pgm(A, S)
-        A_new = operators.prox_plus(A - sA * gA, sA)
-        S_new = operators.prox_plus(S - sS * gS, sS)
-        conv = jnp.logical_and(
-            jnp.sum((A_new - A) ** 2) <= 0.0 * jnp.sum(A_new ** 2),
-            jnp.sum((S_new - S) ** 2) <= 0.0 * jnp.sum(S_new ** 2),
-        )
-        return A_new, S_new, conv
+        return pgm_nmf_iteration(A, S, Y)
 
     @jax.jit
     def run_xla(A, S, n):

@@ -47,6 +47,7 @@ __all__ = [
     "step_S",
     "step_pgm",
     "step_adaprox",
+    "pgm_nmf_iteration",
     "nmf",
     "nmf_pgm_fused",
 ]
@@ -173,6 +174,26 @@ def step_pgm(*X, it=None, W=1):
     LA = _weighted_lipschitz_A(S, W)
     LS = _weighted_lipschitz_S(A, W)
     return 1.0 / LA, 1.0 / LS
+
+
+def pgm_nmf_iteration(A, S, Y):
+    """One reference-math PGM-NMF iteration: gradients, Lipschitz steps,
+    non-negativity prox, and the per-factor fixed-point convergence norms
+    as a live output (so benchmarks of this body cannot have the norms
+    dead-code-eliminated). Shared by ``bench.py``,
+    ``benchmarks/engine_scaling.py`` and ``__graft_entry__``.
+
+    Returns ``(A_new, S_new, converged_at_zero_tol)``.
+    """
+    gA, gS = grad_likelihood(A, S, Y=Y)
+    sA, sS = step_pgm(A, S)
+    A_new = operators.prox_plus(A - sA * gA, sA)
+    S_new = operators.prox_plus(S - sS * gS, sS)
+    conv = jnp.logical_and(
+        jnp.sum((A_new - A) ** 2) <= 0.0 * jnp.sum(A_new ** 2),
+        jnp.sum((S_new - S) ** 2) <= 0.0 * jnp.sum(S_new ** 2),
+    )
+    return A_new, S_new, conv
 
 
 def step_adaprox(*X, it=None):

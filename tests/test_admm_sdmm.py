@@ -294,13 +294,30 @@ def test_sdmm_single_constraint_list_parity(rng):
         return jnp.maximum(v, 0)
 
     L = rng.normal(size=(2, 2))
-    x_ref = np.array([-1.0, -1.0])
-    flag = ref.sdmm(x_ref, prox_f_quad_np, lambda X, it=None: 0.3,
-                    proxs_g=[pg_np], Ls=[L], e_rel=1e-4, max_iter=500)
+    import logging
+
+    msgs = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            msgs.append(record.getMessage())
+
+    handler = _H()
+    logging.getLogger("proxmin").addHandler(handler)
+    logging.getLogger("proxmin").setLevel(logging.INFO)
+    try:
+        x_ref = np.array([-1.0, -1.0])
+        flag = ref.sdmm(x_ref, prox_f_quad_np, lambda X, it=None: 0.3,
+                        proxs_g=[pg_np], Ls=[L], e_rel=1e-4, max_iter=500)
+    finally:
+        logging.getLogger("proxmin").removeHandler(handler)
+    ref_iters = int(next(m.split()[1] for m in msgs if "Completed" in m))
+    assert bool(flag)
+
     res = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.3,
                proxs_g=[pg], Ls=[jnp.asarray(L)], e_rel=1e-4, max_iter=500)
-    # identical stopping iteration and iterate
-    assert res.iterations == 25
+    # identical stopping iteration and iterate as the live reference
+    assert res.iterations == ref_iters
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8,
                                atol=1e-10)
 

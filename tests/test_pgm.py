@@ -108,10 +108,9 @@ def test_pgm_per_block_steps():
 
 
 def test_pgm_step_function_with_it():
-    calls = {"n": 0}
-
     def step(*X, it=None):
-        return 1.0 / (1.0 + 0.0 * it)  # constant but uses `it`
+        # constant value, but fails loudly if `it` is not threaded through
+        return 1.0 / (1.0 + 0.0 * it)
 
     x0 = jnp.asarray([-1.0, -1.0])
     res = pgm(x0, grad_f, step, e_rel=1e-10, max_iter=500)
