@@ -94,12 +94,26 @@ def shard_nmf_problem(mesh, Y, A, S, W=None, data_axis="data",
     y_spec = P(model_axis, data_axis)
     a_spec = P(model_axis, None)
     s_spec = P(None, data_axis)
-    Y = jax.device_put(jnp.asarray(Y), NamedSharding(mesh, y_spec))
-    A = jax.device_put(jnp.asarray(A), NamedSharding(mesh, a_spec))
-    S = jax.device_put(jnp.asarray(S), NamedSharding(mesh, s_spec))
+    Y = _put(Y, NamedSharding(mesh, y_spec))
+    A = _put(A, NamedSharding(mesh, a_spec))
+    S = _put(S, NamedSharding(mesh, s_spec))
     if W is not None and hasattr(W, "shape") and getattr(W, "ndim", 0) == 2:
-        W = jax.device_put(jnp.asarray(W), NamedSharding(mesh, y_spec))
+        W = _put(W, NamedSharding(mesh, y_spec))
     return Y, A, S, W
+
+
+def _put(x, sharding):
+    """``device_put`` straight from host memory to the target sharding.
+
+    Host inputs go through ``np.asarray`` (no device commitment), NOT
+    ``jnp.asarray``: the latter first commits the array to the *default*
+    backend, which forces a cross-backend transfer when the mesh lives on
+    a different platform (e.g. a virtual CPU mesh while the default
+    backend is a TPU) — and can fail outright when that backend is
+    unavailable. jax.Arrays are passed through as-is."""
+    if not isinstance(x, jax.Array):
+        x = np.asarray(x)
+    return jax.device_put(x, sharding)
 
 
 def prox_unity_sharded(X, step, axis=0, axis_name=None):
@@ -266,9 +280,15 @@ def nmf_pgm_sharded(
         data_axis=data_axis, model_axis=model_axis,
     )
     if not weighted:
-        W_sh = jax.device_put(
-            jnp.broadcast_to(jnp.ones((), Y.dtype), Y.shape),
-            NamedSharding(mesh, P(model_axis, data_axis)),
+        # build the all-ones weight shard-by-shard on host: never touches
+        # the default backend (the mesh may live on a different platform)
+        sh = NamedSharding(mesh, P(model_axis, data_axis))
+        np_dt = np.dtype(Y.dtype)
+        W_sh = jax.make_array_from_callback(
+            Y.shape, sh,
+            lambda idx: np.ones(
+                tuple(len(range(*s.indices(d)))
+                      for s, d in zip(idx, Y.shape)), np_dt),
         )
 
     y_spec = P(model_axis, data_axis)
