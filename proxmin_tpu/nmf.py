@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from . import algorithms, operators
+from .solvers.common import asarray_cached
 
 import logging
 
@@ -390,6 +391,13 @@ def nmf(
     Returns:
         The solver's :class:`~proxmin_tpu.solvers.common.SolverResult`;
         ``result.x == (A, S)``.
+
+    Note on repeat-solve caching: the compiled driver is reused across
+    calls when the data arguments key identically. NumPy ``Y``/``W`` up
+    to 64 MiB are content-hashed (equal data ⇒ cache hit, ~ms repeat
+    solves; in-place mutation ⇒ fresh trace, never stale). Above that,
+    pass ``Y``/``W`` as jax arrays and reuse the same objects to get
+    cache hits without hashing overhead.
     """
     if algorithm is None:
         algorithm = algorithms.pgm
@@ -433,7 +441,10 @@ def nmf(
         raise ValueError(f"unknown engine {engine!r}")
 
     Y_orig, W_orig = Y, W  # pre-conversion identities for adapter caching
-    Y = jnp.asarray(Y)
+    # content-keyed conversion: repeat solves with equal NumPy data reuse
+    # the same device array, so the driver-cache keys below repeat too
+    # (pass jax arrays directly for zero-overhead hits on >64 MiB data)
+    Y = asarray_cached(Y)
     if _is_unweighted(W):
         W = 1
     elif np.isscalar(W) or getattr(W, "ndim", None) == 0:
@@ -441,7 +452,7 @@ def nmf(
         # (which needs W's 2-D structure) works; the reference crashes here
         W = jnp.full(Y.shape, W, Y.dtype)
     else:
-        W = jnp.asarray(W)
+        W = asarray_cached(W)
 
     grad = partial(grad_likelihood, Y=Y, W=W)
     X = [A, S]

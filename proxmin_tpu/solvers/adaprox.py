@@ -34,6 +34,7 @@ from .common import (
     DriverCache,
     SolverResult,
     abstract_key,
+    cacheable,
     callable_key,
     normalize_per_block,
     normalize_prox,
@@ -350,7 +351,12 @@ def adaprox(
             return stepper, jax.jit(run, donate_argnums=0)
         return stepper, jax.jit(body, donate_argnums=0)
 
-    cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)
+    if cacheable(key):
+        cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)
+    else:
+        # e.g. a mutable NumPy step array: retrace per call (always
+        # correct), mirroring the ADMM/bSDMM drivers' cacheable() bypass
+        cached_stepper, compiled = build()
 
     def init_state():
         G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)

@@ -343,6 +343,14 @@ def sdmm(
         ``BoolResult`` — truthy iff converged (the reference returns the
         bare flag, ``algorithms.py:650``) with attributes ``.x``,
         ``.iterations``, ``.errors``.
+
+    Deliberate deviation from the reference: the single-constraint
+    fallback forwards ``e_abs`` to :func:`admm`, whereas the reference
+    silently drops it in that branch (``algorithms.py:568-579``) so
+    ``sdmm(..., proxs_g=<single prox>, e_abs>0)`` stops on a different
+    criterion than the M=1 list form. Here the scalar and the
+    one-element-list spellings converge identically (pinned by
+    ``test_sdmm_scalar_fallback_honors_e_abs``).
     """
     if proxs_g is None or not hasattr(proxs_g, "__iter__"):
         return admm(

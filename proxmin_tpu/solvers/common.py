@@ -208,6 +208,33 @@ class DriverCache:
         return value
 
 
+_ASARRAY_CACHE = DriverCache(maxsize=8)
+_ASARRAY_BYTE_LIMIT = 64 * 1024 * 1024
+
+
+def asarray_cached(x):
+    """``jnp.asarray`` with a content-keyed device-array cache for host
+    inputs.
+
+    A NumPy input converted with plain ``jnp.asarray`` gets a fresh
+    device array (new ``id``) on every call, so driver-cache keys built
+    from it (e.g. ``nmf``'s ``partial(grad_likelihood, Y=...)``) never
+    repeat and every solve re-traces. Keying the converted array by
+    *content hash* makes repeat solves with equal data reuse both the
+    device array and the compiled driver — and stays mutation-safe:
+    in-place mutation changes the hash, yielding a fresh device copy
+    (unlike id-keying, which would serve stale data). Inputs larger than
+    64 MiB skip the cache (hashing cost ~ tens of ms); pass jax arrays
+    for zero-overhead cache hits at scale.
+    """
+    import numpy as _np
+
+    if isinstance(x, _np.ndarray) and x.nbytes <= _ASARRAY_BYTE_LIMIT:
+        key = (x.shape, str(x.dtype), hash(x.tobytes()))
+        return _ASARRAY_CACHE.get_or_build(key, lambda: jnp.asarray(x))
+    return jnp.asarray(x)
+
+
 def abstract_key(tree):
     """Shapes/dtypes signature of a pytree of arrays."""
     import jax

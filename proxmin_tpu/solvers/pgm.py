@@ -29,8 +29,10 @@ from .common import (
     DriverCache,
     SolverResult,
     abstract_key,
+    cacheable,
     callable_key,
     normalize_per_block,
+    value_key,
     normalize_prox,
     tupleize,
     writeback,
@@ -205,6 +207,17 @@ def _init_state(x0, grad, stepper, n, max_iter, trace):
 _PGM_CACHE = DriverCache()
 
 
+def _const_step_key(v):
+    """Key one constant step value: scalars (incl. 0-d arrays) by value,
+    immutable jax arrays by identity, mutable NumPy arrays UNCACHEABLE
+    (id-keying them would serve stale traces after in-place mutation —
+    same policy as :func:`common.value_key`)."""
+    try:
+        return ("v", float(v))
+    except (TypeError, ValueError):
+        return value_key(v)
+
+
 def _stepper_cache_key(step, stepper):
     from ..utils import (
         BarzilaiBorweinStepper, ConstantStepper, StridedStepper,
@@ -214,10 +227,7 @@ def _stepper_cache_key(step, stepper):
         return ("strided", stepper.stride, stepper.safety,
                 callable_key(stepper._orig))
     if isinstance(stepper, ConstantStepper):
-        try:
-            return ("const", tuple(float(v) for v in stepper.value))
-        except (TypeError, ValueError):
-            return ("const-id", tuple(id(v) for v in stepper.value))
+        return ("const", tuple(_const_step_key(v) for v in stepper.value))
     if isinstance(stepper, BarzilaiBorweinStepper):
         return ("bb", stepper.type, stepper.r)
     return ("fn", callable_key(step))
@@ -305,7 +315,12 @@ def pgm(
             )
         return stepper, jax.jit(body, donate_argnums=0)
 
-    cached_stepper, run = _PGM_CACHE.get_or_build(key, build)
+    if cacheable(key):
+        cached_stepper, run = _PGM_CACHE.get_or_build(key, build)
+    else:
+        # e.g. a mutable NumPy step array: retrace per call (always
+        # correct), mirroring the ADMM/bSDMM drivers' cacheable() bypass
+        cached_stepper, run = build()
 
     if callback is None:
         state = run(_init_state(x0, grad, cached_stepper, n, max_iter, trace))

@@ -358,3 +358,23 @@ def test_nmf_bsdmm_none_prox(rng):
     res = pt.nmf.nmf(Y, A0, S0, algorithm="bsdmm", prox_A=None,
                      prox_S=None, e_rel=0, max_iter=10)
     assert np.isfinite(np.asarray(res.x[1])).all()
+
+
+def test_sdmm_scalar_fallback_honors_e_abs():
+    """Pins the documented deviation from the reference: sdmm's
+    single-constraint fallback forwards e_abs to admm (the reference
+    drops it, algorithms.py:568-579), so the scalar spelling behaves
+    exactly like a direct admm call — and e_abs actually loosens the
+    stopping criterion."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    r_sdmm = sdmm(x0, prox_f_quad, 0.5, proxs_g=prox_disk,
+                  e_rel=1e-6, e_abs=1e-2, max_iter=2000)
+    r_admm = admm(x0, prox_f_quad, 0.5, prox_g=prox_disk,
+                  e_rel=1e-6, e_abs=1e-2, max_iter=2000)
+    assert r_sdmm.iterations == r_admm.iterations
+    np.testing.assert_allclose(np.asarray(r_sdmm.x), np.asarray(r_admm.x),
+                               rtol=0, atol=0)
+    # and the loose e_abs stops earlier than e_abs=0
+    r_tight = sdmm(x0, prox_f_quad, 0.5, proxs_g=prox_disk,
+                   e_rel=1e-6, e_abs=0, max_iter=2000)
+    assert r_sdmm.iterations < r_tight.iterations

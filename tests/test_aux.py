@@ -283,3 +283,33 @@ def test_clear_caches_clears_bsdmm_adapters(rng):
     assert len(_BSDMM_ADAPTERS) >= 1
     pt.clear_caches()
     assert len(_BSDMM_ADAPTERS) == 0
+
+
+def test_asarray_cached_content_keyed():
+    """asarray_cached: equal content reuses the device array (stable id
+    for driver-cache keys); in-place mutation yields a fresh copy (never
+    stale)."""
+    from proxmin_tpu.solvers.common import asarray_cached
+
+    y = np.arange(6, dtype=np.float32).reshape(2, 3)
+    d1 = asarray_cached(y)
+    d2 = asarray_cached(y.copy())     # different object, same content
+    assert d1 is d2
+    y[0, 0] = 99.0                    # in-place mutation
+    d3 = asarray_cached(y)
+    assert d3 is not d1
+    np.testing.assert_array_equal(np.asarray(d3), y)
+
+
+def test_nmf_numpy_Y_repeat_solve_hits_driver_cache(rng):
+    """Advisor r1: repeat nmf() solves with an (unchanged) NumPy Y must
+    reuse the compiled pgm driver instead of re-tracing each call."""
+    from proxmin_tpu.solvers.pgm import _PGM_CACHE
+
+    Y = rng.random((4, 32)).astype(np.float32)
+    A0 = rng.random((4, 2)).astype(np.float32)
+    S0 = rng.random((2, 32)).astype(np.float32)
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=3)
+    n_entries = len(_PGM_CACHE._d)
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=3)
+    assert len(_PGM_CACHE._d) == n_entries

@@ -220,3 +220,30 @@ def test_pgm_multiblock_jax_grad():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(res.x[1]), np.asarray(c2),
                                atol=1e-8)
+
+
+def test_pgm_numpy_step_array_mutation_not_stale():
+    """Regression (advisor r1): a mutable NumPy step array must not be
+    baked into a cached trace — in-place mutation between solves is
+    honored by bypassing the driver cache."""
+    step = np.array([1.0, 1.0])
+    r1 = pgm(jnp.zeros(2), grad_f, step, e_rel=0, max_iter=1)
+    x1 = np.asarray(r1.x)
+    step[:] = 0.0   # mutate in place, same object id
+    r2 = pgm(jnp.zeros(2), grad_f, step, e_rel=0, max_iter=1)
+    x2 = np.asarray(r2.x)
+    # zero step: the iterate must not move at all
+    np.testing.assert_allclose(x2, 0.0)
+    assert not np.allclose(x1, x2)
+
+
+def test_adaprox_numpy_step_array_mutation_not_stale():
+    from proxmin_tpu import adaprox
+
+    step = np.array([0.5, 0.5])
+    r1 = adaprox(jnp.zeros(2), grad_f, step, e_rel=0, max_iter=1)
+    x1 = np.asarray(r1.x)
+    step[:] = 0.0
+    r2 = adaprox(jnp.zeros(2), grad_f, step, e_rel=0, max_iter=1)
+    np.testing.assert_allclose(np.asarray(r2.x), 0.0)
+    assert not np.allclose(x1, np.asarray(r2.x))
