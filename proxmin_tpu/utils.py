@@ -207,24 +207,43 @@ class BarzilaiBorweinStepper:
         x_prev, g_prev, delta = state
         n = len(X)
 
+        def _safe_div(num, den, fallback):
+            """num/den with a data-dependent fallback where den == 0
+            (0/0 Rayleigh quotients on an exactly stalled iterate must
+            yield the stabilized step, not NaN — the reference shares
+            this flaw, utils.py:231-236)."""
+            ok = den != 0
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), fallback)
+
         steps0 = tuple(
-            self.r * jnp.max(jnp.abs(X[j])) / jnp.max(jnp.abs(G[j]))
+            _safe_div(self.r * jnp.max(jnp.abs(X[j])),
+                      jnp.max(jnp.abs(G[j])), 0.0)
             for j in range(n)
         )
 
         S = tuple(X[j] - x_prev[j] for j in range(n))
         Y = tuple(G[j] - g_prev[j] for j in range(n))
-        eps = 0.0
+        # inf marks an undefined quotient: the min with Astab below then
+        # selects the stabilized step
         if self.type == 1:
-            A = tuple(jnp.sum(S[j] ** 2) / (jnp.sum(S[j] * Y[j]) + eps) for j in range(n))
+            A = tuple(
+                _safe_div(jnp.sum(S[j] ** 2), jnp.sum(S[j] * Y[j]), jnp.inf)
+                for j in range(n)
+            )
         else:
-            A = tuple(jnp.sum(S[j] * Y[j]) / (jnp.sum(Y[j] ** 2) + eps) for j in range(n))
+            A = tuple(
+                _safe_div(jnp.sum(S[j] * Y[j]), jnp.sum(Y[j] ** 2), jnp.inf)
+                for j in range(n)
+            )
 
         # stabilization: Delta tracks min step length over the first iterations
         step_len = jnp.stack([jnp.sqrt(jnp.sum(S[j] ** 2)) for j in range(n)])
         delta_new = jnp.where(it <= 3, jnp.minimum(delta, step_len), delta)
+        # zero gradient → stationary: a zero step keeps the iterate fixed
+        # (inf here would produce inf * 0 = NaN in the solver update)
         Astab = tuple(
-            delta_new[j] / jnp.sqrt(jnp.sum(G[j] ** 2)) for j in range(n)
+            _safe_div(delta_new[j], jnp.sqrt(jnp.sum(G[j] ** 2)), 0.0)
+            for j in range(n)
         )
 
         steps_bb = tuple(jnp.minimum(jnp.abs(A[j]), Astab[j]) for j in range(n))

@@ -235,3 +235,29 @@ def test_langville_convergence(rng):
     assert bool(conv)
     conv2, _ = utils.check_convergence(x * 0.5, x, 1e-4)
     assert not bool(conv2)
+
+
+def test_bb_stepper_stall_no_nan(rng):
+    """Hardened 0/0 path (VERDICT r1 #7): an exactly stalled iterate
+    (S = X - x_prev = 0) must yield the stabilized step, not NaN — and a
+    zero gradient must yield a zero step, not inf."""
+    for bb_type in (1, 2):
+        stepper = utils.BarzilaiBorweinStepper(type=bb_type, init_r=0.1)
+        x = (jnp.asarray(rng.normal(size=(4,))),)
+        g = (jnp.asarray(rng.normal(size=(4,))),)
+        s0 = stepper.step(*x, it=0, grads=g)
+        # stall: same iterate AND same gradient again
+        s1 = stepper.step(*x, it=1, grads=g)
+        assert np.isfinite(s1[0]), f"BB{bb_type} stall produced {s1[0]}"
+        # zero gradient at it=0: step must be finite (0), not inf
+        stepper2 = utils.BarzilaiBorweinStepper(type=bb_type)
+        z = (jnp.zeros(4),)
+        s = stepper2.step(*x, it=0, grads=z)
+        assert np.isfinite(s[0])
+        # and through pgm: starting AT the optimum with BB steps
+        from proxmin_tpu import pgm
+        res = pgm((jnp.asarray([1.0, 0.5]),),
+                  lambda x: x - jnp.asarray([1.0, 0.5]),
+                  utils.BarzilaiBorweinStepper(type=bb_type),
+                  e_rel=0, max_iter=5)
+        assert np.isfinite(np.asarray(res.x)).all()
