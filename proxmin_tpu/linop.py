@@ -25,8 +25,10 @@ __all__ = [
     "LinearOperator",
     "IdentityOperator",
     "MatrixOperator",
+    "FunctionOperator",
     "as_linear_operator",
     "power_iteration_norm_sq",
+    "lanczos_norm_sq",
     "MatrixAdapter",
 ]
 
@@ -54,6 +56,51 @@ def power_iteration_norm_sq(matvec, rmatvec, shape, num_iters=64, dtype=jnp.floa
     v = jax.lax.fori_loop(0, num_iters, body, v0)
     Lv = matvec(v.reshape(shape)).reshape(-1)
     return jnp.vdot(Lv, Lv).real.astype(dtype)
+
+
+def lanczos_norm_sq(matvec, rmatvec, shape, num_iters=64,
+                    dtype=jnp.float32):
+    """``lambda_max(L^T L)`` for an implicit operator by fixed-size
+    Lanczos.
+
+    Power iteration converges like ``(lambda_2/lambda_1)^k`` — hopeless
+    for operators with clustered top eigenvalues (e.g. finite
+    differences, where the gap is O(1/n^2)). Lanczos reaches the extreme
+    eigenvalue in O(sqrt(condition)) iterations instead: k matvec pairs
+    build a k×k tridiagonal whose top Ritz value lower-bounds
+    ``lambda_max`` tightly. Fully jittable: ``lax.fori_loop`` body, no
+    reorthogonalization (ghost eigenvalues only duplicate converged
+    ones, which cannot change the max), ``eigvalsh`` on the tiny k×k.
+    Breakdown (invariant subspace found, beta=0) zeroes the remaining
+    vectors, leaving the computed block — and its max — intact.
+    """
+    n = int(np.prod(shape))
+    k = min(int(num_iters), n)
+
+    def Av(v):
+        return rmatvec(matvec(v.reshape(shape))).reshape(-1).astype(dtype)
+
+    v0 = jnp.ones((n,), dtype=dtype)
+    v0 = v0 + 0.01 * jnp.arange(1, n + 1, dtype=dtype) / n
+    v0 = v0 / jnp.linalg.norm(v0)
+    tiny = jnp.finfo(dtype).tiny
+
+    def body(i, carry):
+        v_prev, v, beta_prev, alphas, betas = carry
+        w = Av(v) - beta_prev * v_prev
+        alpha = jnp.vdot(v, w).real.astype(dtype)
+        w = w - alpha * v
+        beta = jnp.linalg.norm(w)
+        v_next = jnp.where(beta > tiny, w / jnp.maximum(beta, tiny), 0.0)
+        return (v, v_next, beta,
+                alphas.at[i].set(alpha), betas.at[i].set(beta))
+
+    init = (jnp.zeros_like(v0), v0, jnp.zeros((), dtype),
+            jnp.zeros((k,), dtype), jnp.zeros((k,), dtype))
+    _, _, _, alphas, betas = jax.lax.fori_loop(0, k, body, init)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    return jnp.maximum(jnp.linalg.eigvalsh(T)[-1], 0.0).astype(dtype)
 
 
 def gram_norm_sq(M):
@@ -208,6 +255,103 @@ class MatrixOperator(LinearOperator):
 
     def __repr__(self):
         return f"MatrixOperator(shape={self.L.shape}, axis={self.axis})"
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionOperator(LinearOperator):
+    """Matrix-free linear operator from user ``matvec``/``rmatvec``
+    callables.
+
+    The TPU-native replacement for the reference's scipy.sparse support
+    (``/root/reference/proxmin/utils.py:28-35,53-60``): instead of a
+    sparse matrix, the user supplies the *action* of a structured
+    operator (finite differences, convolutions, wavelets, ...) as
+    jittable functions. The spectral quantity ``lambda_max(L^T L)`` is
+    computed once at construction by on-device Lanczos iteration
+    (:func:`lanczos_norm_sq`) and cached as a pytree leaf —
+    nothing of size bigger than the operand is ever materialized, so a
+    TV operator on a 1e6-dim x costs O(n) memory where a dense L would
+    need O(n^2).
+
+    Accepted by admm/sdmm/bsdmm anywhere an ``L`` is (``Ls=[op, ...]``).
+
+    Args:
+        matvec: ``x -> L x``, jit-traceable, for ``x`` of ``in_shape``.
+        rmatvec: ``y -> L^T y``; must be the true adjoint of ``matvec``
+            (power iteration and the ADMM dual updates rely on it).
+        in_shape: shape of the operand ``x``.
+        dtype: dtype used for the power-iteration probe.
+        norm_sq: optional known ``lambda_max(L^T L)`` — skips the power
+            iteration (e.g. 4*ndim for forward differences per axis).
+        num_iters: power-iteration count (fixed for jittability).
+    """
+
+    is_identity = False
+
+    def __init__(self, matvec, rmatvec, in_shape, dtype=jnp.float32,
+                 norm_sq=None, num_iters=64):
+        self._mv = matvec
+        self._rmv = rmatvec
+        self.in_shape = tuple(int(s) for s in in_shape)
+        self.dtype = np.dtype(dtype)
+        self.num_iters = int(num_iters)
+        if norm_sq is None:
+            # Lanczos, not power iteration: structured operators (TV,
+            # convolutions) have clustered top eigenvalues where power
+            # iteration stalls at ~1% error even after 64 passes
+            norm_sq = lanczos_norm_sq(
+                matvec, rmatvec, self.in_shape,
+                num_iters=self.num_iters, dtype=self.dtype,
+            )
+        self._norm_sq = norm_sq
+
+    def matvec(self, X):
+        return self._mv(X)
+
+    def rmatvec(self, X):
+        return self._rmv(X)
+
+    @property
+    def out_shape(self):
+        probe = jax.eval_shape(
+            self._mv, jax.ShapeDtypeStruct(self.in_shape, self.dtype)
+        )
+        return probe.shape
+
+    @property
+    def T(self):
+        # lambda_max(L L^T) == lambda_max(L^T L): the cached norm carries
+        # over, so no power iteration on the transpose
+        return FunctionOperator(
+            self._rmv, self._mv, self.out_shape, dtype=self.dtype,
+            norm_sq=self._norm_sq, num_iters=self.num_iters,
+        )
+
+    @property
+    def spectral_norm_sq(self):
+        return self._norm_sq
+
+    def tree_flatten(self):
+        return (self._norm_sq,), (
+            self._mv, self._rmv, self.in_shape, str(self.dtype),
+            self.num_iters,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mv, rmv, in_shape, dtype, num_iters = aux
+        obj = object.__new__(cls)
+        obj._mv = mv
+        obj._rmv = rmv
+        obj.in_shape = in_shape
+        obj.dtype = np.dtype(dtype)
+        obj.num_iters = num_iters
+        (obj._norm_sq,) = children
+        return obj
+
+    def __repr__(self):
+        return (f"FunctionOperator(in_shape={self.in_shape}, "
+                f"dtype={self.dtype})")
 
 
 def as_linear_operator(L, axis=None):

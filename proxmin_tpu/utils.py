@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .linop import (  # noqa: F401  (re-exported for reference parity)
+    FunctionOperator,
     IdentityOperator,
     LinearOperator,
     MatrixAdapter,
