@@ -381,11 +381,13 @@ def nmf(
             channel counts >= 64 where it measures faster on v5e, else
             xla; falls back to xla when pallas preconditions don't hold).
         step_stride: recompute the Lipschitz step sizes only every this
-            many iterations (in-carry :class:`~proxmin_tpu.utils.
-            StridedStepper` with a 0.9 safety factor). The weighted
-            bounds cost ~50 passes over W per evaluation, so striding
-            them is an order-of-magnitude win on large weighted problems
-            (the reference recomputes every iteration, ``nmf.py:69-88``).
+            many iterations, with a 0.9 safety factor (pgm/adaprox: via
+            an in-carry :class:`~proxmin_tpu.utils.StridedStepper`;
+            bsdmm: via the driver's ``steps_f_stride`` carry). The
+            weighted bounds cost ~50 passes over W per evaluation, so
+            striding them is an order-of-magnitude win on large weighted
+            problems for every CMF path (the reference recomputes every
+            iteration, ``nmf.py:69-88``).
         algorithm_args: extra solver kwargs (e.g. ``accelerated=True``).
 
     Returns:
@@ -458,12 +460,8 @@ def nmf(
     X = [A, S]
     prox = [prox_A, prox_S]
 
-    if step_stride is not None and algorithm is not algorithms.pgm:
-        raise ValueError(
-            "step_stride only applies to algorithm='pgm' (the adaprox "
-            "step heuristic is already cheap, and bsdmm recomputes "
-            "per-block steps by design)"
-        )
+    # step_stride routing: pgm/adaprox wrap the stepper in StridedStepper;
+    # bsdmm strides the per-block steps_f_cb inside its own carry
 
     if algorithm is algorithms.pgm:
         if step is None:
@@ -482,6 +480,10 @@ def nmf(
     if adaprox is not None and algorithm is adaprox:
         if step is None:
             step = step_adaprox
+        if step_stride is not None and step_stride > 1:
+            from .utils import StridedStepper
+
+            step = StridedStepper(step, 2, stride=step_stride)
         return algorithm(
             X, grad, step, prox=prox,
             max_iter=max_iter, e_rel=e_rel, callback=callback,
@@ -492,6 +494,9 @@ def nmf(
     if bsdmm is not None and algorithm is bsdmm:
         prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step,
                                          Y_orig, W_orig)
+        if step_stride is not None and step_stride > 1:
+            algorithm_args = dict(algorithm_args,
+                                  steps_f_stride=int(step_stride))
         return bsdmm(
             X, prox_f, step_f,
             max_iter=max_iter, e_rel=e_rel, callback=callback,

@@ -75,6 +75,7 @@ def bsdmm(
     e_abs=0,
     callback=None,
     trace=False,
+    steps_f_stride=None,
 ):
     """Block-Simultaneous Method of Multipliers.
 
@@ -84,6 +85,13 @@ def bsdmm(
     step. ``steps_g_update`` in {'steps_f', 'fixed', 'relative'} selects
     how per-constraint steps track the block steps
     (reference ``algorithms.py:739-749``).
+
+    ``steps_f_stride``: evaluate ``steps_f_cb`` only every this many
+    sweeps, carrying the cached per-block step (shrunk by a 0.9 safety
+    factor) in the solver state between refreshes — the bsdmm analogue
+    of pgm's :class:`~proxmin_tpu.utils.StridedStepper` for expensive
+    (e.g. weighted-Lipschitz) step callables. Only the taken
+    ``lax.cond`` branch executes, so skipped sweeps pay nothing.
 
     Returns:
         ``SolverResult`` unpacking as the per-block converged tuple (the
@@ -192,9 +200,20 @@ def bsdmm(
             def prox_f_j(v, s, _j=j, _xs=xs_now):
                 return proxs_f(v, s, Xs=_xs, j=_j)
 
-            steps_f_j = steps_f_cb(xs_now, j=j)  # slack is identically 1.0
-                                                 # in the reference (never
-                                                 # updated, algorithms.py:794)
+            # slack is identically 1.0 in the reference (never updated,
+            # algorithms.py:794)
+            if steps_f_stride is not None and steps_f_stride > 1:
+                # strided refresh: the expensive step callable runs only
+                # every steps_f_stride sweeps; between refreshes the
+                # carried (safety-shrunk) step is reused
+                steps_f_j = jax.lax.cond(
+                    it % steps_f_stride == 0,
+                    lambda _xs=xs_now, _j=j: 0.9 * jnp.asarray(
+                        steps_f_cb(_xs, j=_j), dtype),
+                    lambda _j=j: steps_f_arr[_j],
+                )
+            else:
+                steps_f_j = steps_f_cb(xs_now, j=j)
 
             if has_g[j]:
                 if steps_g_update == "relative":
@@ -271,7 +290,7 @@ def bsdmm(
     cache_key = (
         "bsdmm", callable_key(proxs_f), callable_key(steps_f_cb),
         nested_key(_user_structs),
-        update_order, steps_g_update,
+        update_order, steps_g_update, steps_f_stride,
         tuple(float(v) for v in e_rel), tuple(float(v) for v in e_abs),
         max_iter, trace, callback is None, abstract_key(x0),
     )

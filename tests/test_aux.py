@@ -313,3 +313,74 @@ def test_nmf_numpy_Y_repeat_solve_hits_driver_cache(rng):
     n_entries = len(_PGM_CACHE._d)
     pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=3)
     assert len(_PGM_CACHE._d) == n_entries
+
+
+def test_step_stride_bsdmm_weighted_cmf(rng):
+    """VERDICT r1 #6: strided weighted steps for the bsdmm CMF path —
+    the steps_f_stride carry must converge to the same basin as exact
+    per-sweep steps."""
+    C, N, K = 6, 40, 3
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    W = 0.5 + rng.random((C, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, algorithm="bsdmm", e_rel=0, max_iter=150)
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, W=W, algorithm="bsdmm", e_rel=0, max_iter=150,
+               step_stride=10)
+
+    l_init = float(pt.nmf.log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                                         Y=jnp.asarray(Y),
+                                         W=jnp.asarray(W)))
+    l1 = float(pt.nmf.log_likelihood(jnp.asarray(A1), jnp.asarray(S1),
+                                     Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    l2 = float(pt.nmf.log_likelihood(jnp.asarray(A2), jnp.asarray(S2),
+                                     Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    assert np.isfinite(l2)
+    # same basin: both runs collapse the initial loss by >99% (the
+    # strided run trails slightly due to the 0.9 safety factor, so a
+    # direct l2/l1 ratio near the zero-loss floor is not meaningful)
+    assert l1 < 0.01 * l_init
+    assert l2 < 0.01 * l_init
+
+
+def test_step_stride_bsdmm_stride_cadence(rng):
+    """With steps_f_stride >= max_iter the step refreshes only on the
+    first sweep: the run must equal a run whose steps_f_cb returns the
+    frozen (0.9-shrunk) first-sweep values."""
+    from proxmin_tpu import bsdmm
+
+    c = jnp.asarray([2.0, -1.0])
+
+    def proxs_f(x, step, Xs=None, j=None):
+        return (x + step * c) / (1 + step)
+
+    calls = {"n": 0}
+
+    def steps_cb(Xs, j=None):
+        calls["n"] += 1          # trace-time count, not runtime
+        return 0.5 + 0.1 * jnp.sum(Xs[0] ** 2)
+
+    x0 = jnp.asarray([0.0, 0.0])
+    r1 = bsdmm([x0], proxs_f, steps_cb, e_rel=0, max_iter=8,
+               steps_f_stride=100)
+
+    # frozen-step equivalent: the first sweep evaluates at x0
+    s0 = 0.9 * float(0.5 + 0.1 * np.sum(np.asarray(x0) ** 2))
+    r2 = bsdmm([x0], proxs_f, lambda Xs, j=None: s0 / 0.9 * 0.0 + s0,
+               e_rel=0, max_iter=8, steps_f_stride=None)
+    # r2 uses constant s0 every sweep -- but r1's refresh at it=0 also
+    # yields s0 and then carries it, so the trajectories coincide
+    np.testing.assert_allclose(np.asarray(r1.x[0]), np.asarray(r2.x[0]),
+                               rtol=1e-6)
+
+
+def test_step_stride_adaprox_runs(rng):
+    C, N, K = 5, 30, 2
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+    res = pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", e_rel=0, max_iter=40,
+                     step_stride=5)
+    assert np.isfinite(np.asarray(res.x[0])).all()
+    assert np.isfinite(np.asarray(res.x[1])).all()
