@@ -289,3 +289,84 @@ def test_explicit_step_weighted_uses_weighted_lipschitz(problem, rng):
     assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0] * 0.9
     assert losses[-1] < 1e4
+
+
+def test_auto_sharded_bsdmm_cmf_1d(problem, rng):
+    """VERDICT r1 #5: bsdmm-backed (weighted) CMF on sharded inputs must
+    match the single-device solve, like the PGM suite above."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, algorithm="bsdmm", e_rel=0, max_iter=15)
+
+    mesh = make_mesh()
+    Ys, As, Ss, Ws = shard_nmf_problem(mesh, Y, A0, S0, W)
+    res = pt.nmf.nmf(Ys, As, Ss, W=Ws, algorithm="bsdmm", e_rel=0,
+                     max_iter=15)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-10)
+
+
+def test_auto_sharded_bsdmm_cmf_2d(problem, rng):
+    """bsdmm CMF on a 2-D data x model mesh (pixel + channel sharding)."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="bsdmm", e_rel=0, max_iter=15)
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "model"))
+    Ys, As, Ss, _ = shard_nmf_problem(mesh, Y, A0, S0,
+                                      model_axis="model")
+    res = pt.nmf.nmf(Ys, As, Ss, algorithm="bsdmm", e_rel=0, max_iter=15)
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-8, atol=1e-10)
+
+
+def test_auto_sharded_sdmm(problem):
+    """sdmm (M=2 constraints) on sharded inputs matches single-device."""
+    Y, A0, S0 = problem
+    x_np = S0.copy()
+
+    def prox_f(v, step):
+        return (v + step) / (1 + step)
+
+    proxs_g = [lambda v, s: jnp.minimum(v, 0.8), operators.prox_plus]
+
+    r1 = pt.sdmm(jnp.asarray(x_np), prox_f, 0.5, proxs_g=proxs_g,
+                 e_rel=1e-6, max_iter=300)
+
+    from jax.sharding import NamedSharding
+    mesh = make_mesh()
+    xs = jax.device_put(jnp.asarray(x_np),
+                        NamedSharding(mesh, P(None, "data")))
+    r2 = pt.sdmm(xs, prox_f, 0.5, proxs_g=proxs_g,
+                 e_rel=1e-6, max_iter=300)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=1e-9, atol=1e-12)
+    assert r2.iterations == r1.iterations
+
+
+def test_auto_sharded_admm_2d_mesh(problem):
+    """ADMM on a 2-D mesh with both axes of x sharded."""
+    Y, A0, S0 = problem
+    x_np = Y.copy()   # (6, 64): shard channels over 'model', pixels 'data'
+
+    def prox_f(v, step):
+        return (v + step) / (1 + step)
+
+    def prox_g(v, step):
+        return jnp.minimum(v, 0.8)
+
+    r1 = pt.admm(jnp.asarray(x_np), prox_f, 0.5, prox_g=prox_g,
+                 e_rel=1e-6, max_iter=300)
+
+    from jax.sharding import NamedSharding
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "model"))
+    xs = jax.device_put(jnp.asarray(x_np),
+                        NamedSharding(mesh, P("model", "data")))
+    r2 = pt.admm(xs, prox_f, 0.5, prox_g=prox_g, e_rel=1e-6, max_iter=300)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=1e-9, atol=1e-12)
+    assert r2.iterations == r1.iterations
