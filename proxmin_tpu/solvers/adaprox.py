@@ -348,8 +348,10 @@ def adaprox(
                     return jnp.logical_and(go, jnp.logical_not(s.diverged))
                 return jax.lax.while_loop(cond, body, state)
 
-            return stepper, jax.jit(run, donate_argnums=0)
-        return stepper, jax.jit(body, donate_argnums=0)
+            # not donated: donation pins the carry to HBM buffers and
+            # defeats VMEM residency (2.6x slower on the pgm driver)
+            return stepper, jax.jit(run)
+        return stepper, jax.jit(body)
 
     if cacheable(key):
         cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)

@@ -226,9 +226,11 @@ def _sdmm_core(
                     )
                 return jax.lax.while_loop(cond, body, state)
 
-            compiled = jax.jit(run, donate_argnums=0)
+            # not donated: donation pins the carry to HBM buffers and
+            # defeats VMEM residency (2.6x slower on the pgm driver)
+            compiled = jax.jit(run)
         else:
-            compiled = jax.jit(body, donate_argnums=0)
+            compiled = jax.jit(body)
         # retain_refs keeps the cache-key objects (user L matrices etc.)
         # alive so their ids cannot be recycled while the entry exists
         return compiled, retain_refs

@@ -305,9 +305,11 @@ def bsdmm(
                     )
                 return jax.lax.while_loop(cond, body, state)
 
-            compiled = jax.jit(run, donate_argnums=0)
+            # not donated: donation pins the carry to HBM buffers and
+            # defeats VMEM residency (2.6x slower on the pgm driver)
+            compiled = jax.jit(run)
         else:
-            compiled = jax.jit(body, donate_argnums=0)
+            compiled = jax.jit(body)
         # retain the key's id-referenced objects alive with the entry
         return compiled, (proxs_f, steps_f_cb, _user_structs)
 

