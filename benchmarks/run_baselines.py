@@ -17,6 +17,17 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/reference")
 
+import os  # noqa: E402
+
+import jax  # noqa: E402
+
+if os.environ.get("PROXMIN_BENCH_CPU"):
+    # apples-to-apples with the (CPU-only) reference on these tiny
+    # configs, where TPU per-call dispatch (~30-65 ms over the tunnel)
+    # would swamp millisecond solves; the flagship TPU numbers live in
+    # bench.py. Must run before any backend initialization.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import proxmin_tpu as pt  # noqa: E402
 
@@ -154,15 +165,34 @@ def config5_bsdmm():
     return "bSDMM CMF 40x30", t_ref, t2, res.iterations, d
 
 
-def main():
+def main(json_path=None):
+    rows = []
     print(f"{'config':28s} {'ref[s]':>8s} {'ours[s]':>8s} "
           f"{'iters':>6s} {'agreement':>10s}")
     for cfg in [config1_fista, config2_admm, config3_nmf_pgm,
                 config4_adaprox, config5_bsdmm]:
-        name, t_ref, t2, iters, d = cfg()
+        # each config internally warms the driver cache and reports the
+        # second (steady-state) call time
+        name, t_ref, t_warm, iters, d = cfg()
         tr = f"{t_ref:8.3f}" if t_ref is not None else "     n/a"
-        print(f"{name:28s} {tr} {t2:8.3f} {iters:6d} {d:10.2e}")
+        print(f"{name:28s} {tr} {t_warm:8.3f} {iters:6d} {d:10.2e}")
+        rows.append({
+            "config": name,
+            "ref_seconds": None if t_ref is None else round(t_ref, 4),
+            "ours_warm_seconds": round(t_warm, 4),
+            "iterations": iters,
+            "agreement": float(d),
+            "warm_speedup": None if t_ref is None
+            else round(t_ref / t_warm, 2),
+        })
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(rows, fh, indent=1)
+        print(f"wrote {json_path}")
+    return rows
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -7,6 +7,13 @@ a fresh process (no proxmin_tpu import needed at serving time beyond jax)
 and returns a callable ``(A0, S0, Y, max_iter) -> (A, S, it, conv_A,
 conv_S, loss)``.
 
+:func:`export_pgm_solver` and :func:`export_adaprox_solver` serialize the
+generic drivers for arbitrary user problems (fixed block shapes + jittable
+``grad``/``step``/``prox`` callables). Arrays closed over by the callables
+(e.g. the data matrix inside a gradient closure) are baked into the
+artifact as constants — pass per-request data as solver *blocks*, or
+export per dataset.
+
 The exported artifact is shape- and platform-specialized (TPU artifacts run
 on TPU). For multi-shape serving, export one artifact per shape bucket.
 """
@@ -18,7 +25,116 @@ from jax import export as jax_export
 from . import operators
 from .nmf import _make_fused_pgm_runner
 
-__all__ = ["export_nmf_solver", "load_solver", "save_exported", "load_exported"]
+__all__ = [
+    "export_nmf_solver", "export_pgm_solver", "export_adaprox_solver",
+    "load_solver", "save_exported", "load_exported",
+]
+
+
+def _block_shapes(x_shapes):
+    """Normalize a shape or list of shapes into a tuple of block shapes."""
+    if len(x_shapes) > 0 and isinstance(x_shapes[0], int):
+        x_shapes = [x_shapes]
+    return tuple(tuple(int(d) for d in s) for s in x_shapes)
+
+
+def export_pgm_solver(x_shapes, grad, step, prox=None, accelerated=False,
+                      backtracking=False, f=None, e_rel=1e-6, max_iter=1000,
+                      dtype=jnp.float32):
+    """Serialize a :func:`proxmin_tpu.pgm` solve for fixed block shapes.
+
+    ``x_shapes``: one shape tuple or a list of per-block shapes. The
+    embedded executable takes the initial blocks and returns
+    ``(x_blocks, iterations, converged, diverged)``.
+    """
+    from .solvers.common import normalize_per_block, normalize_prox
+    from .solvers.pgm import _init_state, _make_pgm_body, _run_fused
+    from .utils import make_stepper
+
+    shapes = _block_shapes(x_shapes)
+    n = len(shapes)
+    prox_t = normalize_prox(prox, n)
+    e_rel_t = normalize_per_block(e_rel, n)
+    assert backtracking is False or f is not None
+    stepper = make_stepper(step, n)
+    body = _make_pgm_body(grad, stepper, prox_t, e_rel_t, accelerated,
+                          backtracking, f)
+
+    def run(*x0):
+        state = _init_state(x0, grad, stepper, n, max_iter, False,
+                            accelerated)
+        st = _run_fused(state, body, max_iter, n)
+        return st.x, st.it, st.converged, st.diverged
+
+    args = tuple(jax.ShapeDtypeStruct(s, dtype) for s in shapes)
+    return jax_export.export(jax.jit(run))(*args).serialize()
+
+
+def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
+                          b1=0.9, b2=0.999, eps=1e-8, p=0.25,
+                          check_convergence=True, e_rel=1e-6, max_iter=1000,
+                          prox_max_iter=1000, dtype=jnp.float32):
+    """Serialize a :func:`proxmin_tpu.adaprox` solve for fixed block
+    shapes (cold-started moments). Returns
+    ``(x_blocks, M, V, Vhat, iterations, converged, diverged)``.
+    """
+    import numpy as np
+
+    from .solvers.adaprox import (
+        SCHEMES, AdaProxState, _make_adaprox_body,
+    )
+    from .solvers.common import (
+        normalize_per_block, normalize_prox, zeros_like_shapes,
+    )
+    from . import utils as _utils
+    from .utils import make_stepper
+
+    shapes = _block_shapes(x_shapes)
+    n = len(shapes)
+    prox_in = _utils._as_tuple(prox)
+    if len(prox_in) == 1:
+        prox_in = prox_in * n
+    has_prox = tuple(pj is not None for pj in prox_in)
+    prox_t = normalize_prox(prox_in, n)
+    e_rel_t = normalize_per_block(e_rel, n)
+    if not hasattr(b1, "__iter__"):
+        b1 = np.full((max_iter,), b1, dtype=np.float64)
+    b1 = jnp.asarray(b1)
+    phi_psi = SCHEMES[scheme.lower()]
+    stepper = make_stepper(step, n)
+    body = _make_adaprox_body(grad, stepper, prox_t, has_prox, phi_psi,
+                              b1, b2, eps, p, e_rel_t, check_convergence,
+                              prox_max_iter)
+
+    def run(*x0):
+        G0 = zeros_like_shapes(lambda *x: _utils._as_tuple(grad(*x)), *x0)
+        state = AdaProxState(
+            x=tuple(x0),
+            M=tuple(jnp.zeros_like(x) for x in x0),
+            V=tuple(jnp.zeros_like(x) for x in x0),
+            Vhat=tuple(jnp.zeros_like(x) for x in x0),
+            stepper_state=stepper.init_state(x0, G0),
+            it=jnp.int32(0),
+            converged=jnp.zeros((n,), bool),
+            sub_iters=jnp.zeros((n,), jnp.int32),
+            history=jnp.zeros(
+                (0, n), jnp.result_type(*[x.dtype for x in x0],
+                                        jnp.float32),
+            ),
+            diverged=jnp.asarray(False),
+        )
+
+        def cond(s):
+            not_done = jnp.logical_not(jnp.all(s.converged)) \
+                if check_convergence else True
+            go = jnp.logical_and(s.it < max_iter, not_done)
+            return jnp.logical_and(go, jnp.logical_not(s.diverged))
+
+        st = jax.lax.while_loop(cond, body, state)
+        return st.x, st.M, st.V, st.Vhat, st.it, st.converged, st.diverged
+
+    args = tuple(jax.ShapeDtypeStruct(s, dtype) for s in shapes)
+    return jax_export.export(jax.jit(run))(*args).serialize()
 
 
 def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
@@ -52,11 +168,19 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
 
 
 def load_solver(blob):
-    """Deserialize an exported solver into a callable."""
+    """Deserialize an exported solver into a callable.
+
+    Works for any of the export functions in this module: the returned
+    callable forwards its arguments to the embedded executable (Python
+    ints are converted to i32 scalars, e.g. the NMF artifact's
+    ``max_iter``)."""
     exported = jax_export.deserialize(blob)
 
-    def solve(A, S, Y, max_iter):
-        return exported.call(A, S, Y, jnp.int32(max_iter))
+    def solve(*args):
+        args = tuple(
+            jnp.int32(a) if isinstance(a, int) else a for a in args
+        )
+        return exported.call(*args)
 
     return solve
 
