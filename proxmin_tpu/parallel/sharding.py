@@ -249,6 +249,8 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
 class ShardedNMFState(NamedTuple):
     A: Any
     S: Any
+    step_A: Any
+    step_S: Any
     it: Any
     conv_A: Any
     conv_S: Any
@@ -260,6 +262,7 @@ def nmf_pgm_sharded(
     prox_A=operators.prox_plus, prox_S=operators.prox_plus,
     e_rel=1e-3, max_iter=1000,
     data_axis="data", model_axis=None,
+    step_stride=None,
 ):
     """Full sharded PGM-NMF solve: the entire while-loop runs inside one
     jitted ``shard_map`` over the mesh — convergence scalars are psum'd so
@@ -268,6 +271,11 @@ def nmf_pgm_sharded(
     Semantics match ``proxmin_tpu.nmf.nmf`` with ``algorithm='pgm'``
     (unweighted or weighted Gaussian model, per-factor fixed-point
     convergence at ``e_rel``); layout matches :func:`make_nmf_pgm_step`.
+    ``step_stride`` recomputes the Lipschitz bounds only every this many
+    iterations (0.9 safety factor, like ``nmf(step_stride=...)``) — on
+    weighted problems the bounds cost ~50 collective-completed passes
+    per evaluation, so striding them matters even more when each pass
+    also rides ICI.
 
     Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
     arrays), ``.iterations``, ``.converged``, ``.loss``.
@@ -304,6 +312,11 @@ def nmf_pgm_sharded(
     def local_solve(A, S, Y, W):
         dt = jnp.result_type(A, S)
 
+        def compute_steps(A, S):
+            if weighted:
+                return _weighted_steps(A, S, W, data_axis, model_axis, dt)
+            return _unweighted_steps(A, S, data_axis, model_axis)
+
         def body(state):
             A, S = state.A, state.S
             R = jnp.dot(A, S, preferred_element_type=dt) - Y
@@ -316,12 +329,18 @@ def nmf_pgm_sharded(
                 jnp.dot(A.T, D, preferred_element_type=dt), model_axis
             )
 
-            if weighted:
-                step_A, step_S = _weighted_steps(A, S, W, data_axis,
-                                                 model_axis, dt)
+            if step_stride is not None and step_stride > 1:
+                # strided refresh in the carry; every shard takes the
+                # same branch (it is replicated), so the collectives
+                # inside compute_steps stay collective-safe
+                step_A, step_S = jax.lax.cond(
+                    state.it % step_stride == 0,
+                    lambda: tuple(0.9 * jnp.asarray(s, dt)
+                                  for s in compute_steps(A, S)),
+                    lambda: (state.step_A, state.step_S),
+                )
             else:
-                step_A, step_S = _unweighted_steps(A, S, data_axis,
-                                                   model_axis)
+                step_A, step_S = compute_steps(A, S)
 
             A_new = prox_A(A - step_A * grad_A, step_A)
             S_new = prox_S(S - step_S * grad_S, step_S)
@@ -335,7 +354,10 @@ def nmf_pgm_sharded(
             loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
 
             return ShardedNMFState(
-                A=A_new, S=S_new, it=state.it + 1,
+                A=A_new, S=S_new,
+                step_A=jnp.asarray(step_A, dt),
+                step_S=jnp.asarray(step_S, dt),
+                it=state.it + 1,
                 conv_A=dA <= e_rel ** 2 * nA,
                 conv_S=dS <= e_rel ** 2 * nS,
                 loss=loss,
@@ -347,7 +369,9 @@ def nmf_pgm_sharded(
                                    jnp.logical_not(done))
 
         init = ShardedNMFState(
-            A=A, S=S, it=jnp.int32(0),
+            A=A, S=S,
+            step_A=jnp.zeros((), dt), step_S=jnp.zeros((), dt),
+            it=jnp.int32(0),
             conv_A=jnp.asarray(False), conv_S=jnp.asarray(False),
             loss=jnp.asarray(jnp.inf, dt),
         )

@@ -370,3 +370,25 @@ def test_auto_sharded_admm_2d_mesh(problem):
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
                                rtol=1e-9, atol=1e-12)
     assert r2.iterations == r1.iterations
+
+
+def test_full_sharded_solve_weighted_stride(problem, rng):
+    """step_stride on the all-device sharded solve: same basin as the
+    exact-steps run, refreshes in the carry (collective-safe: every
+    shard takes the same branch)."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+    mesh = make_mesh()
+
+    r_exact = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                              e_rel=0, max_iter=60)
+    r_strided = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                                e_rel=0, max_iter=60, step_stride=10)
+    Wj, Yj = jnp.asarray(W), jnp.asarray(Y)
+    l0 = float(pt.nmf.log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                                     Y=Yj, W=Wj))
+    le = float(pt.nmf.log_likelihood(*r_exact.x, Y=Yj, W=Wj))
+    ls = float(pt.nmf.log_likelihood(*r_strided.x, Y=Yj, W=Wj))
+    assert np.isfinite(ls)
+    assert le < 0.05 * l0
+    assert ls < 0.05 * l0
