@@ -312,6 +312,18 @@ def pgm(
            callable_key(f) if f is not None else None, e_rel, max_iter,
            trace, callback is None, abstract_key(x0))
 
+    def _final_grad(state):
+        # Deliberate deviation from the reference: the returned G is the
+        # gradient at the RETURNED SOLUTION, evaluated once post-loop.
+        # The reference returns grad at the last iteration's extrapolated
+        # point (algorithms.py:105) — reproducing that exactly would mean
+        # carrying a full-size gradient (or a second iterate) through the
+        # while_loop, and every changing full-size carry entry costs a
+        # buffer write per iteration (~2x the whole flagship iteration).
+        # Iterates are bit-identical to the reference; only this
+        # diagnostic differs.
+        return utils._as_tuple(grad(*state.x))
+
     def build():
         body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
                               backtracking, f, trace=trace)
@@ -320,21 +332,26 @@ def pgm(
             # caller's HBM buffers and defeats VMEM residency of the
             # working set — measured 2.6x slower at the flagship shape.
             # The transient extra state copy is the price of speed.
-            return stepper, jax.jit(
-                lambda s: _run_fused(s, body, max_iter, n)
-            )
-        return stepper, jax.jit(body)
+            # The final gradient is computed INSIDE the executable (one
+            # eval after the loop) — eagerly it would pay one remote
+            # compile per op at large shapes.
+            def run(s):
+                s = _run_fused(s, body, max_iter, n)
+                return s, _final_grad(s)
+
+            return stepper, jax.jit(run), None
+        return stepper, jax.jit(body), jax.jit(_final_grad)
 
     if cacheable(key):
-        cached_stepper, run = _PGM_CACHE.get_or_build(key, build)
+        cached_stepper, run, final_grad = _PGM_CACHE.get_or_build(key, build)
     else:
         # e.g. a mutable NumPy step array: retrace per call (always
         # correct), mirroring the ADMM/bSDMM drivers' cacheable() bypass
-        cached_stepper, run = build()
+        cached_stepper, run, final_grad = build()
 
     if callback is None:
-        state = run(_init_state(x0, grad, cached_stepper, n, max_iter,
-                                trace, accelerated))
+        state, G_fin = run(_init_state(x0, grad, cached_stepper, n,
+                                       max_iter, trace, accelerated))
     else:
         step_fn = run
         state = _init_state(x0, grad, cached_stepper, n, max_iter, trace,
@@ -347,6 +364,7 @@ def pgm(
             state = step_fn(state)
             if bool(jnp.all(state.converged)) or bool(state.diverged):
                 break
+        G_fin = final_grad(state)
 
     iterations = int(state.it)
     logger.info("Completed %d iterations", iterations)
@@ -363,15 +381,6 @@ def pgm(
 
     writeback(originals, state.x)
     x_out = state.x[0] if was_single else state.x
-    # Deliberate deviation from the reference: the returned G is the
-    # gradient at the RETURNED SOLUTION, evaluated once post-loop. The
-    # reference returns grad at the last iteration's extrapolated point
-    # (algorithms.py:105) — reproducing that exactly would mean carrying a
-    # full-size gradient (or a second iterate) through the while_loop,
-    # and every changing full-size carry entry costs a buffer write per
-    # iteration (~2x the whole flagship iteration). Iterates are
-    # bit-identical to the reference; only this diagnostic differs.
-    G_fin = utils._as_tuple(grad(*state.x))
     G = G_fin[0] if was_single else G_fin
     S = state.S[0] if was_single else state.S
     history = np.asarray(state.history[:iterations]) if trace else None
