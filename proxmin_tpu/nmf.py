@@ -506,6 +506,22 @@ def nmf(
     raise ValueError(f"unsupported algorithm: {algorithm!r}")
 
 
+def _bsdmm_prox_f(Xj, step_j, Xs=None, j=None, *, Y, W, prox):
+    """Block prox_f for the bsdmm CMF path: gradient step then the
+    block's constraint prox (reference nmf.py:181-193). Module-level +
+    partial-bound so the driver can split Y/W out as jit arguments."""
+    grads = grad_likelihood(*Xs, Y=Y, W=W)
+    return prox[j](Xj - step_j * grads[j], step_j)
+
+
+def _bsdmm_step_default(Xs, j=None, *, W):
+    return step_pgm(*Xs, W=W)[j]
+
+
+def _bsdmm_step_custom(Xs, j=None, *, step):
+    return step(*Xs)[j]
+
+
 _BSDMM_ADAPTERS = {}
 
 
@@ -535,20 +551,15 @@ def _bsdmm_adapters(Y, W, prox, step, Y_orig=None, W_orig=None):
         if hit is not None:
             return hit[0], hit[1]
 
-    grad = partial(grad_likelihood, Y=Y, W=W)
-
-    def prox_f(Xj, step_j, Xs=None, j=None):
-        grads = grad(*Xs)
-        return prox[j](Xj - step_j * grads[j], step_j)
-
+    # partial-bound (NOT closure-captured) so the bsdmm driver's
+    # split_partial_data can pass Y/W as jit arguments instead of
+    # letting tracing embed them as HLO constants (compile time would
+    # scale with the data size)
+    prox_f = partial(_bsdmm_prox_f, Y=Y, W=W, prox=prox)
     if step is None:
-        step_ = partial(step_pgm, W=W)
-
-        def step_f(Xs, j=None):
-            return step_(*Xs)[j]
+        step_f = partial(_bsdmm_step_default, W=W)
     else:
-        def step_f(Xs, j=None):
-            return step(*Xs)[j]
+        step_f = partial(_bsdmm_step_custom, step=step)
 
     if key is not None:
         # retain the keyed objects so their ids cannot be recycled

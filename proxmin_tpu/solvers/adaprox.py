@@ -38,6 +38,7 @@ from .common import (
     callable_key,
     normalize_per_block,
     normalize_prox,
+    split_partial_data,
     tupleize,
     writeback,
     zeros_like_shapes,
@@ -334,13 +335,47 @@ def adaprox(
            hash(np.asarray(b1).tobytes()),  # b1 schedule is a trace constant
            abstract_key(x0))
 
+    # large partial-bound data rides as jit arguments, not trace
+    # constants (see common.split_partial_data and the pgm driver)
+    from ..utils import FunctionStepper, StridedStepper
+
+    grad_rb, grad_lv = split_partial_data(grad)
+    prox_pairs = tuple(split_partial_data(pj) for pj in prox)
+    prox_rbs = tuple(pp[0] for pp in prox_pairs)
+    prox_lv = tuple(pp[1] for pp in prox_pairs)
+    if isinstance(stepper, StridedStepper):
+        step_rb, step_lv = split_partial_data(stepper._orig)
+
+        def stepper_rb(lv, _st=stepper):
+            return StridedStepper(step_rb(lv), n, stride=_st.stride,
+                                  safety=_st.safety)
+    elif isinstance(stepper, FunctionStepper):
+        step_rb, step_lv = split_partial_data(step)
+
+        def stepper_rb(lv):
+            return make_stepper(step_rb(lv), n)
+    else:
+        step_lv = ()
+
+        def stepper_rb(lv, _st=stepper):
+            return _st
+
+    data_leaves = (grad_lv, step_lv, prox_lv)
+
     def build():
-        body = _make_adaprox_body(
-            grad, stepper, prox, has_prox, phi_psi, b1, b2, eps, p, e_rel,
-            check_convergence, prox_max_iter, trace=trace,
-        )
+        def make_body(leaves):
+            g = grad_rb(leaves[0])
+            st = stepper_rb(leaves[1])
+            pr = tuple(rb(lv) for rb, lv in zip(prox_rbs, leaves[2]))
+            return _make_adaprox_body(
+                g, st, pr, has_prox, phi_psi, b1, b2, eps, p, e_rel,
+                check_convergence, prox_max_iter, trace=trace,
+            )
+
         if callback is None:
-            def run(state):
+            def run(state, leaves):
+                body = make_body(leaves)
+
                 def cond(s):
                     not_done = jnp.logical_not(jnp.all(s.converged)) \
                         if check_convergence else True
@@ -351,7 +386,7 @@ def adaprox(
             # not donated: donation pins the carry to HBM buffers and
             # defeats VMEM residency (2.6x slower on the pgm driver)
             return stepper, jax.jit(run)
-        return stepper, jax.jit(body)
+        return stepper, jax.jit(lambda s, leaves: make_body(leaves)(s))
 
     if cacheable(key):
         cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)
@@ -379,7 +414,7 @@ def adaprox(
         )
 
     if callback is None:
-        state = compiled(init_state())
+        state = compiled(init_state(), data_leaves)
     else:
         step_fn = compiled
         state = init_state()
@@ -388,7 +423,7 @@ def adaprox(
                 callback(*[np.asarray(x) for x in state.x], it=it)
             except StopIteration:
                 break
-            state = step_fn(state)
+            state = step_fn(state, data_leaves)
             if bool(state.diverged) or (
                     check_convergence and bool(jnp.all(state.converged))):
                 break

@@ -32,6 +32,7 @@ from .common import (
     SolverResult,
     abstract_key,
     cacheable,
+    split_partial_data,
     callable_key,
     nested_key,
     tupleize,
@@ -97,7 +98,6 @@ def _sdmm_core(
     """
     M = len(proxs_g)
     has_g = M > 0
-    step_fn = _as_step_fn(step_f)
 
     L_struct = list(Ls) if M != 1 else (Ls[0] if has_g else None)
 
@@ -106,89 +106,115 @@ def _sdmm_core(
             return x, jnp.zeros_like(x)
         return utils.initZU(x, L_struct)
 
-    def body(state: ADMMState) -> ADMMState:
-        it = state.it
-        step_f_ = state.slack * step_fn(state.x, it=it)
+    # large partial-bound data (and the operator pytrees, whose matrices
+    # can be big) ride as jit arguments, not trace constants — see
+    # common.split_partial_data
+    pf_rb, pf_lv = split_partial_data(prox_f)
+    if callable(step_f):
+        sf_rb, sf_lv = split_partial_data(step_f)
+    else:
+        sf_rb, sf_lv = (lambda lv, _v=step_f: _v), ()
+    pg_pairs = tuple(split_partial_data(p) for p in proxs_g)
+    pg_rbs = tuple(pp[0] for pp in pg_pairs)
+    data_leaves = (pf_lv, sf_lv, tuple(pp[1] for pp in pg_pairs),
+                   tuple(Ls))
 
-        if has_g:
-            if M == 1:
-                sg = steps_g[0]
-                step_g_ = (
-                    utils.get_step_g(step_f_, Ls[0].spectral_norm_sq)
-                    if sg is None else sg
-                )
-                x, z, u, lx, r, s = utils.update_variables(
-                    state.x, state.z, state.u, prox_f, step_f_,
-                    proxs_g[0], step_g_, Ls[0],
-                )
-                conv_sg = sg if admm_convention else step_g_
-                conv, errors = utils.check_constraint_convergence(
-                    x, Ls[0], lx, z, u, r, s, step_f_, conv_sg, e_rel, e_abs
-                )
+    def make_body(leaves):
+        prox_f = pf_rb(leaves[0])
+        step_fn = _as_step_fn(sf_rb(leaves[1]))
+        proxs_g = tuple(rb(lv) for rb, lv in zip(pg_rbs, leaves[2]))
+        Ls = tuple(leaves[3])
+        L_struct = list(Ls) if M != 1 else (Ls[0] if has_g else None)
+
+        def init_zu(x):
+            if not has_g:
+                return x, jnp.zeros_like(x)
+            return utils.initZU(x, L_struct)
+
+        def body(state: ADMMState) -> ADMMState:
+            it = state.it
+            step_f_ = state.slack * step_fn(state.x, it=it)
+
+            if has_g:
+                if M == 1:
+                    sg = steps_g[0]
+                    step_g_ = (
+                        utils.get_step_g(step_f_, Ls[0].spectral_norm_sq)
+                        if sg is None else sg
+                    )
+                    x, z, u, lx, r, s = utils.update_variables(
+                        state.x, state.z, state.u, prox_f, step_f_,
+                        proxs_g[0], step_g_, Ls[0],
+                    )
+                    conv_sg = sg if admm_convention else step_g_
+                    conv, errors = utils.check_constraint_convergence(
+                        x, Ls[0], lx, z, u, r, s, step_f_, conv_sg, e_rel, e_abs
+                    )
+                else:
+                    steps_g_ = tuple(
+                        utils.get_step_g(step_f_, Ls[i].spectral_norm_sq, M=M)
+                        if steps_g[i] is None else steps_g[i]
+                        for i in range(M)
+                    )
+                    x, z, u, lx, r, s = utils.update_variables(
+                        state.x, list(state.z), list(state.u), prox_f, step_f_,
+                        list(proxs_g), list(steps_g_), list(Ls),
+                    )
+                    conv, errors = utils.check_constraint_convergence(
+                        x, list(Ls), list(lx), list(z), list(u), list(r),
+                        list(s), step_f_, list(steps_g_), e_rel, e_abs,
+                    )
             else:
-                steps_g_ = tuple(
-                    utils.get_step_g(step_f_, Ls[i].spectral_norm_sq, M=M)
-                    if steps_g[i] is None else steps_g[i]
-                    for i in range(M)
-                )
+                ident = as_linear_operator(None)
                 x, z, u, lx, r, s = utils.update_variables(
-                    state.x, list(state.z), list(state.u), prox_f, step_f_,
-                    list(proxs_g), list(steps_g_), list(Ls),
+                    state.x, state.z, state.u, prox_f, step_f_, None, None, ident
                 )
                 conv, errors = utils.check_constraint_convergence(
-                    x, list(Ls), list(lx), list(z), list(u), list(r),
-                    list(s), step_f_, list(steps_g_), e_rel, e_abs,
+                    x, ident, lx, z, u, r, s, step_f_, None, e_rel, e_abs
                 )
-        else:
-            ident = as_linear_operator(None)
-            x, z, u, lx, r, s = utils.update_variables(
-                state.x, state.z, state.u, prox_f, step_f_, None, None, ident
-            )
-            conv, errors = utils.check_constraint_convergence(
-                x, ident, lx, z, u, r, s, step_f_, None, e_rel, e_abs
-            )
 
-        it = it + 1
-        errors_arr = _stack_errors(errors, M > 1)
-        history = state.history
-        if trace:
-            history = history.at[state.total_it].set(
-                errors_arr.astype(history.dtype)
-            )
+            it = it + 1
+            errors_arr = _stack_errors(errors, M > 1)
+            history = state.history
+            if trace:
+                history = history.at[state.total_it].set(
+                    errors_arr.astype(history.dtype)
+                )
 
-        # stall detector (reference algorithms.py:504-514 / 634-641):
-        # X and primal residual unchanged since last iteration -> halve the
-        # slack, reset the iteration counter, re-initialize Z and U
-        if has_g:
-            same_x = jnp.all(x == state.x_prev)
-            if M == 1:
-                same_r = jnp.all(r == state.r_prev)
+            # stall detector (reference algorithms.py:504-514 / 634-641):
+            # X and primal residual unchanged since last iteration -> halve the
+            # slack, reset the iteration counter, re-initialize Z and U
+            if has_g:
+                same_x = jnp.all(x == state.x_prev)
+                if M == 1:
+                    same_r = jnp.all(r == state.r_prev)
+                else:
+                    same_r = jnp.asarray(True)
+                    for i in range(M):
+                        same_r = jnp.logical_and(same_r, jnp.all(r[i] == state.r_prev[i]))
+                restart = jnp.logical_and(
+                    it > 1, jnp.logical_and(same_x, same_r)
+                )
+                restart = jnp.logical_and(restart, jnp.logical_not(conv))
+
+                z_init, u_init = init_zu(x)
+                slack = jnp.where(restart, state.slack / 2, state.slack)
+                it = jnp.where(restart, 0, it)
+                pick = lambda a, b: jax.tree_util.tree_map(
+                    lambda ai, bi: jnp.where(restart, ai, bi), a, b
+                )
+                z = pick(z_init, z)
+                u = pick(u_init, u)
             else:
-                same_r = jnp.asarray(True)
-                for i in range(M):
-                    same_r = jnp.logical_and(same_r, jnp.all(r[i] == state.r_prev[i]))
-            restart = jnp.logical_and(
-                it > 1, jnp.logical_and(same_x, same_r)
+                slack = state.slack
+
+            return ADMMState(
+                x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
+                slack=slack, converged=conv, errors=errors_arr,
+                x_prev=x, r_prev=r, history=history,
             )
-            restart = jnp.logical_and(restart, jnp.logical_not(conv))
 
-            z_init, u_init = init_zu(x)
-            slack = jnp.where(restart, state.slack / 2, state.slack)
-            it = jnp.where(restart, 0, it)
-            pick = lambda a, b: jax.tree_util.tree_map(
-                lambda ai, bi: jnp.where(restart, ai, bi), a, b
-            )
-            z = pick(z_init, z)
-            u = pick(u_init, u)
-        else:
-            slack = state.slack
-
-        return ADMMState(
-            x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
-            slack=slack, converged=conv, errors=errors_arr,
-            x_prev=x, r_prev=r, history=history,
-        )
-
+        return body
     def init_state(x):
         z0, u0 = init_zu(x)
         if has_g and M == 1:
@@ -217,7 +243,9 @@ def _sdmm_core(
 
     def build():
         if callback is None:
-            def run(state):
+            def run(state, leaves):
+                body = make_body(leaves)
+
                 def cond(s):
                     return jnp.logical_and(
                         jnp.logical_and(s.it < max_iter,
@@ -230,7 +258,7 @@ def _sdmm_core(
             # defeats VMEM residency (2.6x slower on the pgm driver)
             compiled = jax.jit(run)
         else:
-            compiled = jax.jit(body)
+            compiled = jax.jit(lambda s, leaves: make_body(leaves)(s))
         # retain_refs keeps the cache-key objects (user L matrices etc.)
         # alive so their ids cannot be recycled while the entry exists
         return compiled, retain_refs
@@ -246,7 +274,7 @@ def _sdmm_core(
         )
 
     if callback is None:
-        state = compiled(init_state(x0))
+        state = compiled(init_state(x0), data_leaves)
     else:
         state = init_state(x0)
         while (int(state.it) < max_iter and int(state.total_it) < total_cap
@@ -255,7 +283,7 @@ def _sdmm_core(
                 callback(np.asarray(state.x), it=int(state.it))
             except StopIteration:
                 break
-            state = compiled(state)
+            state = compiled(state, data_leaves)
 
     return state
 

@@ -38,6 +38,7 @@ from .common import (
     cacheable,
     callable_key,
     nested_key,
+    split_partial_data,
     tupleize,
     writeback,
 )
@@ -183,98 +184,124 @@ def bsdmm(
                 out.append(())
         return tuple(out)
 
-    def body(state: BSDMMState) -> BSDMMState:
-        it = state.it
-        x = list(state.x)
-        z = list(state.z)
-        u = list(state.u)
-        steps_f_arr = state.steps_f
-        steps_g_carry = list(state.steps_g)
-        converged = state.converged
-        history = state.history
+    # large partial-bound data (and operator pytrees) ride as jit
+    # arguments, not trace constants — see common.split_partial_data
+    pf_rb, pf_lv = split_partial_data(proxs_f)
+    sf_rb, sf_lv = split_partial_data(steps_f_cb)
+    pg_pairs = [
+        tuple(split_partial_data(p) for p in (proxs_g[j] or ()))
+        for j in range(N)
+    ]
+    data_leaves = (
+        pf_lv, sf_lv,
+        tuple(tuple(pp[1] for pp in pg_pairs[j]) for j in range(N)),
+        tuple(Ls),
+    )
 
-        for j in update_order:
-            # block prox sees ALL current blocks (Gauss-Seidel propagation)
-            xs_now = tuple(x)
+    def make_body(leaves):
+        proxs_f = pf_rb(leaves[0])
+        steps_f_cb = sf_rb(leaves[1])
+        proxs_g_l = [
+            tuple(pp[0](lv) for pp, lv in zip(pg_pairs[j], leaves[2][j]))
+            if has_g[j] else None
+            for j in range(N)
+        ]
+        proxs_g = proxs_g_l
+        Ls = list(leaves[3])
 
-            def prox_f_j(v, s, _j=j, _xs=xs_now):
-                return proxs_f(v, s, Xs=_xs, j=_j)
+        def body(state: BSDMMState) -> BSDMMState:
+            it = state.it
+            x = list(state.x)
+            z = list(state.z)
+            u = list(state.u)
+            steps_f_arr = state.steps_f
+            steps_g_carry = list(state.steps_g)
+            converged = state.converged
+            history = state.history
 
-            # slack is identically 1.0 in the reference (never updated,
-            # algorithms.py:794)
-            if steps_f_stride is not None and steps_f_stride > 1:
-                # strided refresh: the expensive step callable runs only
-                # every steps_f_stride sweeps; between refreshes the
-                # carried (safety-shrunk) step is reused
-                steps_f_j = jax.lax.cond(
-                    it % steps_f_stride == 0,
-                    lambda _xs=xs_now, _j=j: 0.9 * jnp.asarray(
-                        steps_f_cb(_xs, j=_j), dtype),
-                    lambda _j=j: steps_f_arr[_j],
-                )
-            else:
-                steps_f_j = steps_f_cb(xs_now, j=j)
+            for j in update_order:
+                # block prox sees ALL current blocks (Gauss-Seidel propagation)
+                xs_now = tuple(x)
 
-            if has_g[j]:
-                if steps_g_update == "relative":
-                    # rescale carried steps_g by the step_f change; skipped
-                    # on the first sweep (reference divides by None there)
-                    prev = steps_f_arr[j]
-                    scale = jnp.where(it > 0, steps_f_j / prev, 1.0)
-                    steps_g_carry[j] = tuple(
-                        s * scale for s in steps_g_carry[j]
-                    )
-                if steps_g_update == "steps_f":
-                    steps_g_j = tuple(
-                        utils.get_step_g(
-                            steps_f_j, Ls[j][i].spectral_norm_sq, N=N, M=M[j]
-                        )
-                        for i in range(M[j])
+                def prox_f_j(v, s, _j=j, _xs=xs_now):
+                    return proxs_f(v, s, Xs=_xs, j=_j)
+
+                # slack is identically 1.0 in the reference (never updated,
+                # algorithms.py:794)
+                if steps_f_stride is not None and steps_f_stride > 1:
+                    # strided refresh: the expensive step callable runs only
+                    # every steps_f_stride sweeps; between refreshes the
+                    # carried (safety-shrunk) step is reused
+                    steps_f_j = jax.lax.cond(
+                        it % steps_f_stride == 0,
+                        lambda _xs=xs_now, _j=j: 0.9 * jnp.asarray(
+                            steps_f_cb(_xs, j=_j), dtype),
+                        lambda _j=j: steps_f_arr[_j],
                     )
                 else:
-                    steps_g_j = steps_g_carry[j]
+                    steps_f_j = steps_f_cb(xs_now, j=j)
 
-                xj, zj, uj, lxj, rj, sj = utils.update_variables(
-                    x[j], list(z[j]), list(u[j]), prox_f_j, steps_f_j,
-                    list(proxs_g[j]), list(steps_g_j), list(Ls[j]),
-                )
-                conv_j, err_j = utils.check_constraint_convergence(
-                    xj, list(Ls[j]), list(lxj), list(zj), list(uj),
-                    list(rj), list(sj), steps_f_j, list(steps_g_j),
-                    e_rel[j], e_abs[j],
-                )
-                err_list = err_j
-            else:
-                xj, zj, uj, lxj, rj, sj = utils.update_variables(
-                    x[j], z[j], u[j], prox_f_j, steps_f_j, None, None, Ls[j]
-                )
-                conv_j, err_j = utils.check_constraint_convergence(
-                    xj, Ls[j], lxj, zj, uj, rj, sj, steps_f_j, None,
-                    e_rel[j], e_abs[j],
-                )
-                err_list = (err_j,)
+                if has_g[j]:
+                    if steps_g_update == "relative":
+                        # rescale carried steps_g by the step_f change; skipped
+                        # on the first sweep (reference divides by None there)
+                        prev = steps_f_arr[j]
+                        scale = jnp.where(it > 0, steps_f_j / prev, 1.0)
+                        steps_g_carry[j] = tuple(
+                            s * scale for s in steps_g_carry[j]
+                        )
+                    if steps_g_update == "steps_f":
+                        steps_g_j = tuple(
+                            utils.get_step_g(
+                                steps_f_j, Ls[j][i].spectral_norm_sq, N=N, M=M[j]
+                            )
+                            for i in range(M[j])
+                        )
+                    else:
+                        steps_g_j = steps_g_carry[j]
 
-            if trace:
-                # aggregate primal/dual residual norms across constraints
-                lr = jnp.sqrt(sum(e[2] ** 2 for e in err_list))
-                ls = jnp.sqrt(sum(e[3] ** 2 for e in err_list))
-                history = history.at[it, j, 0].set(
-                    lr.astype(history.dtype))
-                history = history.at[it, j, 1].set(
-                    ls.astype(history.dtype))
+                    xj, zj, uj, lxj, rj, sj = utils.update_variables(
+                        x[j], list(z[j]), list(u[j]), prox_f_j, steps_f_j,
+                        list(proxs_g[j]), list(steps_g_j), list(Ls[j]),
+                    )
+                    conv_j, err_j = utils.check_constraint_convergence(
+                        xj, list(Ls[j]), list(lxj), list(zj), list(uj),
+                        list(rj), list(sj), steps_f_j, list(steps_g_j),
+                        e_rel[j], e_abs[j],
+                    )
+                    err_list = err_j
+                else:
+                    xj, zj, uj, lxj, rj, sj = utils.update_variables(
+                        x[j], z[j], u[j], prox_f_j, steps_f_j, None, None, Ls[j]
+                    )
+                    conv_j, err_j = utils.check_constraint_convergence(
+                        xj, Ls[j], lxj, zj, uj, rj, sj, steps_f_j, None,
+                        e_rel[j], e_abs[j],
+                    )
+                    err_list = (err_j,)
 
-            x[j] = xj
-            z[j] = zj
-            u[j] = uj
-            steps_f_arr = steps_f_arr.at[j].set(steps_f_j)
-            converged = converged.at[j].set(conv_j)
+                if trace:
+                    # aggregate primal/dual residual norms across constraints
+                    lr = jnp.sqrt(sum(e[2] ** 2 for e in err_list))
+                    ls = jnp.sqrt(sum(e[3] ** 2 for e in err_list))
+                    history = history.at[it, j, 0].set(
+                        lr.astype(history.dtype))
+                    history = history.at[it, j, 1].set(
+                        ls.astype(history.dtype))
 
-        return BSDMMState(
-            x=tuple(x), z=tuple(z), u=tuple(u),
-            steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
-            it=it + 1, converged=converged, history=history,
-        )
+                x[j] = xj
+                z[j] = zj
+                u[j] = uj
+                steps_f_arr = steps_f_arr.at[j].set(steps_f_j)
+                converged = converged.at[j].set(conv_j)
 
+            return BSDMMState(
+                x=tuple(x), z=tuple(z), u=tuple(u),
+                steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
+                it=it + 1, converged=converged, history=history,
+            )
+
+        return body
     def init_state():
         z0, u0 = init_zu(x0)
         return BSDMMState(
@@ -297,7 +324,9 @@ def bsdmm(
 
     def build():
         if callback is None:
-            def run(state):
+            def run(state, leaves):
+                body = make_body(leaves)
+
                 def cond(s):
                     return jnp.logical_and(
                         s.it < max_iter,
@@ -309,7 +338,7 @@ def bsdmm(
             # defeats VMEM residency (2.6x slower on the pgm driver)
             compiled = jax.jit(run)
         else:
-            compiled = jax.jit(body)
+            compiled = jax.jit(lambda s, leaves: make_body(leaves)(s))
         # retain the key's id-referenced objects alive with the entry
         return compiled, (proxs_f, steps_f_cb, _user_structs)
 
@@ -320,7 +349,7 @@ def bsdmm(
         compiled, _ = build()
 
     if callback is None:
-        state = compiled(init_state())
+        state = compiled(init_state(), data_leaves)
     else:
         state = init_state()
         while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
@@ -328,7 +357,7 @@ def bsdmm(
                 callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
             except StopIteration:
                 break
-            state = compiled(state)
+            state = compiled(state, data_leaves)
 
     iterations = int(state.it)
     logger.info("Completed %d iterations", iterations)

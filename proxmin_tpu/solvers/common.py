@@ -208,6 +208,67 @@ class DriverCache:
         return value
 
 
+def split_partial_data(fn, min_bytes=1 << 20):
+    """Extract large arrays bound in a ``functools.partial`` so drivers
+    can pass them as jit ARGUMENTS instead of trace constants.
+
+    Tracing a solver body embeds every closure-captured array into the
+    lowered module as a literal constant — compile time then scales
+    with the DATA size, and remote-compile transports reject modules
+    past ~100 MB outright. ``jax.closure_convert`` cannot help (concrete
+    arrays are "known" to partial_eval and stay inline). But the
+    project idiom binds data with ``functools.partial`` (e.g. ``nmf``'s
+    ``partial(grad_likelihood, Y=Y, W=W)``), whose bound values are
+    INSPECTABLE: this helper pulls out the >=1 MiB array leaves and
+    returns ``(rebuild, leaves)`` where ``rebuild(leaves)`` recreates an
+    equivalent callable — called at trace time with tracers, so the
+    data rides as runtime arguments.
+
+    Non-partial callables (hand-written closures) pass through
+    unchanged; their captures remain trace constants. Bind large arrays
+    with ``functools.partial`` to stay scale-safe.
+    """
+    import functools
+    import jax as _jax
+    import numpy as _np
+
+    def is_big(v):
+        return (isinstance(v, (_jax.Array, _np.ndarray))
+                and getattr(v, "nbytes", 0) >= min_bytes)
+
+    if isinstance(fn, functools.partial):
+        args = list(fn.args)
+        kw = dict(fn.keywords)
+        binders = []
+        leaves = []
+        for i, a in enumerate(args):
+            if is_big(a):
+                binders.append(("arg", i))
+                leaves.append(jnp.asarray(a))
+                args[i] = None
+        for k in sorted(kw):
+            if is_big(kw[k]):
+                binders.append(("kw", k))
+                leaves.append(jnp.asarray(kw[k]))
+                kw[k] = None
+        if not leaves:
+            return (lambda lv: fn), ()
+        func = fn.func
+
+        def rebuild(lv):
+            a2 = list(args)
+            k2 = dict(kw)
+            for (tag, key), val in zip(binders, lv):
+                if tag == "arg":
+                    a2[key] = val
+                else:
+                    k2[key] = val
+            return functools.partial(func, *a2, **k2)
+
+        return rebuild, tuple(leaves)
+    return (lambda lv: fn), ()
+
+
 _ASARRAY_CACHE = DriverCache(maxsize=8)
 _ASARRAY_BYTE_LIMIT = 64 * 1024 * 1024
 

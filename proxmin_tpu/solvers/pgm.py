@@ -34,6 +34,7 @@ from .common import (
     normalize_per_block,
     value_key,
     normalize_prox,
+    split_partial_data,
     tupleize,
     writeback,
     zeros_like_shapes,
@@ -312,35 +313,76 @@ def pgm(
            callable_key(f) if f is not None else None, e_rel, max_iter,
            trace, callback is None, abstract_key(x0))
 
-    def _final_grad(state):
-        # Deliberate deviation from the reference: the returned G is the
-        # gradient at the RETURNED SOLUTION, evaluated once post-loop.
-        # The reference returns grad at the last iteration's extrapolated
-        # point (algorithms.py:105) — reproducing that exactly would mean
-        # carrying a full-size gradient (or a second iterate) through the
-        # while_loop, and every changing full-size carry entry costs a
-        # buffer write per iteration (~2x the whole flagship iteration).
-        # Iterates are bit-identical to the reference; only this
-        # diagnostic differs.
-        return utils._as_tuple(grad(*state.x))
+    # large partial-bound data (e.g. nmf's Y/W inside the grad partial)
+    # is split out of the callables and passed as jit ARGUMENTS — traced
+    # closures embed captured arrays as HLO literal constants, making
+    # compile time scale with the data size (and overflowing the remote
+    # compiler past ~100 MB). See common.split_partial_data.
+    from ..utils import FunctionStepper, StridedStepper
+
+    grad_rb, grad_lv = split_partial_data(grad)
+    if f is not None:
+        f_rb, f_lv = split_partial_data(f)
+    else:
+        f_rb, f_lv = (lambda lv: None), ()
+    prox_pairs = tuple(split_partial_data(p) for p in prox)
+    prox_rbs = tuple(pp[0] for pp in prox_pairs)
+    prox_lv = tuple(pp[1] for pp in prox_pairs)
+
+    if isinstance(stepper, StridedStepper):
+        step_rb, step_lv = split_partial_data(stepper._orig)
+
+        def stepper_rb(lv, _st=stepper):
+            return StridedStepper(step_rb(lv), n, stride=_st.stride,
+                                  safety=_st.safety)
+    elif isinstance(stepper, FunctionStepper):
+        step_rb, step_lv = split_partial_data(step)
+
+        def stepper_rb(lv):
+            return make_stepper(step_rb(lv), n)
+    else:
+        step_lv = ()
+
+        def stepper_rb(lv, _st=stepper):
+            return _st
+
+    data_leaves = (grad_lv, step_lv, f_lv, prox_lv)
+
+    def _rebuild(leaves):
+        g = grad_rb(leaves[0])
+        st = stepper_rb(leaves[1])
+        ff = f_rb(leaves[2])
+        pr = tuple(rb(lv) for rb, lv in zip(prox_rbs, leaves[3]))
+        return g, st, ff, pr
 
     def build():
-        body = _make_pgm_body(grad, stepper, prox, e_rel, accelerated,
-                              backtracking, f, trace=trace)
+        def make_body(leaves):
+            g, st, ff, pr = _rebuild(leaves)
+            body = _make_pgm_body(g, st, pr, e_rel, accelerated,
+                                  backtracking, ff, trace=trace)
+            return body, g
+
         if callback is None:
             # NOT donated: donating the carry pins the loop state to the
             # caller's HBM buffers and defeats VMEM residency of the
             # working set — measured 2.6x slower at the flagship shape.
-            # The transient extra state copy is the price of speed.
             # The final gradient is computed INSIDE the executable (one
-            # eval after the loop) — eagerly it would pay one remote
-            # compile per op at large shapes.
-            def run(s):
+            # eval after the loop; see the deviation note below) —
+            # eagerly it would pay one remote compile per op at large
+            # shapes.
+            @jax.jit
+            def run(s, leaves):
+                body, g = make_body(leaves)
                 s = _run_fused(s, body, max_iter, n)
-                return s, _final_grad(s)
+                return s, utils._as_tuple(g(*s.x))
 
-            return stepper, jax.jit(run), None
-        return stepper, jax.jit(body), jax.jit(_final_grad)
+            return stepper, run, None
+
+        step_jit = jax.jit(lambda s, leaves: make_body(leaves)[0](s))
+        fg_jit = jax.jit(
+            lambda s, leaves: utils._as_tuple(make_body(leaves)[1](*s.x))
+        )
+        return stepper, step_jit, fg_jit
 
     if cacheable(key):
         cached_stepper, run, final_grad = _PGM_CACHE.get_or_build(key, build)
@@ -349,11 +391,21 @@ def pgm(
         # correct), mirroring the ADMM/bSDMM drivers' cacheable() bypass
         cached_stepper, run, final_grad = build()
 
+    # Deliberate deviation from the reference: the returned G is the
+    # gradient at the RETURNED SOLUTION, evaluated once post-loop. The
+    # reference returns grad at the last iteration's extrapolated point
+    # (algorithms.py:105) — reproducing that exactly would mean carrying
+    # a full-size gradient (or a second iterate) through the while_loop,
+    # and every changing full-size carry entry costs a buffer write per
+    # iteration (~2x the whole flagship iteration). Iterates are
+    # bit-identical to the reference; only this diagnostic differs.
     if callback is None:
-        state, G_fin = run(_init_state(x0, grad, cached_stepper, n,
-                                       max_iter, trace, accelerated))
+        state, G_fin = run(
+            _init_state(x0, grad, cached_stepper, n, max_iter, trace,
+                        accelerated),
+            data_leaves,
+        )
     else:
-        step_fn = run
         state = _init_state(x0, grad, cached_stepper, n, max_iter, trace,
                             accelerated)
         for it in range(max_iter):
@@ -361,10 +413,10 @@ def pgm(
                 callback(*[np.asarray(x) for x in state.x], it=it)
             except StopIteration:
                 break
-            state = step_fn(state)
+            state = run(state, data_leaves)
             if bool(jnp.all(state.converged)) or bool(state.diverged):
                 break
-        G_fin = final_grad(state)
+        G_fin = final_grad(state, data_leaves)
 
     iterations = int(state.it)
     logger.info("Completed %d iterations", iterations)

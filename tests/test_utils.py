@@ -261,3 +261,52 @@ def test_bb_stepper_stall_no_nan(rng):
                   utils.BarzilaiBorweinStepper(type=bb_type),
                   e_rel=0, max_iter=5)
         assert np.isfinite(np.asarray(res.x)).all()
+
+
+def test_split_partial_data():
+    """Large partial-bound arrays are extracted as jit-argument leaves;
+    small values stay inline; rebuild reproduces the callable exactly.
+    (Guards the fix for compile time scaling with data size: closure
+    constants are serialized into the lowered module.)"""
+    from functools import partial
+
+    from proxmin_tpu.solvers.common import split_partial_data
+
+    big = jnp.ones((1, 300_000))          # 1.2/2.4 MB > 1 MiB threshold
+    small = jnp.ones((4,))
+
+    def f(x, a, b=None, c=None):
+        return x * a + b[0, 0] + c[0]
+
+    fn = partial(f, 2.0, b=big, c=small)
+    rebuild, leaves = split_partial_data(fn)
+    assert len(leaves) == 1 and leaves[0] is not small
+    np.testing.assert_array_equal(np.asarray(leaves[0]), np.asarray(big))
+
+    # rebuild with a tracer inside jit: data rides as an argument
+    @jax.jit
+    def run(x, lv):
+        return rebuild(lv)(x)
+
+    np.testing.assert_allclose(np.asarray(run(jnp.asarray(3.0), leaves)),
+                               np.asarray(fn(3.0)))
+
+    # non-partial callables pass through untouched
+    g = lambda x: x + 1
+    rb, lv = split_partial_data(g)
+    assert rb(()) is g and lv == ()
+
+
+def test_split_partial_data_numpy_binding():
+    from functools import partial
+
+    from proxmin_tpu.solvers.common import split_partial_data
+
+    big_np = np.ones((1, 300_000))
+
+    def f(x, Y=None):
+        return x + Y.sum()
+
+    rebuild, leaves = split_partial_data(partial(f, Y=big_np))
+    assert len(leaves) == 1
+    assert isinstance(leaves[0], jax.Array)
