@@ -26,6 +26,7 @@ __all__ = [
     "IdentityOperator",
     "MatrixOperator",
     "FunctionOperator",
+    "SparseOperator",
     "as_linear_operator",
     "power_iteration_norm_sq",
     "lanczos_norm_sq",
@@ -354,19 +355,96 @@ class FunctionOperator(LinearOperator):
                 f"dtype={self.dtype})")
 
 
+@jax.tree_util.register_pytree_node_class
+class SparseOperator(LinearOperator):
+    """Sparse linear operator backed by ``jax.experimental.sparse.BCOO``.
+
+    The device-native replacement for the reference's scipy.sparse
+    ``MatrixAdapter`` support (``/root/reference/proxmin/utils.py:28-35,
+    53-60``): scipy matrices convert to BCOO (COO indices + data on
+    device, O(nnz) memory), matvecs lower to XLA scatter/gather dots,
+    and the cached ``lambda_max(L^T L)`` comes from the same on-device
+    Lanczos used by :class:`FunctionOperator` (the reference uses host
+    ARPACK ``eigs``). For purely structured actions (TV, convolutions)
+    prefer :class:`FunctionOperator` — its matvec is usually faster
+    than a generic sparse contraction.
+    """
+
+    is_identity = False
+
+    def __init__(self, L, axis=None, _norm_sq=None, num_iters=64):
+        from jax.experimental import sparse as jsparse
+
+        if hasattr(L, "tocoo"):            # scipy.sparse
+            L = jsparse.BCOO.from_scipy_sparse(L.tocoo())
+        self.L = L
+        self.axis = axis
+        if _norm_sq is None:
+            _norm_sq = lanczos_norm_sq(
+                lambda v: self.L @ v, lambda v: self.L.T @ v,
+                (L.shape[1],), num_iters=num_iters, dtype=L.dtype,
+            )
+        self._norm_sq = _norm_sq
+
+    def matvec(self, X):
+        if self.axis is None:
+            return self.L @ X
+        if self.axis == 1:
+            return (self.L @ X.reshape(-1)).reshape(X.shape[0], -1)
+        raise NotImplementedError("axis=0 is a plain matmul; use axis=None")
+
+    def rmatvec(self, X):
+        if self.axis is None:
+            return self.L.T @ X
+        if self.axis == 1:
+            return (self.L.T @ X.reshape(-1)).reshape(X.shape[0], -1)
+        raise NotImplementedError("axis=0 is a plain matmul; use axis=None")
+
+    @property
+    def T(self):
+        return SparseOperator(self.L.T, axis=self.axis,
+                              _norm_sq=self._norm_sq)
+
+    @property
+    def spectral_norm_sq(self):
+        return self._norm_sq
+
+    @property
+    def shape(self):
+        return self.L.shape
+
+    def tree_flatten(self):
+        return (self.L, self._norm_sq), self.axis
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        L, norm_sq = children
+        obj = object.__new__(cls)
+        obj.L = L
+        obj.axis = aux
+        obj._norm_sq = norm_sq
+        return obj
+
+    def __repr__(self):
+        return (f"SparseOperator(shape={self.L.shape}, "
+                f"nse={self.L.nse}, axis={self.axis})")
+
+
 def as_linear_operator(L, axis=None):
-    """Coerce ``None`` / array / LinearOperator into a LinearOperator.
+    """Coerce ``None`` / array / scipy.sparse / LinearOperator into a
+    LinearOperator.
 
     Mirrors the reference ``MatrixAdapter`` constructor semantics
     (``utils.py:42-51``), including de-cascading (wrapping an operator
-    returns it unchanged).
+    returns it unchanged). scipy.sparse inputs stay sparse on device
+    (:class:`SparseOperator`; the round-1 build densified them).
     """
     if L is None:
         return IdentityOperator()
     if isinstance(L, LinearOperator):
         return L
-    if hasattr(L, "toarray"):  # scipy.sparse input: densify for the device
-        L = L.toarray()
+    if hasattr(L, "toarray"):
+        return SparseOperator(L, axis=axis)
     return MatrixOperator(L, axis=axis)
 
 
@@ -386,5 +464,5 @@ def get_spectral_norm(L):
     if hasattr(L, "spectral_norm"):
         return L.spectral_norm
     if hasattr(L, "toarray"):
-        L = L.toarray()
+        return SparseOperator(L).spectral_norm_sq
     return gram_norm_sq(jnp.asarray(L))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .linop import (  # noqa: F401  (re-exported for reference parity)
     FunctionOperator,
+    SparseOperator,
     IdentityOperator,
     LinearOperator,
     MatrixAdapter,
