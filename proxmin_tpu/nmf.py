@@ -400,6 +400,15 @@ def nmf(
     solves; in-place mutation ⇒ fresh trace, never stale). Above that,
     pass ``Y``/``W`` as jax arrays and reuse the same objects to get
     cache hits without hashing overhead.
+
+    Scale note: Y/W are bound with ``functools.partial`` internally, so
+    the drivers pass them to the compiled program as runtime arguments
+    (compile time does not grow with the data; 50M-pixel problems are
+    routine on one chip). If you write custom ``grad``/``step``/``prox``
+    callables over large arrays, bind the data the same way —
+    ``functools.partial(fn, Y=Y)`` — rather than capturing it in a
+    closure, which would be baked into the compiled program as a
+    constant.
     """
     if algorithm is None:
         algorithm = algorithms.pgm
