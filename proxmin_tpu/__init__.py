@@ -62,12 +62,13 @@ def clear_caches():
     from .solvers.adaprox import _ADAPROX_CACHE
     from .solvers.admm import _ADMM_CACHE
     from .solvers.bsdmm import _BSDMM_CACHE
-    from .nmf import _BSDMM_ADAPTERS, _make_fused_pgm_runner
+    from .solvers.common import _ASARRAY_CACHE
+    from .nmf import _make_fused_pgm_runner
 
     _PGM_CACHE._d.clear()
     _ADAPROX_CACHE._d.clear()
     _ADMM_CACHE._d.clear()
     _BSDMM_CACHE._d.clear()
-    _BSDMM_ADAPTERS.clear()
+    _ASARRAY_CACHE._d.clear()
     _make_fused_pgm_runner.cache_clear()
     _jax.clear_caches()

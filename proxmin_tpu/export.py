@@ -81,11 +81,9 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
     import numpy as np
 
     from .solvers.adaprox import (
-        SCHEMES, AdaProxState, _make_adaprox_body,
+        SCHEMES, _make_adaprox_body, init_adaprox_state, make_adaprox_cond,
     )
-    from .solvers.common import (
-        normalize_per_block, normalize_prox, zeros_like_shapes,
-    )
+    from .solvers.common import normalize_per_block, normalize_prox
     from . import utils as _utils
     from .utils import make_stepper
 
@@ -107,29 +105,11 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
                               prox_max_iter)
 
     def run(*x0):
-        G0 = zeros_like_shapes(lambda *x: _utils._as_tuple(grad(*x)), *x0)
-        state = AdaProxState(
-            x=tuple(x0),
-            M=tuple(jnp.zeros_like(x) for x in x0),
-            V=tuple(jnp.zeros_like(x) for x in x0),
-            Vhat=tuple(jnp.zeros_like(x) for x in x0),
-            stepper_state=stepper.init_state(x0, G0),
-            it=jnp.int32(0),
-            converged=jnp.zeros((n,), bool),
-            sub_iters=jnp.zeros((n,), jnp.int32),
-            history=jnp.zeros(
-                (0, n), jnp.result_type(*[x.dtype for x in x0],
-                                        jnp.float32),
-            ),
-            diverged=jnp.asarray(False),
-        )
-
-        def cond(s):
-            not_done = jnp.logical_not(jnp.all(s.converged)) \
-                if check_convergence else True
-            go = jnp.logical_and(s.it < max_iter, not_done)
-            return jnp.logical_and(go, jnp.logical_not(s.diverged))
-
+        # shared with the in-process driver so artifacts cannot drift
+        zeros = tuple(jnp.zeros_like(x) for x in x0)
+        state = init_adaprox_state(x0, zeros, zeros, zeros, stepper, grad,
+                                   n, max_iter, trace=False)
+        cond = make_adaprox_cond(check_convergence, max_iter)
         st = jax.lax.while_loop(cond, body, state)
         return st.x, st.M, st.V, st.Vhat, st.it, st.converged, st.diverged
 

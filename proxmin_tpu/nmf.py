@@ -531,48 +531,24 @@ def _bsdmm_step_custom(Xs, j=None, *, step):
     return step(*Xs)[j]
 
 
-_BSDMM_ADAPTERS = {}
-
-
 def _bsdmm_adapters(Y, W, prox, step, Y_orig=None, W_orig=None):
-    """Build (and cache, when safe) the bsdmm prox_f/step_f closures:
-    gradient steps wrapped as block prox_f (reference nmf.py:181-193; the
-    reference bug of referencing an undefined `step_f` when a custom
-    `step` is supplied — nmf.py:195-197 — is fixed here).
+    """Build the bsdmm prox_f/step_f callables: gradient steps wrapped
+    as block prox_f (reference nmf.py:181-193; the reference bug of
+    referencing an undefined `step_f` when a custom `step` is supplied —
+    nmf.py:195-197 — is fixed here).
 
-    Caching keeps the closures' identities stable so the bsdmm driver
-    cache can hit on repeated solves — but ONLY when the caller's
-    original Y/W are immutable jax arrays (a NumPy Y could be mutated in
-    place, and a fresh device copy per call would make id-keys useless
-    while pinning dead device buffers)."""
+    Partial-bound (NOT closure-captured) for two reasons: the bsdmm
+    driver's split_partial_data passes Y/W to the compiled program as
+    jit arguments (compile time must not scale with the data size), and
+    ``callable_key`` keys partials STRUCTURALLY — so repeat solves with
+    the same device data (including NumPy data stabilized by
+    ``asarray_cached``) hit the bsdmm driver cache even though these
+    partials are rebuilt every call. No adapter-level memo is needed."""
     prox = tuple(p if p is not None else operators.prox_id for p in prox)
 
-    cache_safe = isinstance(Y_orig, jax.Array) and (
-        not hasattr(W_orig, "shape") or isinstance(W_orig, jax.Array)
-    )
-    key = None
-    if cache_safe:
-        key = (id(Y_orig),
-               id(W_orig) if hasattr(W_orig, "shape") else W_orig,
-               tuple(id(p) for p in prox),
-               id(step) if step is not None else None)
-        hit = _BSDMM_ADAPTERS.get(key)
-        if hit is not None:
-            return hit[0], hit[1]
-
-    # partial-bound (NOT closure-captured) so the bsdmm driver's
-    # split_partial_data can pass Y/W as jit arguments instead of
-    # letting tracing embed them as HLO constants (compile time would
-    # scale with the data size)
     prox_f = partial(_bsdmm_prox_f, Y=Y, W=W, prox=prox)
     if step is None:
         step_f = partial(_bsdmm_step_default, W=W)
     else:
         step_f = partial(_bsdmm_step_custom, step=step)
-
-    if key is not None:
-        # retain the keyed objects so their ids cannot be recycled
-        _BSDMM_ADAPTERS[key] = (prox_f, step_f, (Y_orig, W_orig, prox, step))
-        if len(_BSDMM_ADAPTERS) > 16:
-            _BSDMM_ADAPTERS.pop(next(iter(_BSDMM_ADAPTERS)))
     return prox_f, step_f

@@ -39,6 +39,7 @@ from .common import (
     normalize_per_block,
     normalize_prox,
     split_partial_data,
+    split_stepper_data,
     tupleize,
     writeback,
     zeros_like_shapes,
@@ -133,6 +134,40 @@ SCHEMES = {
 
 
 _ADAPROX_CACHE = DriverCache()
+
+
+def make_adaprox_cond(check_convergence, max_iter):
+    """The driver's while-loop condition — shared with the AOT export
+    path so exported artifacts cannot drift from the in-process
+    solver."""
+    def cond(s):
+        not_done = jnp.logical_not(jnp.all(s.converged)) \
+            if check_convergence else True
+        go = jnp.logical_and(s.it < max_iter, not_done)
+        return jnp.logical_and(go, jnp.logical_not(s.diverged))
+
+    return cond
+
+
+def init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n, max_iter,
+                       trace):
+    """Initial carry construction — shared with the AOT export path."""
+    G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
+    return AdaProxState(
+        x=tuple(jnp.array(x, copy=True) for x in x0),
+        M=M0,
+        V=V0,
+        Vhat=Vhat0,
+        stepper_state=stepper.init_state(x0, G0),
+        it=jnp.int32(0),
+        converged=jnp.zeros((n,), bool),
+        sub_iters=jnp.zeros((n,), jnp.int32),
+        history=jnp.zeros(
+            (max_iter if trace else 0, n),
+            jnp.result_type(*[x.dtype for x in x0], jnp.float32),
+        ),
+        diverged=jnp.asarray(False),
+    )
 
 
 class AdaProxState(NamedTuple):
@@ -311,10 +346,10 @@ def adaprox(
         assert len(given) == n
         out = []
         for g, x in zip(given, x0):
-            # fresh buffer: the fused driver donates the carry, and
-            # donating a user-provided warm-start array would delete it
-            # for subsequent use (asarray/astype are no-copy when the
-            # dtype already matches)
+            # fresh buffer: the returned state must not alias a
+            # user-provided warm-start array (drivers no longer donate
+            # the carry, but the result's M/V/Vhat would otherwise share
+            # buffers with the caller's arrays)
             g = jnp.array(g, copy=True, dtype=x.dtype)
             assert g.shape == x.shape
             out.append(g)
@@ -337,28 +372,11 @@ def adaprox(
 
     # large partial-bound data rides as jit arguments, not trace
     # constants (see common.split_partial_data and the pgm driver)
-    from ..utils import FunctionStepper, StridedStepper
-
     grad_rb, grad_lv = split_partial_data(grad)
     prox_pairs = tuple(split_partial_data(pj) for pj in prox)
     prox_rbs = tuple(pp[0] for pp in prox_pairs)
     prox_lv = tuple(pp[1] for pp in prox_pairs)
-    if isinstance(stepper, StridedStepper):
-        step_rb, step_lv = split_partial_data(stepper._orig)
-
-        def stepper_rb(lv, _st=stepper):
-            return StridedStepper(step_rb(lv), n, stride=_st.stride,
-                                  safety=_st.safety)
-    elif isinstance(stepper, FunctionStepper):
-        step_rb, step_lv = split_partial_data(step)
-
-        def stepper_rb(lv):
-            return make_stepper(step_rb(lv), n)
-    else:
-        step_lv = ()
-
-        def stepper_rb(lv, _st=stepper):
-            return _st
+    stepper_rb, step_lv = split_stepper_data(step, stepper, n)
 
     data_leaves = (grad_lv, step_lv, prox_lv)
 
@@ -375,12 +393,7 @@ def adaprox(
         if callback is None:
             def run(state, leaves):
                 body = make_body(leaves)
-
-                def cond(s):
-                    not_done = jnp.logical_not(jnp.all(s.converged)) \
-                        if check_convergence else True
-                    go = jnp.logical_and(s.it < max_iter, not_done)
-                    return jnp.logical_and(go, jnp.logical_not(s.diverged))
+                cond = make_adaprox_cond(check_convergence, max_iter)
                 return jax.lax.while_loop(cond, body, state)
 
             # not donated: donation pins the carry to HBM buffers and
@@ -396,22 +409,8 @@ def adaprox(
         cached_stepper, compiled = build()
 
     def init_state():
-        G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
-        return AdaProxState(
-            x=tuple(jnp.array(x, copy=True) for x in x0),
-            M=M0,
-            V=V0,
-            Vhat=Vhat0,
-            stepper_state=cached_stepper.init_state(x0, G0),
-            it=jnp.int32(0),
-            converged=jnp.zeros((n,), bool),
-            sub_iters=jnp.zeros((n,), jnp.int32),
-            history=jnp.zeros(
-                (max_iter if trace else 0, n),
-                jnp.result_type(*[x.dtype for x in x0], jnp.float32),
-            ),
-            diverged=jnp.asarray(False),
-        )
+        return init_adaprox_state(x0, M0, V0, Vhat0, cached_stepper, grad,
+                                  n, max_iter, trace)
 
     if callback is None:
         state = compiled(init_state(), data_leaves)

@@ -163,21 +163,29 @@ def callable_key(fn):
     """A cache key for a user callable.
 
     ``functools.partial`` objects are keyed structurally (wrapped function
-    plus ids of the bound arguments) because APIs like ``nmf`` rebuild
-    their partials per call; everything else is keyed by identity. Safe
-    because the cache entry holds a strong reference to the callable (via
-    the compiled closure), so its id cannot be recycled while the key is
-    alive — and evicting the entry also evicts the key.
+    plus keys of the bound values) because APIs like ``nmf`` rebuild
+    their partials per call; everything else is keyed by identity. Bound
+    values go through :func:`nested_key` so scalars key by value,
+    immutable jax arrays by identity, and **mutable NumPy arrays make
+    the whole key UNCACHEABLE** (id-keying them would serve stale
+    compiled traces after in-place mutation — the drivers then bypass
+    their cache and retrace, which is always correct). Id-keying is safe
+    because the cache entry holds a strong reference to the callable
+    (via the compiled closure), so its id cannot be recycled while the
+    key is alive — and evicting the entry also evicts the key.
     """
     import functools as _ft
 
     if isinstance(fn, _ft.partial):
-        return (
-            "partial",
+        parts = (
             callable_key(fn.func),
-            tuple(id(a) for a in fn.args),
-            tuple(sorted((k, id(v)) for k, v in fn.keywords.items())),
+            tuple(nested_key(a) for a in fn.args),
+            tuple((k, nested_key(v))
+                  for k, v in sorted(fn.keywords.items())),
         )
+        if not cacheable(parts):
+            return UNCACHEABLE
+        return ("partial",) + parts
     return ("id", id(fn))
 
 
@@ -267,6 +275,32 @@ def split_partial_data(fn, min_bytes=1 << 20):
 
         return rebuild, tuple(leaves)
     return (lambda lv: fn), ()
+
+
+def split_stepper_data(step, stepper, n_blocks):
+    """Data-splitting (:func:`split_partial_data`) for the stepper
+    protocol: returns ``(stepper_rebuild, leaves)`` where
+    ``stepper_rebuild(leaves)`` recreates an equivalent stepper with the
+    large partial-bound arrays re-injected as tracers. Shared by the
+    pgm and adaprox drivers."""
+    from ..utils import FunctionStepper, StridedStepper, make_stepper
+
+    if isinstance(stepper, StridedStepper):
+        rb, lv = split_partial_data(stepper._orig)
+
+        def stepper_rb(leaves, _st=stepper):
+            return StridedStepper(rb(leaves), n_blocks, stride=_st.stride,
+                                  safety=_st.safety)
+
+        return stepper_rb, lv
+    if isinstance(stepper, FunctionStepper):
+        rb, lv = split_partial_data(step)
+
+        def stepper_rb(leaves):
+            return make_stepper(rb(leaves), n_blocks)
+
+        return stepper_rb, lv
+    return (lambda leaves, _st=stepper: _st), ()
 
 
 _ASARRAY_CACHE = DriverCache(maxsize=8)

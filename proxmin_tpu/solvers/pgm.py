@@ -31,10 +31,12 @@ from .common import (
     abstract_key,
     cacheable,
     callable_key,
+    nested_key,
     normalize_per_block,
     value_key,
     normalize_prox,
     split_partial_data,
+    split_stepper_data,
     tupleize,
     writeback,
     zeros_like_shapes,
@@ -231,8 +233,13 @@ def _stepper_cache_key(step, stepper):
     )
 
     if isinstance(stepper, StridedStepper):
-        return ("strided", stepper.stride, stepper.safety,
-                callable_key(stepper._orig))
+        # _orig may be a callable OR a raw step value; value keying via
+        # nested_key keeps mutable NumPy arrays UNCACHEABLE here too
+        orig = stepper._orig
+        okey = callable_key(orig) if callable(orig) else nested_key(orig)
+        if not cacheable(okey):
+            return okey
+        return ("strided", stepper.stride, stepper.safety, okey)
     if isinstance(stepper, ConstantStepper):
         return ("const", tuple(_const_step_key(v) for v in stepper.value))
     if isinstance(stepper, BarzilaiBorweinStepper):
@@ -318,8 +325,6 @@ def pgm(
     # closures embed captured arrays as HLO literal constants, making
     # compile time scale with the data size (and overflowing the remote
     # compiler past ~100 MB). See common.split_partial_data.
-    from ..utils import FunctionStepper, StridedStepper
-
     grad_rb, grad_lv = split_partial_data(grad)
     if f is not None:
         f_rb, f_lv = split_partial_data(f)
@@ -328,23 +333,7 @@ def pgm(
     prox_pairs = tuple(split_partial_data(p) for p in prox)
     prox_rbs = tuple(pp[0] for pp in prox_pairs)
     prox_lv = tuple(pp[1] for pp in prox_pairs)
-
-    if isinstance(stepper, StridedStepper):
-        step_rb, step_lv = split_partial_data(stepper._orig)
-
-        def stepper_rb(lv, _st=stepper):
-            return StridedStepper(step_rb(lv), n, stride=_st.stride,
-                                  safety=_st.safety)
-    elif isinstance(stepper, FunctionStepper):
-        step_rb, step_lv = split_partial_data(step)
-
-        def stepper_rb(lv):
-            return make_stepper(step_rb(lv), n)
-    else:
-        step_lv = ()
-
-        def stepper_rb(lv, _st=stepper):
-            return _st
+    stepper_rb, step_lv = split_stepper_data(step, stepper, n)
 
     data_leaves = (grad_lv, step_lv, f_lv, prox_lv)
 

@@ -274,15 +274,18 @@ def test_pgm_trace_backtracking_accelerated():
     np.testing.assert_allclose(np.asarray(res.x), opt, atol=1e-4)
 
 
-def test_clear_caches_clears_bsdmm_adapters(rng):
-    from proxmin_tpu.nmf import _BSDMM_ADAPTERS
+def test_clear_caches_drops_solver_and_asarray_caches(rng):
+    from proxmin_tpu.solvers.bsdmm import _BSDMM_CACHE
+    from proxmin_tpu.solvers.common import _ASARRAY_CACHE
 
-    Y = jnp.asarray(rng.random((4, 8)))
+    Y = rng.random((4, 8)).astype(np.float32)   # NumPy -> asarray cache
     A0, S0 = rng.random((4, 2)), rng.random((2, 8))
     pt.nmf.nmf(Y, A0, S0, algorithm="bsdmm", e_rel=0, max_iter=3)
-    assert len(_BSDMM_ADAPTERS) >= 1
+    assert len(_BSDMM_CACHE._d) >= 1
+    assert len(_ASARRAY_CACHE._d) >= 1
     pt.clear_caches()
-    assert len(_BSDMM_ADAPTERS) == 0
+    assert len(_BSDMM_CACHE._d) == 0
+    assert len(_ASARRAY_CACHE._d) == 0
 
 
 def test_asarray_cached_content_keyed():
@@ -438,3 +441,54 @@ def test_export_adaprox_roundtrip(tmp_path):
                                rtol=0, atol=0)
     assert int(it) == res.iterations
     np.testing.assert_array_equal(np.asarray(M[0]), np.asarray(res.M[0]))
+
+
+def test_nmf_bsdmm_numpy_Y_repeat_solve_hits_driver_cache(rng):
+    """Review r2 finding: repeat nmf(algorithm='bsdmm') with (unchanged)
+    NumPy data must reuse the compiled driver — structural partial keys
+    plus asarray_cached make the key stable without an adapter memo."""
+    from proxmin_tpu.solvers.bsdmm import _BSDMM_CACHE
+
+    Y = rng.random((4, 32)).astype(np.float32)
+    A0 = rng.random((4, 2)).astype(np.float32)
+    S0 = rng.random((2, 32)).astype(np.float32)
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="bsdmm", e_rel=0,
+               max_iter=3)
+    n_entries = len(_BSDMM_CACHE._d)
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="bsdmm", e_rel=0,
+               max_iter=3)
+    assert len(_BSDMM_CACHE._d) == n_entries
+
+
+def test_pgm_partial_bound_numpy_mutation_not_stale():
+    """Review r2 finding: a mutable NumPy array bound in a grad partial
+    must not be served stale from the driver cache after in-place
+    mutation (callable_key routes bound values through nested_key)."""
+    from functools import partial
+
+    def g(x, c=None):
+        return x - jnp.asarray(c)
+
+    c = np.array([1.0, 0.5])
+    r1 = pt.pgm(jnp.zeros(2), partial(g, c=c), 0.5, e_rel=0, max_iter=100)
+    np.testing.assert_allclose(np.asarray(r1.x), [1.0, 0.5], atol=1e-6)
+    c[:] = 0.0   # mutate in place, same object id
+    r2 = pt.pgm(jnp.zeros(2), partial(g, c=c), 0.5, e_rel=0, max_iter=100)
+    np.testing.assert_allclose(np.asarray(r2.x), [0.0, 0.0], atol=1e-6)
+
+
+def test_nmf_step_stride_numpy_step_mutation_not_stale(rng):
+    """Review r2 finding: StridedStepper over a mutable NumPy step array
+    must bypass the driver cache (same policy as the unstrided path)."""
+    c = jnp.asarray([1.0, 0.5])
+    s_np = np.array([0.5, 0.5])
+    r1 = pt.pgm(jnp.zeros(2), lambda x: x - c,
+                pt.utils.StridedStepper(s_np, 1, stride=5),
+                e_rel=0, max_iter=4)
+    x1 = np.asarray(r1.x)
+    s_np[:] = 0.0
+    r2 = pt.pgm(jnp.zeros(2), lambda x: x - c,
+                pt.utils.StridedStepper(s_np, 1, stride=5),
+                e_rel=0, max_iter=4)
+    np.testing.assert_allclose(np.asarray(r2.x), 0.0)
+    assert not np.allclose(x1, np.asarray(r2.x))
