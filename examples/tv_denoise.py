@@ -22,6 +22,7 @@ _sys.path.insert(
 
 import sys
 import time
+from functools import partial
 
 import numpy as np
 import jax.numpy as jnp
@@ -38,6 +39,17 @@ def fwd_diff_T(y):
     return jnp.concatenate([-y[:1], y[:-1] - y[1:], y[-1:]])
 
 
+# data bound via functools.partial (not a closure): the drivers pass
+# partial-bound arrays to the compiled program as runtime arguments, so
+# compile time does not scale with n (see DESIGN.md)
+def _prox_quad(x, step, *, y):
+    return (x + step * y) / (1.0 + step)
+
+
+def _prox_l1(z, step, *, lam):
+    return operators.prox_soft(z, step, thresh=lam)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1 << 20
@@ -51,11 +63,8 @@ def main():
     y = truth + 0.25 * rng.standard_normal(n).astype(np.float32)
     yj = jnp.asarray(y)
 
-    def prox_f(x, step):           # prox of 0.5||x - y||^2
-        return (x + step * yj) / (1.0 + step)
-
-    def prox_g(z, step):           # prox of lam ||.||_1
-        return operators.prox_soft(z, step, thresh=lam)
+    prox_f = partial(_prox_quad, y=yj)     # prox of 0.5||x - y||^2
+    prox_g = partial(_prox_l1, lam=lam)    # prox of lam ||.||_1
 
     D = FunctionOperator(fwd_diff, fwd_diff_T, (n,), dtype=jnp.float32,
                          norm_sq=4.0)
