@@ -66,7 +66,6 @@ class ADMMState(NamedTuple):
     slack: Any
     converged: Any
     errors: Any          # (M, 4) array: e_pri, e_dual, |R|, |S| per constraint
-    x_prev: Any
     r_prev: Any          # same structure as z
     history: Any         # (cap, M, 4) residual trace indexed by total_it
                          # (restarts keep appending; empty when trace off)
@@ -185,7 +184,10 @@ def _sdmm_core(
             # X and primal residual unchanged since last iteration -> halve the
             # slack, reset the iteration counter, re-initialize Z and U
             if has_g:
-                same_x = jnp.all(x == state.x_prev)
+                # state.x at body entry IS the previous iterate — no
+                # separate x_prev carry slot needed (a full-size slot
+                # that changes per iteration costs a buffer write)
+                same_x = jnp.all(x == state.x)
                 if M == 1:
                     same_r = jnp.all(r == state.r_prev)
                 else:
@@ -211,7 +213,7 @@ def _sdmm_core(
             return ADMMState(
                 x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
                 slack=slack, converged=conv, errors=errors_arr,
-                x_prev=x, r_prev=r, history=history,
+                r_prev=r, history=history,
             )
 
         return body
@@ -232,7 +234,6 @@ def _sdmm_core(
             slack=jnp.asarray(1.0, x.dtype),
             converged=jnp.asarray(False),
             errors=jnp.zeros((max(M, 1), 4)),
-            x_prev=jnp.array(x, copy=True),
             r_prev=r0,
             history=jnp.zeros(
                 (_RESTART_BUDGET * max_iter if trace else 0, max(M, 1), 4)
