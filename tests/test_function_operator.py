@@ -223,3 +223,44 @@ def test_sparse_operator_is_pytree(rng):
     x = jnp.asarray(rng.standard_normal(10))
     np.testing.assert_allclose(np.asarray(apply(op, x)),
                                np.asarray(apply(op2, x)))
+
+
+def test_sdmm_2d_image_tv(rng):
+    """Two simultaneous matrix-free constraints on a 2-D variable:
+    anisotropic image TV via sdmm with FunctionOperators acting on the
+    (H, W) array directly (examples/image_tv.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from functools import partial
+
+    from image_tv import _prox_l1, _prox_quad, dh, dh_T, dv, dv_T
+
+    H = W = 24
+    truth = np.zeros((H, W))
+    truth[6:18, 4:12] = 1.0
+    y = truth + 0.2 * rng.standard_normal((H, W))
+    yj = jnp.asarray(y)
+
+    # adjoint identities for both 2-D operators
+    x = jnp.asarray(rng.standard_normal((H, W)))
+    u = jnp.asarray(rng.standard_normal((H, W - 1)))
+    v = jnp.asarray(rng.standard_normal((H - 1, W)))
+    np.testing.assert_allclose(float(jnp.vdot(dh(x), u)),
+                               float(jnp.vdot(x, dh_T(u))), rtol=1e-12)
+    np.testing.assert_allclose(float(jnp.vdot(dv(x), v)),
+                               float(jnp.vdot(x, dv_T(v))), rtol=1e-12)
+
+    Dh = FunctionOperator(dh, dh_T, (H, W), dtype=jnp.float64, norm_sq=4.0)
+    Dv = FunctionOperator(dv, dv_T, (H, W), dtype=jnp.float64, norm_sq=4.0)
+    res = pt.sdmm(jnp.zeros((H, W), jnp.float64),
+                  partial(_prox_quad, y=yj), 0.5,
+                  proxs_g=[partial(_prox_l1, lam=0.3)] * 2,
+                  Ls=[Dh, Dv], e_rel=1e-4, max_iter=500)
+    x_hat = np.asarray(res.x)
+    tv = lambda a: (np.abs(np.diff(a, axis=0)).sum()
+                    + np.abs(np.diff(a, axis=1)).sum())
+    assert np.isfinite(x_hat).all()
+    assert tv(x_hat) < 0.3 * tv(y)
+    assert np.sqrt(np.mean((x_hat - truth) ** 2)) \
+        < 0.6 * np.sqrt(np.mean((y - truth) ** 2))
