@@ -357,6 +357,8 @@ def nmf(
     callback=None,
     engine="xla",
     step_stride=None,
+    mesh=None,
+    model_axis=None,
     **algorithm_args,
 ):
     """Non-negative / constrained matrix factorization.
@@ -388,6 +390,16 @@ def nmf(
             striding them is an order-of-magnitude win on large weighted
             problems for every CMF path (the reference recomputes every
             iteration, ``nmf.py:69-88``).
+        mesh: optional ``jax.sharding.Mesh`` for one-call scale-out: the
+            pixel axis of Y/S/W shards over the mesh's ``'data'`` axis
+            (A replicates, or channel-shards over ``model_axis`` on a
+            2-D mesh). algorithm='pgm' runs the whole solve inside one
+            ``shard_map`` with explicit collectives
+            (:func:`proxmin_tpu.parallel.nmf_pgm_sharded`); other
+            algorithms shard the inputs and let XLA's auto-SPMD insert
+            the collectives.
+        model_axis: name of the channel (tensor-parallel) mesh axis for
+            2-D meshes; None = replicate A.
         algorithm_args: extra solver kwargs (e.g. ``accelerated=True``).
 
     Returns:
@@ -414,6 +426,37 @@ def nmf(
         algorithm = algorithms.pgm
     if isinstance(algorithm, str):
         algorithm = getattr(algorithms, algorithm.lower())
+
+    if mesh is not None:
+        # one-call scale-out: pgm routes to the explicit-collective
+        # whole-solve shard_map (weighted + step_stride supported); the
+        # other algorithms get auto-SPMD (shard the inputs, run the
+        # ordinary driver — XLA inserts the collectives)
+        from .parallel import nmf_pgm_sharded, shard_nmf_problem
+
+        if (algorithm is algorithms.pgm and engine == "xla"
+                and step is None and callback is None
+                and not algorithm_args):
+            return nmf_pgm_sharded(
+                Y, A, S, W=None if _is_unweighted(W) else W, mesh=mesh,
+                prox_A=prox_A if prox_A is not None else operators.prox_id,
+                prox_S=prox_S if prox_S is not None else operators.prox_id,
+                e_rel=e_rel, max_iter=max_iter, model_axis=model_axis,
+                step_stride=step_stride,
+            )
+        Yd, Ad, Sd, Wd = shard_nmf_problem(
+            mesh, Y, A, S, None if _is_unweighted(W) else W,
+            model_axis=model_axis,
+        )
+        res = nmf(Yd, Ad, Sd, W=Wd if Wd is not None else 1,
+                  prox_A=prox_A, prox_S=prox_S, algorithm=algorithm,
+                  step=step, max_iter=max_iter, e_rel=e_rel,
+                  callback=callback, engine=engine,
+                  step_stride=step_stride, **algorithm_args)
+        from .solvers.common import writeback as _writeback
+
+        _writeback((A, S), res.x)
+        return res
 
     if engine == "auto":
         pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}

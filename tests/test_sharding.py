@@ -392,3 +392,39 @@ def test_full_sharded_solve_weighted_stride(problem, rng):
     assert np.isfinite(ls)
     assert le < 0.05 * l0
     assert ls < 0.05 * l0
+
+
+def test_nmf_mesh_kwarg_pgm(problem):
+    """One-call scale-out: nmf(mesh=...) == single-device solve (pgm
+    routes to the explicit-collective whole-solve shard_map)."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=20)
+
+    res = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=20,
+                     mesh=make_mesh())
+    A2, S2 = res.x
+    np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-9, atol=1e-12)
+
+
+def test_nmf_mesh_kwarg_weighted_stride(problem, rng):
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+    res = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=30,
+                     mesh=make_mesh(), step_stride=10)
+    assert np.isfinite(np.asarray(res.x[1])).all()
+
+
+def test_nmf_mesh_kwarg_adaprox(problem):
+    """Non-pgm algorithms go through auto-SPMD under mesh=...; result
+    matches the single-device run and writes back to NumPy inputs."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="adaprox", e_rel=0, max_iter=15)
+
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, algorithm="adaprox", e_rel=0, max_iter=15,
+               mesh=make_mesh())
+    np.testing.assert_allclose(A2, A1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(S2, S1, rtol=1e-9, atol=1e-12)
