@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import algorithms, operators
+from . import algorithms, operators, utils
 from .solvers.common import asarray_cached
 
 import logging
@@ -90,46 +90,51 @@ def step_S(A, S):
     return 1.0 / _lambda_max(A.T @ A)
 
 
-def _weighted_lipschitz_A(S, W, num_iters=48):
-    """``max_c lambda_max(S diag(W[c,:]) S^T)`` by batched implicit power
-    iteration.
+def _weighted_lipschitz_A(S, W, num_iters=None):
+    """``max_c lambda_max(S diag(W[c,:]) S^T)``.
 
     Mathematically identical to the reference's
     ``||PS^T Sigma^-1 PS||_s`` with the CK×CK block-diagonal matrix
     (``nmf.py:69-77``): the spectral norm of a block-diagonal operator is
-    the max over the per-channel K×K blocks. Never materializes more than
-    a (C, K) iterate.
-    """
+    the max over the per-channel K×K blocks. The C Gram blocks are tiny
+    (K×K), so they are assembled exactly in ONE pass over W/S (an
+    einsum) and eigensolved on device — the round-1 48-pass batched
+    power iteration paid 48x the HBM traffic for an approximation.
+    Falls back to batched Lanczos for unusually large C*K*K."""
     C = W.shape[0]
     K = S.shape[0]
     dtype = jnp.result_type(S, W)
-    v = jnp.ones((C, K), dtype) + 0.01 * jnp.arange(K, dtype=dtype)
-    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    if C * K * K <= (1 << 20):
+        H = jnp.einsum("kn,cn,ln->ckl", S, W, S)
+        return jnp.max(jnp.linalg.eigvalsh(H)[:, -1])
+
+    v0 = jnp.ones((C, K), dtype) + 0.01 * jnp.arange(K, dtype=dtype)
+    v0 = v0 / jnp.linalg.norm(v0, axis=1, keepdims=True)
 
     def Hv(v):
-        t = jnp.einsum("ck,kn->cn", v, S)          # S^T v  per channel
-        u = W * t                                   # diag(W_c) .
-        return jnp.einsum("cn,kn->ck", u, S)        # S .
+        t = jnp.einsum("ck,kn->cn", v, S)
+        u = W * t
+        return jnp.einsum("cn,kn->ck", u, S)
 
-    def body(_, v):
-        w = Hv(v)
-        return w / jnp.maximum(
-            jnp.linalg.norm(w, axis=1, keepdims=True), jnp.finfo(dtype).tiny
-        )
-
-    v = jax.lax.fori_loop(0, num_iters, body, v)
-    # fully-masked channels (W[c, :] == 0) drive their v row to zero; the
-    # block's lambda_max is genuinely 0 — guard the denominator so the
-    # Rayleigh quotient is 0, not 0/0 = NaN
-    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.maximum(
-        jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
-    return jnp.max(rayleigh)
+    return jnp.max(utils.batched_lanczos_max(Hv, v0, min(K, 32) + 2))
 
 
 def _weighted_lipschitz_S(A, W, num_iters=48):
     """``max_n lambda_max(A^T diag(W[:,n]) A)`` by batched implicit power
     iteration (the per-pixel blocks of the reference's CN×CN block
-    eigenproblem, ``nmf.py:79-85``)."""
+    eigenproblem, ``nmf.py:79-85``).
+
+    Negative result from round 2, kept for the record: a batched-Lanczos
+    variant (min(C,K)+2 exact passes instead of 48 approximate ones —
+    see :func:`utils.batched_lanczos_max`) measured NO faster at the
+    flagship shape. The loop-invariant W stays VMEM-resident across the
+    ``fori_loop`` passes, so pass count is nearly free; the per-pixel
+    eigenvalue extraction (Sturm bisection / top-k refinement) instead
+    adds sequential latency, and at 1e6 pixels the Gershgorin
+    candidate-selection bound binds ~17% above the true maximum,
+    degrading the steps. Power iteration measured within 0.1% of the
+    exact value here (per-pixel spectra are not pathologically
+    clustered for generic weights)."""
     N = W.shape[1]
     K = A.shape[1]
     dtype = jnp.result_type(A, W)
@@ -148,7 +153,7 @@ def _weighted_lipschitz_S(A, W, num_iters=48):
         )
 
     v = jax.lax.fori_loop(0, num_iters, body, v)
-    # see _weighted_lipschitz_A: fully-masked pixels give a 0 block, not NaN
+    # fully-masked pixels (W[:, n] == 0) give a 0 block, not NaN
     rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.maximum(
         jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
     return jnp.max(rayleigh)
@@ -270,16 +275,92 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
+                                    C, K, N, dtype, stride):
+    """Weighted variant of the fused-PGM runner: the kernel consumes the
+    weighted residual ``D = W (A S - Y)`` in the same single pass, while
+    the weighted Lipschitz bounds (implicit batched power iteration, the
+    only part the kernel cannot fuse) refresh every ``stride`` iterations
+    in the carry (0.9 safety factor; ``stride=1`` = every iteration,
+    matching the reference's semantics exactly)."""
+    import jax
+    from .ops.nmf_kernels import (
+        _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
+    )
+
+    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
+    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    tile = _auto_tile(Cp, Kp, True, tile_n, N)
+    Np = _round_up(N, tile)
+    dims = (C, K, N)
+    stride = max(int(stride or 1), 1)
+
+    @jax.jit
+    def run(A, S, Y, W, max_iter):
+        A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
+        S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        # zero weights in the padding: padded pixels/channels contribute
+        # exact zeros to D, the gradients, the loss and the norms
+        W_p = jnp.pad(W.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+
+        def weighted_steps(A, S):
+            sA = 1.0 / _weighted_lipschitz_A(S, W_p)
+            sS = 1.0 / _weighted_lipschitz_S(A, W_p)
+            return (jnp.asarray(sA, jnp.float32),
+                    jnp.asarray(sS, jnp.float32))
+
+        def body(carry):
+            A, S, sA, sS, it, _, _, _ = carry
+            if stride > 1:
+                sA, sS = jax.lax.cond(
+                    it % stride == 0,
+                    lambda: tuple(0.9 * s for s in weighted_steps(A, S)),
+                    lambda: (sA, sS),
+                )
+            else:
+                sA, sS = weighted_steps(A, S)
+            gA, S_new, _, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
+                A, S, Y_p, sS, W=W_p, prox_S=prox_S, tile_n=tile,
+                dims=dims,
+            )
+            A_new = prox_A(A - sA * gA, sA) * a_mask
+            conv_A = (jnp.sum((A_new - A) ** 2)
+                      <= e_rel ** 2 * jnp.sum(A_new ** 2))
+            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            return (A_new, S_new, sA, sS, it + 1, conv_A, conv_S, loss)
+
+        def cond(carry):
+            _, _, _, _, it, conv_A, conv_S, _ = carry
+            done = jnp.logical_and(conv_A, conv_S)
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        z = jnp.zeros((), jnp.float32)
+        init = (A_p, S_p, z, z, jnp.int32(0), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
+        A_f, S_f, _, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
+            cond, body, init
+        )
+        return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
+                it, conv_A, conv_S, loss)
+
+    return run
+
+
 def nmf_pgm_fused(
     Y,
     A,
     S,
+    W=None,
     prox_A=operators.prox_plus,
     prox_S=operators.prox_plus,
     e_rel=1e-3,
     max_iter=1000,
     tile_n=8192,
     store_dtype=None,
+    step_stride=None,
 ):
     """PGM-NMF with the fully-fused Pallas iteration — the fast path.
 
@@ -294,7 +375,11 @@ def nmf_pgm_fused(
 
     ``prox_S`` must be elementwise or factor-axis-local (the kernel
     applies it per pixel tile); pixel-axis-normalizing proxs need the
-    sharded path. Weighted problems (W != 1) use ``nmf()``.
+    sharded path. Weighted problems pass ``W`` (C×N): the kernel fuses
+    the weighted residual into the same single pass; the weighted
+    Lipschitz bounds refresh every ``step_stride`` iterations (default
+    1 = every iteration, the reference's semantics) via implicit power
+    iteration outside the kernel. ``store_dtype`` is unweighted-only.
 
     ``store_dtype=jnp.bfloat16`` halves the S/Y HBM **footprint** (compute
     stays f32) — for problems near the 16GB HBM capacity. Measured on v5e
@@ -323,11 +408,21 @@ def nmf_pgm_fused(
     Y = jnp.asarray(Y)
     C, K = A.shape
     N = S.shape[1]
-    run = _make_fused_pgm_runner(
-        prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
-        store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
-    )
-    A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
+    if W is not None and not _is_unweighted(W):
+        assert store_dtype is None, "store_dtype is unweighted-only"
+        run = _make_fused_weighted_pgm_runner(
+            prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+            step_stride,
+        )
+        A_f, S_f, it, conv_A, conv_S, loss = run(
+            A, S, Y, jnp.asarray(W), max_iter
+        )
+    else:
+        run = _make_fused_pgm_runner(
+            prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+            store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
+        )
+        A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
     A_out, S_out = A_f, S_f
 
     converged = (bool(conv_A), bool(conv_S))
@@ -480,16 +575,21 @@ def nmf(
 
     if engine == "pallas":
         if (algorithm is not algorithms.pgm or step is not None
-                or not _is_unweighted(W) or callback is not None
-                or step_stride is not None):
+                or callback is not None):
             raise ValueError(
                 "engine='pallas' supports algorithm='pgm' with default "
-                "steps, unweighted W, no callback and no step_stride; "
-                "use engine='xla'"
+                "steps and no callback; use engine='xla'"
             )
+        W_k = None
+        if not _is_unweighted(W):
+            if np.isscalar(W) or getattr(W, "ndim", None) == 0:
+                W_k = jnp.full(np.shape(Y), W, jnp.asarray(Y).dtype)
+            else:
+                W_k = W
         return nmf_pgm_fused(
-            Y, A, S, prox_A=prox_A, prox_S=prox_S,
-            e_rel=e_rel, max_iter=max_iter, **algorithm_args,
+            Y, A, S, W=W_k, prox_A=prox_A, prox_S=prox_S,
+            e_rel=e_rel, max_iter=max_iter, step_stride=step_stride,
+            **algorithm_args,
         )
     elif engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")

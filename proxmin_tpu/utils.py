@@ -36,6 +36,7 @@ from .linop import (  # noqa: F401  (re-exported for reference parity)
 
 __all__ = [
     "l2", "l2sq", "MatrixAdapter", "get_spectral_norm",
+    "batched_lanczos_max",
     "Traceback", "NullCallback", "ApproximateCache", "profile_trace",
     "NesterovAccelerator", "nesterov_next",
     "BarzilaiBorweinStepper", "StridedStepper",
@@ -82,6 +83,118 @@ def fixed_point_converged(x, x_prev, e_rel):
     ok = d <= (e_rel ** 2) * nx
     finite = jnp.logical_and(jnp.isfinite(d), jnp.isfinite(nx))
     return jnp.logical_and(ok, finite)
+
+
+def _lanczos_tridiag(Hv, v0, k):
+    """Batched Lanczos: (B, k) diagonals/off-diagonals of the tridiagonal
+    reductions of B implicit PSD operators. ``Hv: (B, K) -> (B, K)``
+    applies every batch member's operator to its row. For operators of
+    rank r (e.g. ``A^T diag(w) A`` with rank <= min(C, K)), ``k = r + 1``
+    steps give the EXACT nonzero spectrum — which is why this replaces
+    48-pass batched power iteration at ~6x less HBM traffic. Breakdown
+    (beta = 0) pads with zero rows, which only append zero eigenvalues."""
+    B, K = v0.shape
+    dtype = v0.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    def body(i, carry):
+        v_prev, v, beta_prev, alphas, betas = carry
+        w = Hv(v) - beta_prev[:, None] * v_prev
+        alpha = jnp.sum(v * w, axis=1)
+        w = w - alpha[:, None] * v
+        beta = jnp.sqrt(jnp.sum(w * w, axis=1))
+        v_next = jnp.where(beta[:, None] > tiny,
+                           w / jnp.maximum(beta[:, None], tiny), 0.0)
+        return (v, v_next, beta,
+                alphas.at[:, i].set(alpha), betas.at[:, i].set(beta))
+
+    init = (jnp.zeros_like(v0), v0, jnp.zeros((B,), dtype),
+            jnp.zeros((B, k), dtype), jnp.zeros((B, k), dtype))
+    _, _, _, alphas, betas = jax.lax.fori_loop(0, int(k), body, init)
+    return alphas, betas
+
+
+def _tridiag_max_eig(alphas, betas, bisect_iters=50):
+    """Largest eigenvalue of each symmetric tridiagonal (batched) by
+    Sturm-sequence bisection: guaranteed convergence, no spectral-gap
+    dependence. Costs ``bisect_iters`` passes over the (B, k) diagonal
+    data — cheap for small B; for huge B use the candidate refinement
+    in :func:`batched_lanczos_max`."""
+    B, k = alphas.shape
+    dtype = alphas.dtype
+    tiny = jnp.finfo(dtype).tiny
+    b2 = jnp.square(betas[:, : k - 1]) if k > 1 else jnp.zeros((B, 0), dtype)
+
+    absb = jnp.abs(betas[:, : k - 1]) if k > 1 else jnp.zeros((B, 0), dtype)
+    pad = jnp.zeros((B, 1), dtype)
+    offl = jnp.concatenate([pad, absb], axis=1)
+    offr = jnp.concatenate([absb, pad], axis=1)
+    hi = jnp.max(alphas + offl + offr, axis=1)   # Gershgorin
+    lo = jnp.min(alphas - offl - offr, axis=1)
+
+    def count_below(x):
+        def sturm(i, carry):
+            q, cnt = carry
+            bb = jnp.where(i > 0, b2[:, jnp.maximum(i - 1, 0)], 0.0)
+            q_new = (alphas[:, i] - x) - bb / q
+            q_new = jnp.where(jnp.abs(q_new) < tiny,
+                              -tiny * jnp.ones_like(q_new), q_new)
+            return q_new, cnt + (q_new < 0)
+
+        q0 = jnp.ones((B,), dtype)
+        _, cnt = jax.lax.fori_loop(
+            0, k, sturm, (q0, jnp.zeros((B,), jnp.int32)))
+        return cnt
+
+    def bisect(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        all_below = count_below(mid) == k
+        return (jnp.where(all_below, lo, mid),
+                jnp.where(all_below, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect, (lo, hi))
+    return jnp.maximum(0.5 * (lo + hi), 0.0)
+
+
+def tridiag_gershgorin_max(alphas, betas):
+    """Per-batch Gershgorin upper bound on ``lambda_max`` of symmetric
+    tridiagonals (one pass over the diagonal data)."""
+    B, k = alphas.shape
+    absb = (jnp.abs(betas[:, : k - 1]) if k > 1
+            else jnp.zeros((B, 0), alphas.dtype))
+    pad = jnp.zeros((B, 1), alphas.dtype)
+    offl = jnp.concatenate([pad, absb], axis=1)
+    offr = jnp.concatenate([absb, pad], axis=1)
+    return jnp.max(alphas + offl + offr, axis=1)
+
+
+def batched_lanczos_max(Hv, v0, num_iters, n_candidates=256):
+    """``max_b lambda_max`` over B implicit PSD operators by batched
+    Lanczos + top-k candidate refinement.
+
+    Exact extraction (Sturm bisection) for every batch member would cost
+    ~50 passes over the (B, k) tridiagonal data — real HBM traffic when
+    B is the pixel count. Instead: one Gershgorin pass upper-bounds each
+    member, ``lax.top_k`` picks the ``n_candidates`` highest bounds,
+    bisection runs exactly on just those (a (k, candidates) sliver,
+    ~free), and the result is ``max(exact candidate max, highest
+    non-candidate bound)`` — equal to the true max whenever the bound
+    of every non-candidate falls below the exact candidate max (the
+    overwhelmingly common case), and a SAFE overestimate otherwise
+    (Lipschitz steps only get smaller). Zero operators (fully-masked
+    pixels/channels) contribute exactly 0.
+    """
+    alphas, betas = _lanczos_tridiag(Hv, v0, num_iters)
+    B = alphas.shape[0]
+    ub = tridiag_gershgorin_max(alphas, betas)
+    m = min(int(n_candidates), B)
+    if m == B:
+        return jnp.max(_tridiag_max_eig(alphas, betas))
+    top_ub, idx = jax.lax.top_k(ub, m)
+    exact = _tridiag_max_eig(alphas[idx], betas[idx])
+    # every non-candidate is bounded by the smallest candidate bound
+    return jnp.maximum(jnp.max(exact), top_ub[-1])
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import proxmin_tpu as pt
 import proxmin_tpu.operators as op
 from proxmin_tpu.ops import (
     fused_nmf_grad,
@@ -332,3 +333,57 @@ def test_nmf_pgm_fused_none_prox_means_identity(rng):
     r = pt.nmf.nmf_pgm_fused(Y, A0, S0, prox_A=None, prox_S=None,
                              e_rel=0, max_iter=10, tile_n=128)
     assert np.asarray(r.x[1]).min() < 0   # unconstrained on signed data
+
+
+def test_fused_weighted_pgm_matches_xla(rng):
+    """Weighted fused runner (kernel consumes W*R in one pass, steps via
+    the same implicit power iteration) matches the XLA weighted path
+    iterate-for-iterate over a short horizon."""
+    C, K, N = 5, 3, 300
+    Y = (rng.random((C, K)) @ rng.random((K, N))
+         + 0.01 * rng.standard_normal((C, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r_xla = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                       W=jnp.asarray(W), e_rel=0, max_iter=8)
+    r_pal = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                       W=jnp.asarray(W), e_rel=0, max_iter=8,
+                       engine="pallas")
+    np.testing.assert_allclose(np.asarray(r_pal.x[0]),
+                               np.asarray(r_xla.x[0]), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_pal.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_fused_weighted_pgm_strided_descends(rng):
+    C, K, N = 6, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    l0 = float(log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                              Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    res = pt.nmf.nmf(Y, A0, S0, W=W, e_rel=0, max_iter=100,
+                     engine="pallas", step_stride=10)
+    l1 = float(log_likelihood(*map(jnp.asarray, res.x),
+                              Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    assert np.isfinite(l1)
+    assert l1 < 0.05 * l0
+
+
+def test_fused_weighted_masked_pixels(rng):
+    """W == 0 pixels (and the kernel's zero-weight padding) must not
+    produce NaNs in the weighted power iterations or the update."""
+    C, K, N = 5, 3, 200
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    W[:, : N // 4] = 0.0      # fully masked pixels
+    res = pt.nmf.nmf(rng.permutation(Y, axis=1), rng.random((C, K)),
+                     rng.random((K, N)), W=W, e_rel=0, max_iter=20,
+                     engine="pallas")
+    assert np.isfinite(np.asarray(res.x[0])).all()
+    assert np.isfinite(np.asarray(res.x[1])).all()
