@@ -19,8 +19,10 @@ Key TPU-first changes vs the reference:
   worst scaling behavior); here the same block-diagonal spectral norms
   (``max_c lambda_max(S diag(W_c) S^T)`` and
   ``max_n lambda_max(A^T diag(W_n) A)`` — block-diag spectral norm = max
-  over blocks) are computed by **implicit batched power iteration**: never
-  materializing anything bigger than the factors themselves.
+  over blocks) are computed on device: the C channel blocks exactly (one
+  einsum pass + eigvalsh on the tiny K×K Grams), the N pixel blocks by
+  implicit batched power iteration — never materializing anything bigger
+  than the factors themselves.
 * **Pixel-axis sharding**: with a ``jax.sharding.Mesh``, ``Y``/``S``/``W``
   shard over the pixel axis N and the tiny ``A`` replicates; the
   ``D @ S^T`` contraction over N becomes an ICI all-reduce inserted by XLA
