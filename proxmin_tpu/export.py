@@ -14,6 +14,11 @@ generic drivers for arbitrary user problems (fixed block shapes + jittable
 artifact as constants — pass per-request data as solver *blocks*, or
 export per dataset.
 
+:func:`export_admm_solver`, :func:`export_sdmm_solver` and
+:func:`export_bsdmm_solver` do the same for the ADMM family: the linear
+operators (their matrices) and any closure-captured data are baked into
+the artifact, so every solver in the package is AOT-servable.
+
 The exported artifact is shape- and platform-specialized (TPU artifacts run
 on TPU). For multi-shape serving, export one artifact per shape bucket.
 """
@@ -27,6 +32,7 @@ from .nmf import _make_fused_pgm_runner
 
 __all__ = [
     "export_nmf_solver", "export_pgm_solver", "export_adaprox_solver",
+    "export_admm_solver", "export_sdmm_solver", "export_bsdmm_solver",
     "load_solver", "save_exported", "load_exported",
 ]
 
@@ -112,6 +118,95 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
         cond = make_adaprox_cond(check_convergence, max_iter)
         st = jax.lax.while_loop(cond, body, state)
         return st.x, st.M, st.V, st.Vhat, st.it, st.converged, st.diverged
+
+    args = tuple(jax.ShapeDtypeStruct(s, dtype) for s in shapes)
+    return jax_export.export(jax.jit(run))(*args).serialize()
+
+
+def export_admm_solver(x_shape, prox_f, step_f, prox_g=None, step_g=None,
+                       L=None, e_rel=1e-6, e_abs=0, max_iter=1000,
+                       dtype=jnp.float32):
+    """Serialize a :func:`proxmin_tpu.admm` solve for a fixed ``x_shape``.
+
+    The linear operator ``L`` (if any) and closure-captured data are baked
+    into the artifact as constants. The embedded executable takes the
+    initial iterate and returns ``(x, iterations, converged, errors)``
+    (``errors`` = the Boyd residual 4-tuple rows, shape ``(1, 4)``).
+    """
+    from .linop import as_linear_operator
+    from .solvers.admm import _sdmm_core
+
+    Lop = as_linear_operator(L)
+    proxs_g = (prox_g,) if prox_g is not None else ()
+    steps_g = (step_g,) if prox_g is not None else ()
+    runner = _sdmm_core(
+        None, prox_f, step_f, proxs_g, steps_g,
+        (Lop,) if prox_g is not None else (),
+        e_rel, e_abs, max_iter, None, return_errors=True,
+        return_runner=True,
+    )
+
+    def run(x0):
+        st = runner(x0)
+        return st.x, st.it, st.converged, st.errors
+
+    arg = jax.ShapeDtypeStruct(tuple(int(d) for d in x_shape), dtype)
+    return jax_export.export(jax.jit(run))(arg).serialize()
+
+
+def export_sdmm_solver(x_shape, prox_f, step_f, proxs_g, steps_g=None,
+                       Ls=None, e_rel=1e-6, e_abs=0, max_iter=1000,
+                       dtype=jnp.float32):
+    """Serialize a :func:`proxmin_tpu.sdmm` solve (M constraints) for a
+    fixed ``x_shape``. Returns ``(x, iterations, converged, errors)``
+    (``errors`` shape ``(M, 4)``)."""
+    from .linop import as_linear_operator
+    from .solvers.admm import _sdmm_core
+
+    proxs_g = tuple(proxs_g)
+    M = len(proxs_g)
+    if not hasattr(Ls, "__iter__"):
+        Ls = [Ls] * M
+    Lops = tuple(as_linear_operator(Li) for Li in Ls)
+    steps_g = (None,) * M if steps_g is None else tuple(steps_g)
+    runner = _sdmm_core(
+        None, prox_f, step_f, proxs_g, steps_g, Lops,
+        e_rel, e_abs, max_iter, None, return_errors=False,
+        admm_convention=False, return_runner=True,
+    )
+
+    def run(x0):
+        st = runner(x0)
+        return st.x, st.it, st.converged, st.errors
+
+    arg = jax.ShapeDtypeStruct(tuple(int(d) for d in x_shape), dtype)
+    return jax_export.export(jax.jit(run))(arg).serialize()
+
+
+def export_bsdmm_solver(x_shapes, proxs_f, steps_f_cb, proxs_g=None,
+                        steps_g=None, Ls=None, update_order=None,
+                        steps_g_update="steps_f", e_rel=1e-6, e_abs=0,
+                        max_iter=1000, steps_f_stride=None,
+                        dtype=jnp.float32):
+    """Serialize a :func:`proxmin_tpu.bsdmm` solve for fixed block shapes.
+
+    ``x_shapes``: one shape tuple or a list of per-block shapes. Returns
+    ``(x_blocks, iterations, converged_per_block)``.
+    """
+    from .solvers.bsdmm import bsdmm
+
+    shapes = _block_shapes(x_shapes)
+    dummies = [jnp.zeros(s, dtype) for s in shapes]
+    runner = bsdmm(
+        dummies, proxs_f, steps_f_cb, proxs_g=proxs_g, steps_g=steps_g,
+        Ls=Ls, update_order=update_order, steps_g_update=steps_g_update,
+        max_iter=max_iter, e_rel=e_rel, e_abs=e_abs,
+        steps_f_stride=steps_f_stride, _export_runner=True,
+    )
+
+    def run(*x_blocks):
+        st = runner(*x_blocks)
+        return st.x, st.it, st.converged
 
     args = tuple(jax.ShapeDtypeStruct(s, dtype) for s in shapes)
     return jax_export.export(jax.jit(run))(*args).serialize()

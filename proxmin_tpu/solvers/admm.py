@@ -84,7 +84,7 @@ def _stack_errors(errors, multi):
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
     callback, return_errors, trace=False, admm_convention=True,
-    cache_key=None, retain_refs=(),
+    cache_key=None, retain_refs=(), return_runner=False,
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
@@ -241,6 +241,23 @@ def _sdmm_core(
         )
 
     total_cap = _RESTART_BUDGET * max_iter
+
+    if return_runner:
+        # AOT-export path (export.py): a pure ``x0 -> final state`` function
+        # with the data leaves baked as trace constants (artifacts are
+        # per-dataset, like the pgm/adaprox exports)
+        body = make_body(data_leaves)
+
+        def runner(x):
+            def cond(s):
+                return jnp.logical_and(
+                    jnp.logical_and(s.it < max_iter, s.total_it < total_cap),
+                    jnp.logical_not(s.converged),
+                )
+
+            return jax.lax.while_loop(cond, body, init_state(x))
+
+        return runner
 
     def build():
         if callback is None:

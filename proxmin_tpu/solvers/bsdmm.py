@@ -77,6 +77,7 @@ def bsdmm(
     callback=None,
     trace=False,
     steps_f_stride=None,
+    _export_runner=False,
 ):
     """Block-Simultaneous Method of Multipliers.
 
@@ -302,10 +303,11 @@ def bsdmm(
             )
 
         return body
-    def init_state():
-        z0, u0 = init_zu(x0)
+    def init_state(xs=None):
+        xs = x0 if xs is None else tuple(xs)
+        z0, u0 = init_zu(xs)
         return BSDMMState(
-            x=tuple(jnp.array(x, copy=True) for x in x0),
+            x=tuple(jnp.array(x, copy=True) for x in xs),
             z=z0, u=u0,
             steps_f=jnp.ones((N,), dtype),
             steps_g=init_steps_g(),
@@ -313,6 +315,21 @@ def bsdmm(
             converged=jnp.zeros((N,), bool),
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
         )
+
+    if _export_runner:
+        # AOT-export path (export.py): pure ``*x_blocks -> final state``
+        # with the data leaves baked as trace constants
+        body = make_body(data_leaves)
+
+        def runner(*x_blocks):
+            def cond(s):
+                return jnp.logical_and(
+                    s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
+                )
+
+            return jax.lax.while_loop(cond, body, init_state(x_blocks))
+
+        return runner
 
     cache_key = (
         "bsdmm", callable_key(proxs_f), callable_key(steps_f_cb),

@@ -492,3 +492,88 @@ def test_nmf_step_stride_numpy_step_mutation_not_stale(rng):
                 e_rel=0, max_iter=4)
     np.testing.assert_allclose(np.asarray(r2.x), 0.0)
     assert not np.allclose(x1, np.asarray(r2.x))
+
+
+def test_export_admm_solver(tmp_path):
+    """AOT export of the admm driver: exported solve matches in-process."""
+    from proxmin_tpu.export import (
+        export_admm_solver, load_exported, save_exported,
+    )
+
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(CENTER)) / (1 + step)
+
+    blob = export_admm_solver((2,), prox_f, 0.5, prox_g=prox_disk,
+                              e_rel=1e-8, max_iter=500, dtype=jnp.float64)
+    p = save_exported(str(tmp_path / "admm.bin"), blob)
+    solve = load_exported(p)
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    x, it, conv, errors = solve(x0)
+    res = pt.admm(x0, prox_f, 0.5, prox_g=prox_disk, e_rel=1e-8,
+                  max_iter=500)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(res.x), rtol=1e-12)
+    assert int(it) == res.iterations
+    assert bool(conv) == res.converged
+    assert errors.shape == (1, 4)
+
+
+def test_export_sdmm_solver(tmp_path):
+    """AOT export of the sdmm driver (M=2 constraints) round-trips."""
+    from proxmin_tpu.export import (
+        export_sdmm_solver, load_exported, save_exported,
+    )
+
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(CENTER)) / (1 + step)
+
+    def prox_plus(v, step):
+        return jnp.maximum(v, 0)
+
+    proxs_g = [prox_disk, prox_plus]
+    blob = export_sdmm_solver((2,), prox_f, 0.5, proxs_g,
+                              e_rel=1e-8, max_iter=500, dtype=jnp.float64)
+    solve = load_exported(save_exported(str(tmp_path / "sdmm.bin"), blob))
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    x, it, conv, errors = solve(x0)
+    res = pt.sdmm(x0, prox_f, 0.5, proxs_g=proxs_g, e_rel=1e-8,
+                  max_iter=500)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(res.x), rtol=1e-12)
+    assert int(it) == res.iterations
+    assert errors.shape == (2, 4)
+
+
+def test_export_bsdmm_solver(tmp_path, rng):
+    """AOT export of the bsdmm driver (2 blocks + constraints)."""
+    from proxmin_tpu.export import (
+        export_bsdmm_solver, load_exported, save_exported,
+    )
+
+    c1 = np.array([1.0, -0.5])
+    c2 = np.array([0.2, 0.8, -0.1])
+
+    def proxs_f(x, step, Xs=None, j=None):
+        c = jnp.asarray([c1, c2][j])
+        return (x + step * c) / (1 + step)
+
+    def steps_f(Xs, j=None):
+        return 0.4
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    blob = export_bsdmm_solver([(2,), (3,)], proxs_f, steps_f,
+                               proxs_g=[pg, pg], e_rel=1e-9,
+                               max_iter=300, dtype=jnp.float64)
+    solve = load_exported(save_exported(str(tmp_path / "bsdmm.bin"), blob))
+
+    x0 = [jnp.asarray([-1.0, -1.0]), jnp.asarray([0.5, -0.5, 0.5])]
+    xs, it, conv = solve(*x0)
+    res = pt.bsdmm([np.array(x) for x in x0], proxs_f, steps_f,
+                   proxs_g=[pg, pg], e_rel=1e-9, max_iter=300)
+    for xb, rb in zip(xs, res.x):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(rb),
+                                   rtol=1e-12)
+    assert int(it) == res.iterations
+    assert conv.shape == (2,)
