@@ -51,7 +51,9 @@ NUMPY_ITERS = 10
 SEED = 101
 V5E_PEAK_GBS = 819.0   # public TPU v5e HBM bandwidth spec
 STRIDE = 10
-POWER_ITERS = 48       # matches proxmin_tpu.nmf weighted power iteration
+POWER_ITERS = 48       # cold-start passes (first refresh)
+WARM_ITERS = 12        # warm-started passes (subsequent refreshes),
+                       # matching proxmin_tpu.nmf.WeightedPGMStepper
 
 
 def log(*args):
@@ -89,17 +91,24 @@ def numpy_step(A, S, Y):
     return A_new, S_new
 
 
-def numpy_weighted_steps(A, S, W):
+def numpy_weighted_steps(A, S, W, v=None):
     """Weighted Lipschitz bounds, implicit (same algorithm as the TPU
     path): max_c lmax(S diag(W_c) S^T) via small eigh, and
-    max_n lmax(A^T diag(W_n) A) via batched power iteration."""
+    max_n lmax(A^T diag(W_n) A) via batched power iteration —
+    warm-started from the previous refresh's iterate (cold
+    POWER_ITERS passes on the first refresh, WARM_ITERS after),
+    exactly like proxmin_tpu.nmf.WeightedPGMStepper."""
     H_A = np.einsum("kn,cn,ln->ckl", S, W, S)
     LA = max(np.linalg.eigvalsh(H_A[c])[-1] for c in range(W.shape[0]))
 
-    v = np.ones((S.shape[1], A.shape[1]), S.dtype)
-    v += 0.01 * np.arange(A.shape[1], dtype=S.dtype)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    for _ in range(POWER_ITERS):
+    if v is None:
+        iters = POWER_ITERS
+        v = np.ones((S.shape[1], A.shape[1]), S.dtype)
+        v += 0.01 * np.arange(A.shape[1], dtype=S.dtype)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+    else:
+        iters = WARM_ITERS
+    for _ in range(iters):
         t = v @ A.T           # (N, C)
         u = W.T * t
         v = u @ A             # (N, K)
@@ -110,16 +119,20 @@ def numpy_weighted_steps(A, S, W):
     rayleigh = (v * hv).sum(1) / np.maximum((v * v).sum(1),
                                             np.finfo(S.dtype).tiny)
     LS = rayleigh.max()
-    return 1.0 / LA, 1.0 / LS
+    v_next = hv / np.maximum(np.linalg.norm(hv, axis=1, keepdims=True),
+                             np.finfo(S.dtype).tiny)
+    return 1.0 / LA, 1.0 / LS, v_next
 
 
 def numpy_weighted_step(A, S, Y, W, cached, it):
     """One weighted PGM-NMF iteration with the SAME stride-10 step
-    caching the TPU side uses (0.9 safety factor)."""
+    caching + warm-started refresh the TPU side uses (0.9 safety)."""
     if it % STRIDE == 0:
-        sA, sS = numpy_weighted_steps(A, S, W)
-        cached = (0.9 * sA, 0.9 * sS)
-    sA, sS = cached
+        sA, sS, v = numpy_weighted_steps(A, S, W,
+                                         None if cached is None
+                                         else cached[2])
+        cached = (0.9 * sA, 0.9 * sS, v)
+    sA, sS, _ = cached
     D = W * (A @ S - Y)
     gA = D @ S.T
     gS = A.T @ D
@@ -256,37 +269,22 @@ def bench_tpu(Y, A0, S0):
 
 
 def bench_tpu_weighted(Y, A0, S0, W):
-    """Weighted flagship with the production strided-stepper path."""
-    import jax
+    """Weighted flagship through the production ``nmf()`` driver: the
+    warm-started :class:`~proxmin_tpu.nmf.WeightedPGMStepper` running in
+    the pgm driver's segmented mode (refresh hoisted out of the hot
+    loop), including the full convergence machinery."""
     import jax.numpy as jnp
-    from proxmin_tpu.nmf import grad_likelihood, step_pgm
-    from proxmin_tpu.utils import StridedStepper
+    import proxmin_tpu as pt
 
     Y_dev = jnp.asarray(Y)
     W_dev = jnp.asarray(W)
     A = jnp.asarray(A0)
     S = jnp.asarray(S0)
 
-    stepper = StridedStepper(partial(step_pgm, W=W_dev), 2, stride=STRIDE)
-
-    def body(i, carry):
-        A, S, st = carry
-        G = grad_likelihood(A, S, Y=Y_dev, W=W_dev)
-        steps, st = stepper(st, (A, S), i, G)
-        A = jnp.maximum(A - steps[0] * G[0], 0)
-        S = jnp.maximum(S - steps[1] * G[1], 0)
-        return A, S, st
-
-    @jax.jit
-    def run(A, S, n):
-        G0 = grad_likelihood(A, S, Y=Y_dev, W=W_dev)
-        st0 = stepper.init_state((A, S), G0)
-        out = jax.lax.fori_loop(0, n, body, (A, S, st0))
-        return out[0], out[1]
-
     def call(n):
-        out = run(A, S, n)
-        return np.asarray(out[0])
+        res = pt.nmf.nmf(Y_dev, A, S, W=W_dev, e_rel=0, max_iter=n,
+                         step_stride=STRIDE)
+        return np.asarray(res.x[0])
 
     t0 = time.perf_counter()
     call(W_ITERS_LO)  # compile

@@ -121,27 +121,43 @@ def _weighted_lipschitz_A(S, W, num_iters=None):
     return jnp.max(utils.batched_lanczos_max(Hv, v0, min(K, 32) + 2))
 
 
-def _weighted_lipschitz_S(A, W, num_iters=48):
+def _weighted_lipschitz_S_v0(N, K, dtype):
+    """The deterministic cold-start iterate for the batched power
+    iteration (shared by the one-shot and warm-started paths)."""
+    v = jnp.ones((N, K), dtype) + 0.01 * jnp.arange(K, dtype=dtype)
+    return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _weighted_lipschitz_S(A, W, num_iters=48, v0=None, return_v=False):
     """``max_n lambda_max(A^T diag(W[:,n]) A)`` by batched implicit power
     iteration (the per-pixel blocks of the reference's CN×CN block
     eigenproblem, ``nmf.py:79-85``).
 
-    Negative result from round 2, kept for the record: a batched-Lanczos
-    variant (min(C,K)+2 exact passes instead of 48 approximate ones —
-    see :func:`utils.batched_lanczos_max`) measured NO faster at the
-    flagship shape. The loop-invariant W stays VMEM-resident across the
-    ``fori_loop`` passes, so pass count is nearly free; the per-pixel
-    eigenvalue extraction (Sturm bisection / top-k refinement) instead
-    adds sequential latency, and at 1e6 pixels the Gershgorin
-    candidate-selection bound binds ~17% above the true maximum,
-    degrading the steps. Power iteration measured within 0.1% of the
-    exact value here (per-pixel spectra are not pathologically
-    clustered for generic weights)."""
+    ``v0``: optional warm-start iterate ``(N, K)`` — e.g. the previous
+    refresh's ``v`` when A drifts slowly between strided step refreshes;
+    a warm start needs ~4x fewer passes for the same accuracy (the
+    refresh is VPU-compute-bound at ~140 FLOPs/pixel/pass, so pass count
+    is the whole cost). ``return_v`` additionally returns the final
+    normalized iterate for the next warm start.
+
+    Negative results from round 2, kept for the record: (a) a
+    batched-Lanczos variant (min(C,K)+2 exact passes — see
+    :func:`utils.batched_lanczos_max`) measured NO faster at the
+    flagship shape: the per-pixel eigenvalue extraction (Sturm
+    bisection / top-k refinement) adds sequential latency, and at 1e6
+    pixels the Gershgorin candidate-selection bound binds ~17% above
+    the true maximum, degrading the steps. Cold power iteration at 48
+    passes measured within 0.1% of exact (per-pixel spectra are not
+    pathologically clustered for generic weights). (b) An
+    alternating-argmax scheme (``u <- top eigvec of the argmax pixel's
+    Gram``, one W pass per outer iteration) is monotone but gets stuck
+    in local maxima on near-orthogonal channel geometries (measured 3x
+    underestimates) — an underestimated Lipschitz bound means divergent
+    steps, so it is unusable."""
     N = W.shape[1]
     K = A.shape[1]
     dtype = jnp.result_type(A, W)
-    v = jnp.ones((N, K), dtype) + 0.01 * jnp.arange(K, dtype=dtype)
-    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    v = _weighted_lipschitz_S_v0(N, K, dtype) if v0 is None else v0
 
     def Hv(v):
         t = jnp.einsum("nk,ck->cn", v, A)           # A v   per pixel
@@ -156,9 +172,17 @@ def _weighted_lipschitz_S(A, W, num_iters=48):
 
     v = jax.lax.fori_loop(0, num_iters, body, v)
     # fully-masked pixels (W[:, n] == 0) give a 0 block, not NaN
-    rayleigh = jnp.sum(v * Hv(v), axis=1) / jnp.maximum(
+    hv = Hv(v)
+    rayleigh = jnp.sum(v * hv, axis=1) / jnp.maximum(
         jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
-    return jnp.max(rayleigh)
+    lmax = jnp.max(rayleigh)
+    if return_v:
+        # hv is one more (free) power pass than v — return it normalized
+        v_next = hv / jnp.maximum(
+            jnp.linalg.norm(hv, axis=1, keepdims=True), jnp.finfo(dtype).tiny
+        )
+        return lmax, v_next
+    return lmax
 
 
 def _is_unweighted(W):
@@ -182,6 +206,94 @@ def step_pgm(*X, it=None, W=1):
     LA = _weighted_lipschitz_A(S, W)
     LS = _weighted_lipschitz_S(A, W)
     return 1.0 / LA, 1.0 / LS
+
+
+class WeightedPGMStepper:
+    """Strided weighted-Lipschitz stepper with a warm-started power
+    iterate carried in the solver state.
+
+    The weighted bounds (reference ``nmf.py:69-88``) cost ~48 power
+    passes over W per refresh from a cold start, and the refresh is
+    VPU-compute-bound (~140 FLOPs/pixel/pass), so pass count is the
+    whole cost. Between strided refreshes A drifts little, so carrying
+    the previous refresh's per-pixel iterate ``v`` lets ``warm_iters``
+    (default 12) passes reach the same accuracy (measured <=2e-3 error
+    under 2% A-drift per refresh, exact otherwise) — ~4x cheaper
+    refreshes than :class:`~proxmin_tpu.utils.StridedStepper` wrapping
+    :func:`step_pgm`. The first refresh runs ``cold_iters`` passes.
+
+    Implements the stepper protocol (``init_state`` / ``__call__``) plus
+    the driver hooks ``split_data`` (W rides as a jit argument, not a
+    trace constant) and ``stepper_cache_key``.
+    """
+
+    def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
+                 warm_iters=12):
+        self.W = W
+        self.stride = int(stride)
+        self.safety = float(safety)
+        self.cold_iters = int(cold_iters)
+        self.warm_iters = int(warm_iters)
+
+    def init_state(self, X, G):
+        A, S = X
+        dtype = jnp.result_type(A, S, self.W)
+        v0 = _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
+        zero = jnp.zeros((), dtype)
+        return ((zero, zero), v0)
+
+    segmentable = True  # pgm may hoist the refresh out of the hot loop
+
+    def segment_refresh(self, state, X, it):
+        """Compute fresh steps + warm iterate (shared by the in-body
+        ``lax.cond`` path and pgm's segmented mode)."""
+        A, S = X
+        W = self.W
+        dtype = jnp.result_type(A, S, W)
+        _, v = state
+        LA = _weighted_lipschitz_A(S, W)
+        LS, v_new = jax.lax.cond(
+            it == 0,
+            lambda v: _weighted_lipschitz_S(
+                A, W, self.cold_iters, v0=v, return_v=True),
+            lambda v: _weighted_lipschitz_S(
+                A, W, self.warm_iters, v0=v, return_v=True),
+            v,
+        )
+        steps = (jnp.asarray(self.safety / LA, dtype),
+                 jnp.asarray(self.safety / LS, dtype))
+        return steps, (steps, v_new)
+
+    def __call__(self, state, X, it, G):
+        cached, v = jax.lax.cond(
+            it % self.stride == 0,
+            lambda args: self.segment_refresh(args, X, it)[1],
+            lambda args: args,
+            state,
+        )
+        return cached, (cached, v)
+
+    def split_data(self):
+        """Driver hook (:func:`solvers.common.split_stepper_data`)."""
+        stride, safety = self.stride, self.safety
+        cold, warm = self.cold_iters, self.warm_iters
+
+        def rebuild(leaves):
+            return WeightedPGMStepper(leaves[0], stride=stride,
+                                      safety=safety, cold_iters=cold,
+                                      warm_iters=warm)
+
+        return rebuild, (jnp.asarray(self.W),)
+
+    def stepper_cache_key(self):
+        """Driver hook (:func:`solvers.pgm._stepper_cache_key`)."""
+        from .solvers.common import cacheable, value_key
+
+        wk = value_key(self.W)
+        if not cacheable(wk):
+            return wk
+        return ("wnmf", self.stride, self.safety, self.cold_iters,
+                self.warm_iters, wk)
 
 
 def pgm_nmf_iteration(A, S, Y):
@@ -308,22 +420,34 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         W_p = jnp.pad(W.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
 
-        def weighted_steps(A, S):
+        def weighted_steps(A, S, v, it):
+            # warm-started power iterate v carried in the loop state:
+            # cold_iters passes on the first refresh, 12 after (A drifts
+            # little between refreshes; see WeightedPGMStepper)
             sA = 1.0 / _weighted_lipschitz_A(S, W_p)
-            sS = 1.0 / _weighted_lipschitz_S(A, W_p)
+            LS, v = jax.lax.cond(
+                it == 0,
+                lambda v: _weighted_lipschitz_S(A, W_p, 48, v0=v,
+                                                return_v=True),
+                lambda v: _weighted_lipschitz_S(A, W_p, 12, v0=v,
+                                                return_v=True),
+                v,
+            )
             return (jnp.asarray(sA, jnp.float32),
-                    jnp.asarray(sS, jnp.float32))
+                    jnp.asarray(1.0 / LS, jnp.float32), v)
 
         def body(carry):
-            A, S, sA, sS, it, _, _, _ = carry
+            A, S, sA, sS, v, it, _, _, _ = carry
             if stride > 1:
-                sA, sS = jax.lax.cond(
-                    it % stride == 0,
-                    lambda: tuple(0.9 * s for s in weighted_steps(A, S)),
-                    lambda: (sA, sS),
+                def refresh(v):
+                    sA_, sS_, v = weighted_steps(A, S, v, it)
+                    return 0.9 * sA_, 0.9 * sS_, v
+
+                sA, sS, v = jax.lax.cond(
+                    it % stride == 0, refresh, lambda v: (sA, sS, v), v
                 )
             else:
-                sA, sS = weighted_steps(A, S)
+                sA, sS, v = weighted_steps(A, S, v, it)
             gA, S_new, _, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
                 A, S, Y_p, sS, W=W_p, prox_S=prox_S, tile_n=tile,
                 dims=dims,
@@ -332,17 +456,18 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             conv_A = (jnp.sum((A_new - A) ** 2)
                       <= e_rel ** 2 * jnp.sum(A_new ** 2))
             conv_S = dS_sq <= e_rel ** 2 * nS_sq
-            return (A_new, S_new, sA, sS, it + 1, conv_A, conv_S, loss)
+            return (A_new, S_new, sA, sS, v, it + 1, conv_A, conv_S, loss)
 
         def cond(carry):
-            _, _, _, _, it, conv_A, conv_S, _ = carry
+            _, _, _, _, _, it, conv_A, conv_S, _ = carry
             done = jnp.logical_and(conv_A, conv_S)
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
         z = jnp.zeros((), jnp.float32)
-        init = (A_p, S_p, z, z, jnp.int32(0), jnp.asarray(False),
+        v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
+        init = (A_p, S_p, z, z, v0, jnp.int32(0), jnp.asarray(False),
                 jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
-        A_f, S_f, _, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
+        A_f, S_f, _, _, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
             cond, body, init
         )
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
@@ -618,12 +743,20 @@ def nmf(
     # bsdmm strides the per-block steps_f_cb inside its own carry
 
     if algorithm is algorithms.pgm:
-        if step is None:
-            step = partial(step_pgm, W=W)
         if step_stride is not None and step_stride > 1:
-            from .utils import StridedStepper
+            if step is None and not _is_unweighted(W):
+                # warm-started weighted refresh: ~4x cheaper than the
+                # generic StridedStepper wrapping step_pgm (the power
+                # iterate carries over between refreshes)
+                step = WeightedPGMStepper(W, stride=step_stride)
+            else:
+                if step is None:
+                    step = partial(step_pgm, W=W)
+                from .utils import StridedStepper
 
-            step = StridedStepper(step, 2, stride=step_stride)
+                step = StridedStepper(step, 2, stride=step_stride)
+        elif step is None:
+            step = partial(step_pgm, W=W)
         return algorithm(
             X, grad, step, prox=prox,
             max_iter=max_iter, e_rel=e_rel, callback=callback,

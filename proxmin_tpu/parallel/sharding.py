@@ -142,12 +142,27 @@ def _lambda_max_small(G, iters=32):
     return (v @ G @ v) / (v @ v)
 
 
-def _weighted_steps(A, S, W, data_axis, model_axis, dt):
+def _weighted_steps_v0(A, S, dt):
+    """Cold-start iterate for the sharded batched power iteration (the
+    shard-local slice of the single-device cold start)."""
+    K_ = A.shape[1]
+    v = jnp.ones((S.shape[1], K_), dt) + 0.01 * jnp.arange(K_, dtype=dt)
+    v = v + 0.0 * S.T  # inherit device-varying type
+    return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _weighted_steps(A, S, W, data_axis, model_axis, dt, num_iters=48,
+                    v0=None, return_v=False):
     """Weighted Lipschitz step sizes assembled with collectives:
     ``1 / max_c lmax(S diag(W_c) S^T)`` (psum over data, pmax over model)
     and ``1 / max_n lmax(A^T diag(W_n) A)`` via implicit batched power
     iteration (an (N_local, K) iterate — never (N, K, K)). Fully-masked
-    pixels/channels contribute a 0 block, not NaN."""
+    pixels/channels contribute a 0 block, not NaN.
+
+    ``v0``/``return_v``: optional warm-start iterate carried between
+    strided refreshes (see ``nmf.WeightedPGMStepper``) — the per-pixel
+    iterations are shard-local, so warm starting is collective-free on
+    1-D meshes (each pass psums only over ``model_axis`` if present)."""
     H_A = jax.lax.psum(jnp.einsum("kn,cn,ln->ckl", S, W, S), data_axis)
     LA = jnp.max(jax.vmap(_lambda_max_small)(H_A))
     if model_axis is not None:
@@ -161,10 +176,7 @@ def _weighted_steps(A, S, W, data_axis, model_axis, dt):
             hv = jax.lax.psum(hv, model_axis)
         return hv
 
-    K_ = A.shape[1]
-    v = jnp.ones((S.shape[1], K_), dt) + 0.01 * jnp.arange(K_, dtype=dt)
-    v = v + 0.0 * S.T  # inherit device-varying type
-    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    v = _weighted_steps_v0(A, S, dt) if v0 is None else v0
 
     def pow_body(_, v):
         w = Hv_S(v)
@@ -172,10 +184,16 @@ def _weighted_steps(A, S, W, data_axis, model_axis, dt):
             jnp.linalg.norm(w, axis=1, keepdims=True), jnp.finfo(dt).tiny
         )
 
-    v = jax.lax.fori_loop(0, 48, pow_body, v)
-    rayleigh = jnp.sum(v * Hv_S(v), axis=1) / jnp.maximum(
+    v = jax.lax.fori_loop(0, num_iters, pow_body, v)
+    hv = Hv_S(v)
+    rayleigh = jnp.sum(v * hv, axis=1) / jnp.maximum(
         jnp.sum(v * v, axis=1), jnp.finfo(dt).tiny)
     LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
+    if return_v:
+        v_next = hv / jnp.maximum(
+            jnp.linalg.norm(hv, axis=1, keepdims=True), jnp.finfo(dt).tiny
+        )
+        return 1.0 / LA, 1.0 / LS, v_next
     return 1.0 / LA, 1.0 / LS
 
 
@@ -317,51 +335,50 @@ def nmf_pgm_sharded(
                 return _weighted_steps(A, S, W, data_axis, model_axis, dt)
             return _unweighted_steps(A, S, data_axis, model_axis)
 
-        def body(state):
-            A, S = state.A, state.S
-            R = jnp.dot(A, S, preferred_element_type=dt) - Y
-            D = W * R if weighted else R
+        def make_body(frozen_steps=None):
+            """One PGM iteration; ``frozen_steps`` (segmented strided
+            mode) skips the in-body step computation entirely."""
 
-            grad_A = all_sum(
-                jnp.dot(D, S.T, preferred_element_type=dt), data_axis
-            )
-            grad_S = all_sum(
-                jnp.dot(A.T, D, preferred_element_type=dt), model_axis
-            )
+            def body(state):
+                A, S = state.A, state.S
+                R = jnp.dot(A, S, preferred_element_type=dt) - Y
+                D = W * R if weighted else R
 
-            if step_stride is not None and step_stride > 1:
-                # strided refresh in the carry; every shard takes the
-                # same branch (it is replicated), so the collectives
-                # inside compute_steps stay collective-safe
-                step_A, step_S = jax.lax.cond(
-                    state.it % step_stride == 0,
-                    lambda: tuple(0.9 * jnp.asarray(s, dt)
-                                  for s in compute_steps(A, S)),
-                    lambda: (state.step_A, state.step_S),
+                grad_A = all_sum(
+                    jnp.dot(D, S.T, preferred_element_type=dt), data_axis
                 )
-            else:
-                step_A, step_S = compute_steps(A, S)
+                grad_S = all_sum(
+                    jnp.dot(A.T, D, preferred_element_type=dt), model_axis
+                )
 
-            A_new = prox_A(A - step_A * grad_A, step_A)
-            S_new = prox_S(S - step_S * grad_S, step_S)
+                if frozen_steps is not None:
+                    step_A, step_S = frozen_steps
+                else:
+                    step_A, step_S = compute_steps(A, S)
 
-            # fixed-point convergence, reduced across every mesh axis
-            dA = all_sum(jnp.sum((A_new - A) ** 2), model_axis)
-            nA = all_sum(jnp.sum(A_new ** 2), model_axis)
-            dS = all_sum(jnp.sum((S_new - S) ** 2), data_axis, model_axis)
-            nS = all_sum(jnp.sum(S_new ** 2), data_axis, model_axis)
-            # sum(W R^2)/2 == sum(D R)/2 (reduces to sum(R^2)/2 unweighted)
-            loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
+                A_new = prox_A(A - step_A * grad_A, step_A)
+                S_new = prox_S(S - step_S * grad_S, step_S)
 
-            return ShardedNMFState(
-                A=A_new, S=S_new,
-                step_A=jnp.asarray(step_A, dt),
-                step_S=jnp.asarray(step_S, dt),
-                it=state.it + 1,
-                conv_A=dA <= e_rel ** 2 * nA,
-                conv_S=dS <= e_rel ** 2 * nS,
-                loss=loss,
-            )
+                # fixed-point convergence, reduced across every mesh axis
+                dA = all_sum(jnp.sum((A_new - A) ** 2), model_axis)
+                nA = all_sum(jnp.sum(A_new ** 2), model_axis)
+                dS = all_sum(jnp.sum((S_new - S) ** 2), data_axis,
+                             model_axis)
+                nS = all_sum(jnp.sum(S_new ** 2), data_axis, model_axis)
+                # sum(W R^2)/2 == sum(D R)/2 (= sum(R^2)/2 unweighted)
+                loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
+
+                return ShardedNMFState(
+                    A=A_new, S=S_new,
+                    step_A=jnp.asarray(step_A, dt),
+                    step_S=jnp.asarray(step_S, dt),
+                    it=state.it + 1,
+                    conv_A=dA <= e_rel ** 2 * nA,
+                    conv_S=dS <= e_rel ** 2 * nS,
+                    loss=loss,
+                )
+
+            return body
 
         def cond(state):
             done = jnp.logical_and(state.conv_A, state.conv_S)
@@ -375,7 +392,53 @@ def nmf_pgm_sharded(
             conv_A=jnp.asarray(False), conv_S=jnp.asarray(False),
             loss=jnp.asarray(jnp.inf, dt),
         )
-        final = jax.lax.while_loop(cond, body, init)
+
+        if step_stride is not None and step_stride > 1:
+            # segmented strided mode (same architecture as the pgm
+            # driver's _run_segmented): refresh the steps once per
+            # stride OUTSIDE the hot inner loop, with the weighted power
+            # iterate warm-started across refreshes (cold 48 passes on
+            # the first, 12 after) — the refresh branch and its
+            # (N_local, K) iterate stay out of the inner carry. Every
+            # shard takes the same outer iteration count (it and the
+            # convergence scalars are replicated), so the collectives
+            # inside the refresh stay collective-safe.
+            v0 = _weighted_steps_v0(A, S, dt)
+
+            def outer_cond(carry):
+                return cond(carry[0])
+
+            def outer_body(carry):
+                st, v = carry
+                if weighted:
+                    sA, sS, v = jax.lax.cond(
+                        st.it == 0,
+                        lambda v: _weighted_steps(
+                            st.A, st.S, W, data_axis, model_axis, dt,
+                            num_iters=48, v0=v, return_v=True),
+                        lambda v: _weighted_steps(
+                            st.A, st.S, W, data_axis, model_axis, dt,
+                            num_iters=12, v0=v, return_v=True),
+                        v,
+                    )
+                else:
+                    sA, sS = _unweighted_steps(st.A, st.S, data_axis,
+                                               model_axis)
+                steps = (0.9 * jnp.asarray(sA, dt),
+                         0.9 * jnp.asarray(sS, dt))
+                st = st._replace(step_A=steps[0], step_S=steps[1])
+                seg_end = st.it + step_stride
+
+                def inner_cond(s2):
+                    return jnp.logical_and(cond(s2), s2.it < seg_end)
+
+                st = jax.lax.while_loop(inner_cond, make_body(steps), st)
+                return st, v
+
+            final, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                          (init, v0))
+        else:
+            final = jax.lax.while_loop(cond, make_body(), init)
         return final.A, final.S, final.it, final.conv_A, final.conv_S, final.loss
 
     smapped = shard_map(

@@ -285,6 +285,10 @@ def split_stepper_data(step, stepper, n_blocks):
     pgm and adaprox drivers."""
     from ..utils import FunctionStepper, StridedStepper, make_stepper
 
+    if hasattr(stepper, "split_data"):
+        # custom stepper classes (e.g. nmf.WeightedPGMStepper) split
+        # their own data so it rides as jit arguments
+        return stepper.split_data()
     if isinstance(stepper, StridedStepper):
         rb, lv = split_partial_data(stepper._orig)
 

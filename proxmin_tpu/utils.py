@@ -431,6 +431,30 @@ class StridedStepper:
         )
         return cached, (inner_state, cached)
 
+    @property
+    def segmentable(self):
+        """Whether the pgm driver may run this stepper in segmented mode
+        (refresh once per stride OUTSIDE the hot loop, iterations inside
+        with frozen steps — semantically identical to the per-iteration
+        ``lax.cond``, but the cond and the stepper state stay out of the
+        inner while-loop carry, which measures ~2x faster at the
+        weighted-NMF flagship shape). Requires a grads-independent inner
+        stepper: the segment refresh runs before the iteration's
+        gradient exists."""
+        if isinstance(self.inner, ConstantStepper):
+            return True
+        if isinstance(self.inner, FunctionStepper):
+            return not self.inner.wants_grads
+        return False
+
+    def segment_refresh(self, state, X, it):
+        """Refresh the cached steps at a segment boundary (pgm segmented
+        mode). Same math as the ``refresh`` branch of ``__call__``."""
+        inner_state, _ = state
+        steps, new_inner = self.inner(inner_state, X, it, None)
+        steps = tuple(jnp.asarray(s) * self.safety for s in steps)
+        return steps, (new_inner, steps)
+
 
 def make_stepper(step, n_blocks):
     """Coerce a float / tuple / callable / Stepper into the stepper

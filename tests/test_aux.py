@@ -577,3 +577,31 @@ def test_export_bsdmm_solver(tmp_path, rng):
                                    rtol=1e-12)
     assert int(it) == res.iterations
     assert conv.shape == (2,)
+
+
+def test_weighted_pgm_stepper_matches_strided_step_pgm(rng):
+    """nmf's warm-started WeightedPGMStepper must reproduce the generic
+    StridedStepper(step_pgm) path (same refresh schedule, same 0.9
+    safety; the warm start converges to the same bounds in f64)."""
+    from functools import partial
+
+    from proxmin_tpu.nmf import WeightedPGMStepper, nmf, step_pgm
+    from proxmin_tpu.utils import StridedStepper
+
+    C, K, N = 4, 3, 200
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    W = 0.5 + rng.random((C, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+
+    A1, S1 = A0.copy(), S0.copy()
+    nmf(Y, A1, S1, W=W, e_rel=0, max_iter=50,
+        step=StridedStepper(partial(step_pgm, W=jnp.asarray(W)), 2,
+                            stride=10))
+    A2, S2 = A0.copy(), S0.copy()
+    nmf(Y, A2, S2, W=W, e_rel=0, max_iter=50, step_stride=10)
+    np.testing.assert_allclose(A1, A2, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(S1, S2, rtol=1e-10, atol=1e-12)
+
+    # and the stepper is what the step_stride path actually builds
+    st = WeightedPGMStepper(jnp.asarray(W), stride=10)
+    assert st.segmentable

@@ -247,3 +247,49 @@ def test_adaprox_numpy_step_array_mutation_not_stale():
     r2 = adaprox(jnp.zeros(2), grad_f, step, e_rel=0, max_iter=1)
     np.testing.assert_allclose(np.asarray(r2.x), 0.0)
     assert not np.allclose(x1, np.asarray(r2.x))
+
+
+def test_pgm_segmented_strided_matches_host_loop():
+    """Strided steppers run in segmented mode (refresh hoisted out of the
+    hot loop); the callback host loop still uses the per-iteration
+    ``lax.cond`` path — both must produce identical iterates."""
+    def step_fn(*X, it=None):
+        return 0.7 / (1.0 + 0.01 * it)
+
+    st1 = utils.StridedStepper(step_fn, 1, stride=7)
+    st2 = utils.StridedStepper(step_fn, 1, stride=7)
+    assert st1.segmentable
+    x0 = jnp.asarray([-1.0, -1.0])
+    r1 = pgm(x0, grad_f, st1, prox=prox_disk, e_rel=1e-11, max_iter=100)
+    r2 = pgm(x0, grad_f, st2, prox=prox_disk, e_rel=1e-11, max_iter=100,
+             callback=utils.NullCallback())
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-12)
+    assert r1.iterations == r2.iterations
+
+
+def test_pgm_segmented_strided_accelerated_and_trace():
+    """Segmented mode composes with FISTA acceleration (the refresh sees
+    the extrapolated iterate) and device-side tracing."""
+    def step_fn(*X, it=None):
+        return 0.5
+
+    r1 = pgm(jnp.asarray([-1.0, -1.0]), grad_f,
+             utils.StridedStepper(step_fn, 1, stride=5), prox=prox_disk,
+             accelerated=True, e_rel=1e-11, max_iter=200, trace=True)
+    r2 = pgm(jnp.asarray([-1.0, -1.0]), grad_f,
+             utils.StridedStepper(step_fn, 1, stride=5), prox=prox_disk,
+             accelerated=True, e_rel=1e-11, max_iter=200,
+             callback=utils.NullCallback())
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-12)
+    assert r1.iterations == r2.iterations
+    assert r1.history.shape[0] == r1.iterations
+
+
+def test_bb_stepper_not_segmentable():
+    """Grads-dependent steppers must stay on the per-iteration path."""
+    bb = utils.StridedStepper(
+        utils.BarzilaiBorweinStepper(), 1, stride=5
+    )
+    assert not bb.segmentable

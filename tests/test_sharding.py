@@ -428,3 +428,24 @@ def test_nmf_mesh_kwarg_adaprox(problem):
                mesh=make_mesh())
     np.testing.assert_allclose(A2, A1, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(S2, S1, rtol=1e-9, atol=1e-12)
+
+
+def test_full_sharded_solve_weighted_stride_matches_single_device(problem,
+                                                                  rng):
+    """The sharded segmented strided solve uses the SAME warm-started
+    refresh schedule (cold 48 passes, warm 12, 0.9 safety) as the
+    single-device WeightedPGMStepper path, and the per-pixel power
+    iterations are shard-local — so the two must agree to collective
+    summation noise."""
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, e_rel=0, max_iter=40, step_stride=10)
+
+    r = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=make_mesh(),
+                        e_rel=0, max_iter=40, step_stride=10)
+    np.testing.assert_allclose(np.asarray(r.x[0]), A1, rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.x[1]), S1, rtol=1e-8,
+                               atol=1e-10)
