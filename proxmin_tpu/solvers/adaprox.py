@@ -338,22 +338,28 @@ def adaprox(
     assert scheme in SCHEMES, f"unknown scheme {scheme!r}"
     phi_psi = SCHEMES[scheme]
 
-    # cold or warm start for the moments
+    # cold or warm start for the moments. Cold starts stay None here and
+    # materialize as zeros INSIDE the compiled run (an eager zeros per
+    # moment block costs a device dispatch per solve); warm starts are
+    # validated eagerly (shape metadata only, no transfer) and converted
+    # in-graph (jit outputs never alias the caller's arrays).
     def init_moments(given):
         if given is None:
-            return tuple(jnp.zeros_like(x) for x in x0)
+            return None
         given = utils._as_tuple(given)
         assert len(given) == n
-        out = []
         for g, x in zip(given, x0):
-            # fresh buffer: the returned state must not alias a
-            # user-provided warm-start array (drivers no longer donate
-            # the carry, but the result's M/V/Vhat would otherwise share
-            # buffers with the caller's arrays)
-            g = jnp.array(g, copy=True, dtype=x.dtype)
             assert g.shape == x.shape
-            out.append(g)
-        return tuple(out)
+        return tuple(given)
+
+    def moments_as_arrays(given, xs):
+        """Concrete (traced or eager) moment blocks from user input."""
+        if given is None:
+            return tuple(jnp.zeros_like(x) for x in xs)
+        return tuple(
+            jnp.array(g, copy=True, dtype=x.dtype)
+            for g, x in zip(given, xs)
+        )
 
     M0 = init_moments(M)
     V0 = init_moments(V)
@@ -381,25 +387,34 @@ def adaprox(
     data_leaves = (grad_lv, step_lv, prox_lv)
 
     def build():
-        def make_body(leaves):
+        def make_parts(leaves):
             g = grad_rb(leaves[0])
             st = stepper_rb(leaves[1])
             pr = tuple(rb(lv) for rb, lv in zip(prox_rbs, leaves[2]))
-            return _make_adaprox_body(
+            body = _make_adaprox_body(
                 g, st, pr, has_prox, phi_psi, b1, b2, eps, p, e_rel,
                 check_convergence, prox_max_iter, trace=trace,
             )
+            return body, g, st
 
         if callback is None:
-            def run(state, leaves):
-                body = make_body(leaves)
+            # the initial state (incl. cold-start zero moments) is built
+            # INSIDE the executable — eager construction dispatches ~a
+            # dozen host->device ops per solve (see the pgm driver)
+            def run(x, moments, leaves):
+                body, g, st = make_parts(leaves)
+                M0_ = moments_as_arrays(moments[0], x)
+                V0_ = moments_as_arrays(moments[1], x)
+                Vhat0_ = moments_as_arrays(moments[2], x)
+                state = init_adaprox_state(x, M0_, V0_, Vhat0_, st, g, n,
+                                           max_iter, trace)
                 cond = make_adaprox_cond(check_convergence, max_iter)
                 return jax.lax.while_loop(cond, body, state)
 
             # not donated: donation pins the carry to HBM buffers and
             # defeats VMEM residency (2.6x slower on the pgm driver)
             return stepper, jax.jit(run)
-        return stepper, jax.jit(lambda s, leaves: make_body(leaves)(s))
+        return stepper, jax.jit(lambda s, leaves: make_parts(leaves)[0](s))
 
     if cacheable(key):
         cached_stepper, compiled = _ADAPROX_CACHE.get_or_build(key, build)
@@ -409,11 +424,14 @@ def adaprox(
         cached_stepper, compiled = build()
 
     def init_state():
-        return init_adaprox_state(x0, M0, V0, Vhat0, cached_stepper, grad,
-                                  n, max_iter, trace)
+        return init_adaprox_state(
+            x0, moments_as_arrays(M0, x0), moments_as_arrays(V0, x0),
+            moments_as_arrays(Vhat0, x0), cached_stepper, grad,
+            n, max_iter, trace,
+        )
 
     if callback is None:
-        state = compiled(init_state(), data_leaves)
+        state = compiled(tuple(x0), (M0, V0, Vhat0), data_leaves)
     else:
         step_fn = compiled
         state = init_state()
@@ -427,15 +445,20 @@ def adaprox(
                     check_convergence and bool(jnp.all(state.converged))):
                 break
 
-    iterations = int(state.it)
-    sub_iterations = tuple(int(s) for s in np.asarray(state.sub_iters))
+    # one batched device->host fetch (separate transfers pay one round
+    # trip each on remote-dispatch backends)
+    it_h, sub_h, div_h, conv_h = jax.device_get(
+        (state.it, state.sub_iters, state.diverged, state.converged)
+    )
+    iterations = int(it_h)
+    sub_iterations = tuple(int(s) for s in sub_h)
     logger.info(
         "Completed %d iterations and %s sub-iterations",
         iterations, list(sub_iterations),
     )
-    diverged = bool(state.diverged)
+    diverged = bool(div_h)
     if check_convergence:
-        converged = tuple(bool(c) for c in np.asarray(state.converged))
+        converged = tuple(bool(c) for c in conv_h)
         if not diverged and not all(converged):
             logger.warning("Solution did not converge")
     else:

@@ -216,8 +216,8 @@ def _sdmm_core(
                 r_prev=r, history=history,
             )
 
-        return body
-    def init_state(x):
+        return body, init_zu
+    def init_state(x, init_zu=init_zu):
         z0, u0 = init_zu(x)
         if has_g and M == 1:
             r0 = jnp.zeros_like(z0)
@@ -246,7 +246,7 @@ def _sdmm_core(
         # AOT-export path (export.py): a pure ``x0 -> final state`` function
         # with the data leaves baked as trace constants (artifacts are
         # per-dataset, like the pgm/adaprox exports)
-        body = make_body(data_leaves)
+        body, _ = make_body(data_leaves)
 
         def runner(x):
             def cond(s):
@@ -261,8 +261,12 @@ def _sdmm_core(
 
     def build():
         if callback is None:
-            def run(state, leaves):
-                body = make_body(leaves)
+            # initial state built INSIDE the executable, from the
+            # leaves-rebuilt operators (eager construction dispatches
+            # several host->device ops per solve; see the pgm driver)
+            def run(x, leaves):
+                body, init_zu_l = make_body(leaves)
+                state = init_state(x, init_zu=init_zu_l)
 
                 def cond(s):
                     return jnp.logical_and(
@@ -276,7 +280,7 @@ def _sdmm_core(
             # defeats VMEM residency (2.6x slower on the pgm driver)
             compiled = jax.jit(run)
         else:
-            compiled = jax.jit(lambda s, leaves: make_body(leaves)(s))
+            compiled = jax.jit(lambda s, leaves: make_body(leaves)[0](s))
         # retain_refs keeps the cache-key objects (user L matrices etc.)
         # alive so their ids cannot be recycled while the entry exists
         return compiled, retain_refs
@@ -292,7 +296,7 @@ def _sdmm_core(
         )
 
     if callback is None:
-        state = compiled(init_state(x0), data_leaves)
+        state = compiled(x0, data_leaves)
     else:
         state = init_state(x0)
         while (int(state.it) < max_iter and int(state.total_it) < total_cap
@@ -348,21 +352,27 @@ def admm(
         cache_key=cache_key, retain_refs=(prox_f, step_f, prox_g, L),
     )
 
-    converged = bool(state.converged)
-    iterations = int(state.it)
+    # one batched device->host fetch (round trips are expensive on
+    # remote-dispatch backends)
+    conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(
+        (state.converged, state.it, state.errors, state.slack,
+         state.total_it)
+    )
+    converged = bool(conv_h)
+    iterations = int(it_h)
     logger.info("Completed %d iterations", iterations)
     if not converged:
         logger.warning("Solution did not converge")
 
-    errors = tuple(float(v) for v in np.asarray(state.errors[0]))
-    history = (np.asarray(state.history[:int(state.total_it)])
+    errors = tuple(float(v) for v in err_h[0])
+    history = (np.asarray(state.history[:int(tot_h)])
                if trace else None)
     writeback(originals, (state.x,))
     return SolverResult(
         (converged, errors),
         x=state.x, iterations=iterations, converged=converged,
-        errors=errors, slack=float(state.slack),
-        total_iterations=int(state.total_it), history=history,
+        errors=errors, slack=float(slack_h),
+        total_iterations=int(tot_h), history=history,
     )
 
 
@@ -435,21 +445,25 @@ def sdmm(
         retain_refs=(prox_f, step_f, tuple(proxs_g), tuple(Ls), steps_g),
     )
 
-    converged = bool(state.converged)
-    iterations = int(state.it)
+    conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(
+        (state.converged, state.it, state.errors, state.slack,
+         state.total_it)
+    )
+    converged = bool(conv_h)
+    iterations = int(it_h)
     logger.info("Completed %d iterations", iterations)
     if not converged:
         logger.warning("Solution did not converge")
 
     errors = tuple(
-        tuple(float(v) for v in row) for row in np.asarray(state.errors)
+        tuple(float(v) for v in row) for row in err_h
     )
-    history = (np.asarray(state.history[:int(state.total_it)])
+    history = (np.asarray(state.history[:int(tot_h)])
                if trace else None)
     writeback(originals, (state.x,))
     return BoolResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,
-        errors=errors, slack=float(state.slack),
-        total_iterations=int(state.total_it), history=history,
+        errors=errors, slack=float(slack_h),
+        total_iterations=int(tot_h), history=history,
     )

@@ -162,17 +162,21 @@ def bsdmm(
     has_g = tuple(M[j] > 0 for j in range(N))
     dtype = jnp.result_type(*[x.dtype for x in x0])
 
-    def init_zu(x):
-        Z, U = [], []
-        for j in range(N):
-            if has_g[j]:
-                Zj, Uj = utils.initZU(x[j], list(Ls[j]))
-                Z.append(tuple(jnp.array(z, copy=True) for z in Zj))
-                U.append(tuple(Uj))
-            else:
-                Z.append(jnp.array(x[j], copy=True))
-                U.append(jnp.zeros_like(x[j]))
-        return tuple(Z), tuple(U)
+    def make_init_zu(Ls_):
+        def init_zu(x):
+            Z, U = [], []
+            for j in range(N):
+                if has_g[j]:
+                    Zj, Uj = utils.initZU(x[j], list(Ls_[j]))
+                    Z.append(tuple(jnp.array(z, copy=True) for z in Zj))
+                    U.append(tuple(Uj))
+                else:
+                    Z.append(jnp.array(x[j], copy=True))
+                    U.append(jnp.zeros_like(x[j]))
+            return tuple(Z), tuple(U)
+        return init_zu
+
+    init_zu = make_init_zu(Ls)
 
     def init_steps_g():
         out = []
@@ -209,6 +213,7 @@ def bsdmm(
         ]
         proxs_g = proxs_g_l
         Ls = list(leaves[3])
+        init_zu_l = make_init_zu(Ls)
 
         def body(state: BSDMMState) -> BSDMMState:
             it = state.it
@@ -302,8 +307,8 @@ def bsdmm(
                 it=it + 1, converged=converged, history=history,
             )
 
-        return body
-    def init_state(xs=None):
+        return body, init_zu_l
+    def init_state(xs=None, init_zu=init_zu):
         xs = x0 if xs is None else tuple(xs)
         z0, u0 = init_zu(xs)
         return BSDMMState(
@@ -319,7 +324,7 @@ def bsdmm(
     if _export_runner:
         # AOT-export path (export.py): pure ``*x_blocks -> final state``
         # with the data leaves baked as trace constants
-        body = make_body(data_leaves)
+        body, _ = make_body(data_leaves)
 
         def runner(*x_blocks):
             def cond(s):
@@ -341,8 +346,12 @@ def bsdmm(
 
     def build():
         if callback is None:
-            def run(state, leaves):
-                body = make_body(leaves)
+            # initial state built INSIDE the executable (eager
+            # construction dispatches several host->device ops per
+            # solve; see the pgm driver)
+            def run(x, leaves):
+                body, init_zu_l = make_body(leaves)
+                state = init_state(x, init_zu=init_zu_l)
 
                 def cond(s):
                     return jnp.logical_and(
@@ -355,7 +364,7 @@ def bsdmm(
             # defeats VMEM residency (2.6x slower on the pgm driver)
             compiled = jax.jit(run)
         else:
-            compiled = jax.jit(lambda s, leaves: make_body(leaves)(s))
+            compiled = jax.jit(lambda s, leaves: make_body(leaves)[0](s))
         # retain the key's id-referenced objects alive with the entry
         return compiled, (proxs_f, steps_f_cb, _user_structs)
 
@@ -366,7 +375,7 @@ def bsdmm(
         compiled, _ = build()
 
     if callback is None:
-        state = compiled(init_state(), data_leaves)
+        state = compiled(tuple(x0), data_leaves)
     else:
         state = init_state()
         while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
@@ -376,9 +385,12 @@ def bsdmm(
                 break
             state = compiled(state, data_leaves)
 
-    iterations = int(state.it)
+    # one batched device->host fetch (round trips are expensive on
+    # remote-dispatch backends)
+    it_h, conv_h = jax.device_get((state.it, state.converged))
+    iterations = int(it_h)
     logger.info("Completed %d iterations", iterations)
-    converged = tuple(bool(c) for c in np.asarray(state.converged))
+    converged = tuple(bool(c) for c in conv_h)
     if not all(converged):
         logger.warning("Solution did not converge")
 
