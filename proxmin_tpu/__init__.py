@@ -46,6 +46,7 @@ from . import linop  # noqa: F401
 from . import special  # noqa: F401
 from . import checkpoint  # noqa: F401
 from . import export  # noqa: F401
+from . import functional  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -296,6 +296,7 @@ def adaprox(
     Vhat=None,
     callback=None,
     trace=False,
+    f=None,
 ):
     """Adaptive Proximal Gradient Method (proximal Adam family).
 
@@ -309,6 +310,10 @@ def adaprox(
     moments (returned by this function), e.g. to continue a slightly
     changed problem.
 
+    ``grad=None`` with ``f=<smooth function>`` differentiates ``f`` via
+    ``jax.grad`` (the TPU-native successor of the reference's autograd
+    compatibility).
+
     Returns:
         ``SolverResult`` unpacking as ``(converged, M, V, Vhat)`` like the
         reference, with attributes ``.x``, ``.iterations``,
@@ -316,6 +321,11 @@ def adaprox(
     """
     x0, originals, was_single = tupleize(X)
     n = len(x0)
+    if grad is None:
+        assert f is not None, "grad=None requires f"
+        from .common import grad_from_f
+
+        grad = grad_from_f(f, n)
     prox_in = utils._as_tuple(prox)
     if len(prox_in) == 1:
         prox_in = prox_in * n

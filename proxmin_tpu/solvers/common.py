@@ -334,6 +334,27 @@ def asarray_cached(x):
     return jnp.asarray(x)
 
 
+_GRAD_FROM_F = {}
+
+
+def grad_from_f(f, n_blocks):
+    """Derive a multi-block gradient from the smooth function itself via
+    ``jax.grad`` — the TPU-native replacement for the reference's
+    autograd compatibility (``README.md:33``): users pass ``f`` and the
+    solver differentiates it.
+
+    Memoized by ``(id(f), n_blocks)`` (holding ``f`` alive) so the
+    derived callable is identity-stable and driver-cache keys repeat
+    across solves."""
+    key = (id(f), n_blocks)
+    hit = _GRAD_FROM_F.get(key)
+    if hit is not None and hit[0] is f:
+        return hit[1]
+    g = jax.grad(f, argnums=tuple(range(n_blocks)))
+    _GRAD_FROM_F[key] = (f, g)
+    return g
+
+
 def abstract_key(tree):
     """Shapes/dtypes signature of a pytree of arrays."""
     import jax

@@ -358,7 +358,9 @@ def pgm(
             are updated in place like the reference; the solution is also
             available as ``result.x``.
         grad: gradient of the smooth part, ``grad(*X) -> dX`` (tuple for
-            multi-block).
+            multi-block). ``None`` differentiates ``f`` via ``jax.grad``
+            (requires ``f``; the TPU-native successor of the reference's
+            autograd compatibility, reference ``README.md:33``).
         step: step size(s); should be < 2/L with L the Lipschitz constant.
         prox: proximal operator(s) ``prox(X, step) -> X``; None = identity.
         accelerated: Nesterov/FISTA acceleration.
@@ -383,6 +385,14 @@ def pgm(
     n = len(x0)
     prox = normalize_prox(prox, n)
     e_rel = normalize_per_block(e_rel, n)
+    if grad is None:
+        # autodiff convenience: differentiate the smooth function itself
+        # (the TPU-native successor of the reference's autograd
+        # compatibility, README.md:33)
+        assert f is not None, "grad=None requires f"
+        from .common import grad_from_f
+
+        grad = grad_from_f(f, n)
     assert backtracking is False or f is not None
     stepper = make_stepper(step, n)
 

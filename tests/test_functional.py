@@ -1,0 +1,93 @@
+"""Pure-functional solver factories: jit/vmap composition
+(proxmin_tpu.functional)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import proxmin_tpu as pt
+from proxmin_tpu.functional import make_adaprox_solver, make_pgm_solver
+
+
+CENTER = np.array([1.0, 0.5])
+
+
+def prox_disk(x, step, r=0.5):
+    nrm = jnp.sqrt(jnp.sum(x ** 2))
+    return jnp.where(nrm > r, x * (r / nrm), x)
+
+
+def test_functional_pgm_matches_driver():
+    def grad(x):
+        return x - jnp.asarray(CENTER)
+
+    solve = jax.jit(make_pgm_solver(grad, 0.5, prox=prox_disk,
+                                    accelerated=True, e_rel=1e-10,
+                                    max_iter=300))
+    x, it, conv, div = solve(jnp.asarray([-1.0, -1.0]))
+    r = pt.pgm(jnp.asarray([-1.0, -1.0]), grad, 0.5, prox=prox_disk,
+               accelerated=True, e_rel=1e-10, max_iter=300)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r.x), rtol=1e-12)
+    assert int(it) == r.iterations
+
+
+def test_functional_pgm_vmap_batch_of_problems():
+    """One compiled call solves a batch of independent problems; under
+    vmap the while_loop masks finished lanes, so every lane equals its
+    individual solve even though iteration counts differ."""
+    centers = jnp.asarray(np.random.default_rng(3).normal(size=(16, 2)))
+
+    def grad(x, c):
+        return x - c
+
+    def solve_one(x0, c):
+        return make_pgm_solver(lambda x: grad(x, c), 0.3, prox=prox_disk,
+                               e_rel=1e-11, max_iter=400)(x0)
+
+    x0s = jnp.tile(jnp.asarray([-1.0, -1.0]), (16, 1))
+    xs, its, convs, divs = jax.jit(jax.vmap(solve_one))(x0s, centers)
+
+    assert len(set(np.asarray(its).tolist())) > 1  # genuinely different
+    for i in range(16):
+        xi, iti, _, _ = jax.jit(solve_one)(x0s[i], centers[i])
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi),
+                                   rtol=1e-12)
+        assert int(its[i]) == int(iti)
+
+
+def test_functional_pgm_grad_none():
+    def f(x):
+        return 0.5 * jnp.sum((x - jnp.asarray(CENTER)) ** 2)
+
+    solve = make_pgm_solver(None, 0.5, f=f, e_rel=1e-10, max_iter=500)
+    x, it, conv, div = jax.jit(solve)(jnp.asarray([-1.0, -1.0]))
+    np.testing.assert_allclose(np.asarray(x), CENTER, atol=1e-8)
+
+
+def test_functional_adaprox_matches_driver():
+    def grad(x):
+        return x - jnp.asarray(CENTER)
+
+    solve = jax.jit(make_adaprox_solver(grad, 0.1, scheme="amsgrad",
+                                        e_rel=1e-8, max_iter=600))
+    x, M, V, Vhat, it, conv, div = solve(jnp.asarray([-1.0, -1.0]))
+    r = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad, 0.1, scheme="amsgrad",
+                   e_rel=1e-8, max_iter=600)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r.x), rtol=1e-12)
+    assert int(it) == r.iterations
+    np.testing.assert_allclose(np.asarray(M[0]), np.asarray(r.M[0]),
+                               rtol=1e-12)
+
+
+def test_functional_adaprox_vmap():
+    rng = np.random.default_rng(7)
+    centers = jnp.asarray(rng.normal(size=(8, 3)))
+
+    def solve_one(x0, c):
+        return make_adaprox_solver(lambda x: x - c, 0.2, scheme="adam",
+                                   e_rel=1e-9, max_iter=800)(x0)
+
+    x0s = jnp.zeros((8, 3))
+    xs, *_ = jax.jit(jax.vmap(solve_one))(x0s, centers)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(centers),
+                               atol=1e-4)
