@@ -158,30 +158,36 @@ def _weighted_lipschitz_S(A, W, num_iters=48, v0=None, return_v=False):
     K = A.shape[1]
     dtype = jnp.result_type(A, W)
     v = _weighted_lipschitz_S_v0(N, K, dtype) if v0 is None else v0
+    tiny = jnp.finfo(dtype).tiny
 
     def Hv(v):
         t = jnp.einsum("nk,ck->cn", v, A)           # A v   per pixel
         u = W * t                                    # diag(W_n) .
         return jnp.einsum("cn,ck->nk", u, A)         # A^T .
 
-    def body(_, v):
-        w = Hv(v)
-        return w / jnp.maximum(
-            jnp.linalg.norm(w, axis=1, keepdims=True), jnp.finfo(dtype).tiny
-        )
+    def normalize(w):
+        # rsqrt of the row sum-of-squares fuses into the producing pass
+        # (jnp.linalg.norm's sqrt-then-divide compiled to separate
+        # reduce + divide fusions inside nested while/cond contexts)
+        ssq = jnp.sum(w * w, axis=1, keepdims=True)
+        return w * jax.lax.rsqrt(jnp.maximum(ssq, tiny))
 
+    def body(_, v):
+        return normalize(Hv(v))
+
+    # num_iters may be a traced value (dynamic trip count): the warm-start
+    # callers select cold/warm pass counts with jnp.where instead of a
+    # lax.cond over two fori_loops, which compiled to separate poorly-
+    # fused branch computations (measured 2.4x slower per pass in-driver)
     v = jax.lax.fori_loop(0, num_iters, body, v)
     # fully-masked pixels (W[:, n] == 0) give a 0 block, not NaN
     hv = Hv(v)
     rayleigh = jnp.sum(v * hv, axis=1) / jnp.maximum(
-        jnp.sum(v * v, axis=1), jnp.finfo(dtype).tiny)
+        jnp.sum(v * v, axis=1), tiny)
     lmax = jnp.max(rayleigh)
     if return_v:
         # hv is one more (free) power pass than v — return it normalized
-        v_next = hv / jnp.maximum(
-            jnp.linalg.norm(hv, axis=1, keepdims=True), jnp.finfo(dtype).tiny
-        )
-        return lmax, v_next
+        return lmax, normalize(hv)
     return lmax
 
 
@@ -252,14 +258,11 @@ class WeightedPGMStepper:
         dtype = jnp.result_type(A, S, W)
         _, v = state
         LA = _weighted_lipschitz_A(S, W)
-        LS, v_new = jax.lax.cond(
-            it == 0,
-            lambda v: _weighted_lipschitz_S(
-                A, W, self.cold_iters, v0=v, return_v=True),
-            lambda v: _weighted_lipschitz_S(
-                A, W, self.warm_iters, v0=v, return_v=True),
-            v,
-        )
+        # dynamic trip count (cold on the first refresh, warm after) —
+        # NOT a lax.cond over two fori_loops, which compiles to separate
+        # poorly-fused branch computations inside the solver loop
+        iters = jnp.where(it == 0, self.cold_iters, self.warm_iters)
+        LS, v_new = _weighted_lipschitz_S(A, W, iters, v0=v, return_v=True)
         steps = (jnp.asarray(self.safety / LA, dtype),
                  jnp.asarray(self.safety / LS, dtype))
         return steps, (steps, v_new)
@@ -422,17 +425,12 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
         def weighted_steps(A, S, v, it):
             # warm-started power iterate v carried in the loop state:
-            # cold_iters passes on the first refresh, 12 after (A drifts
-            # little between refreshes; see WeightedPGMStepper)
+            # 48 passes on the first refresh, 12 after (A drifts little
+            # between refreshes; see WeightedPGMStepper). Dynamic trip
+            # count, not a cond over two fori_loops (fusion).
             sA = 1.0 / _weighted_lipschitz_A(S, W_p)
-            LS, v = jax.lax.cond(
-                it == 0,
-                lambda v: _weighted_lipschitz_S(A, W_p, 48, v0=v,
-                                                return_v=True),
-                lambda v: _weighted_lipschitz_S(A, W_p, 12, v0=v,
-                                                return_v=True),
-                v,
-            )
+            LS, v = _weighted_lipschitz_S(
+                A, W_p, jnp.where(it == 0, 48, 12), v0=v, return_v=True)
             return (jnp.asarray(sA, jnp.float32),
                     jnp.asarray(1.0 / LS, jnp.float32), v)
 

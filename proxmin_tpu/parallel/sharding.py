@@ -177,23 +177,22 @@ def _weighted_steps(A, S, W, data_axis, model_axis, dt, num_iters=48,
         return hv
 
     v = _weighted_steps_v0(A, S, dt) if v0 is None else v0
+    tiny = jnp.finfo(dt).tiny
+
+    def normalize(w):
+        ssq = jnp.sum(w * w, axis=1, keepdims=True)
+        return w * jax.lax.rsqrt(jnp.maximum(ssq, tiny))
 
     def pow_body(_, v):
-        w = Hv_S(v)
-        return w / jnp.maximum(
-            jnp.linalg.norm(w, axis=1, keepdims=True), jnp.finfo(dt).tiny
-        )
+        return normalize(Hv_S(v))
 
     v = jax.lax.fori_loop(0, num_iters, pow_body, v)
     hv = Hv_S(v)
     rayleigh = jnp.sum(v * hv, axis=1) / jnp.maximum(
-        jnp.sum(v * v, axis=1), jnp.finfo(dt).tiny)
+        jnp.sum(v * v, axis=1), tiny)
     LS = jax.lax.pmax(jnp.max(rayleigh), data_axis)
     if return_v:
-        v_next = hv / jnp.maximum(
-            jnp.linalg.norm(hv, axis=1, keepdims=True), jnp.finfo(dt).tiny
-        )
-        return 1.0 / LA, 1.0 / LS, v_next
+        return 1.0 / LA, 1.0 / LS, normalize(hv)
     return 1.0 / LA, 1.0 / LS
 
 
@@ -411,16 +410,12 @@ def nmf_pgm_sharded(
             def outer_body(carry):
                 st, v = carry
                 if weighted:
-                    sA, sS, v = jax.lax.cond(
-                        st.it == 0,
-                        lambda v: _weighted_steps(
-                            st.A, st.S, W, data_axis, model_axis, dt,
-                            num_iters=48, v0=v, return_v=True),
-                        lambda v: _weighted_steps(
-                            st.A, st.S, W, data_axis, model_axis, dt,
-                            num_iters=12, v0=v, return_v=True),
-                        v,
-                    )
+                    # dynamic trip count, not a cond over two fori_loops
+                    # (the cond branches compile poorly-fused)
+                    sA, sS, v = _weighted_steps(
+                        st.A, st.S, W, data_axis, model_axis, dt,
+                        num_iters=jnp.where(st.it == 0, 48, 12),
+                        v0=v, return_v=True)
                 else:
                     sA, sS = _unweighted_steps(st.A, st.S, data_axis,
                                                model_axis)
