@@ -85,6 +85,17 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
 
     if not hasattr(b1, "__iter__"):
         b1 = np.full((max_iter,), b1, dtype=np.float64)
+    # same validation as the adaprox driver (a short b1 schedule would
+    # otherwise silently clamp via JAX's out-of-bounds index semantics);
+    # validated host-side so the factory also works under an ambient
+    # trace (e.g. constructed inside a jitted/vmapped caller)
+    b1_h = np.asarray(b1) if not isinstance(b1, jax.core.Tracer) else None
+    assert b1.shape[0] == max_iter
+    if b1_h is not None:
+        assert (b1_h >= 0).all() and (b1_h < 1).all()
+    assert 0 <= b2 < 1
+    assert eps >= 0
+    assert 0 < p <= 0.5
     b1 = jnp.asarray(b1)
     phi_psi = SCHEMES[scheme.lower()]
 

@@ -402,7 +402,10 @@ def nmf_pgm_sharded(
             # shard takes the same outer iteration count (it and the
             # convergence scalars are replicated), so the collectives
             # inside the refresh stay collective-safe.
-            v0 = _weighted_steps_v0(A, S, dt)
+            # the warm-start iterate exists only on weighted solves (an
+            # unweighted carry would thread a dead (N_local, K) array
+            # through every segment boundary)
+            v0 = _weighted_steps_v0(A, S, dt) if weighted else ()
 
             def outer_cond(carry):
                 return cond(carry[0])

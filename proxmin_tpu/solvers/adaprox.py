@@ -358,6 +358,11 @@ def adaprox(
             return None
         given = utils._as_tuple(given)
         assert len(given) == n
+        # lists/tuples become single array leaves (a raw list would ride
+        # the jit boundary as a pytree of scalars)
+        given = tuple(
+            g if hasattr(g, "shape") else np.asarray(g) for g in given
+        )
         for g, x in zip(given, x0):
             assert g.shape == x.shape
         return tuple(given)

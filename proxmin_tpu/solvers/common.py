@@ -334,7 +334,10 @@ def asarray_cached(x):
     return jnp.asarray(x)
 
 
-_GRAD_FROM_F = {}
+from collections import OrderedDict as _OrderedDict
+
+_GRAD_FROM_F = _OrderedDict()
+_GRAD_FROM_F_MAXSIZE = 32
 
 
 def grad_from_f(f, n_blocks):
@@ -345,13 +348,17 @@ def grad_from_f(f, n_blocks):
 
     Memoized by ``(id(f), n_blocks)`` (holding ``f`` alive) so the
     derived callable is identity-stable and driver-cache keys repeat
-    across solves."""
+    across solves; LRU-bounded so per-request lambdas (and the data
+    they capture) cannot accumulate for the process lifetime."""
     key = (id(f), n_blocks)
     hit = _GRAD_FROM_F.get(key)
     if hit is not None and hit[0] is f:
+        _GRAD_FROM_F.move_to_end(key)
         return hit[1]
     g = jax.grad(f, argnums=tuple(range(n_blocks)))
     _GRAD_FROM_F[key] = (f, g)
+    while len(_GRAD_FROM_F) > _GRAD_FROM_F_MAXSIZE:
+        _GRAD_FROM_F.popitem(last=False)
     return g
 
 

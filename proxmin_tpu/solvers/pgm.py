@@ -365,7 +365,8 @@ def pgm(
         prox: proximal operator(s) ``prox(X, step) -> X``; None = identity.
         accelerated: Nesterov/FISTA acceleration.
         backtracking: Beck–Teboulle backtracking line search (needs ``f``).
-        f: the smooth function itself (backtracking only).
+        f: the smooth function itself — required for ``backtracking``
+            and for the ``grad=None`` autodiff mode.
         e_rel: relative fixed-point tolerance (scalar or per block).
         max_iter: iteration cap.
         callback: optional ``callback(*X, it=...)`` host hook; switches to

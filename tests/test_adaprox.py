@@ -138,3 +138,15 @@ def test_adaprox_warm_start_does_not_donate_user_moments():
     # reading the first run's moments must still work
     assert np.isfinite(np.asarray(r1.M[0])).all()
     assert np.isfinite(np.asarray(r1.V[0])).all()
+
+
+def test_adaprox_list_warm_start_moments():
+    """Warm-start M/V/Vhat accept plain Python lists (review r2s3)."""
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([1.0, 0.5])
+    res = pt.adaprox(jnp.zeros(2), lambda x: x - c, 0.1,
+                     M=[[0.01, 0.02]], V=[[0.001, 0.002]],
+                     Vhat=[[0.001, 0.002]], e_rel=0, max_iter=5,
+                     check_convergence=False)
+    assert np.isfinite(np.asarray(res.x)).all()

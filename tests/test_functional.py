@@ -91,3 +91,13 @@ def test_functional_adaprox_vmap():
     xs, *_ = jax.jit(jax.vmap(solve_one))(x0s, centers)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(centers),
                                atol=1e-4)
+
+
+def test_functional_adaprox_validates_b1_schedule():
+    """A short b1 schedule must raise, matching the adaprox driver
+    (JAX would otherwise silently clamp the out-of-bounds gather)."""
+    import pytest
+
+    with pytest.raises(AssertionError):
+        make_adaprox_solver(lambda x: x, 0.1,
+                            b1=np.linspace(0.9, 0.5, 100), max_iter=1000)
