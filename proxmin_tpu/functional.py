@@ -67,7 +67,7 @@ def make_pgm_solver(grad, step, prox=None, accelerated=False,
 def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
                         b2=0.999, eps=1e-8, p=0.25, check_convergence=True,
                         e_rel=1e-6, max_iter=1000, prox_max_iter=1000,
-                        f=None):
+                        f=None, separable_prox=False):
     """Build a pure AdaProx solve: ``solve(*x0) -> (x, M, V, Vhat,
     iterations, converged, diverged)`` (cold-started moments).
 
@@ -108,10 +108,24 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         has_prox = tuple(pj is not None for pj in prox_in)
         prox_t = normalize_prox(prox_in, n)
         e_rel_t = normalize_per_block(e_rel, n)
+        if separable_prox is True:
+            separable = has_prox
+        elif separable_prox == "auto":
+            import functools as _ft
+
+            separable = tuple(
+                bool(getattr(
+                    pj.func if isinstance(pj, _ft.partial) else pj,
+                    "separable", False)) if pj is not None else False
+                for pj in prox_in
+            )
+        else:
+            separable = (False,) * n
         stepper = make_stepper(step, n)
         body = _make_adaprox_body(g, stepper, prox_t, has_prox, phi_psi,
                                   b1, b2, eps, p, e_rel_t,
-                                  check_convergence, prox_max_iter)
+                                  check_convergence, prox_max_iter,
+                                  separable=separable)
         zeros = tuple(jnp.zeros_like(x) for x in x0)
         state = init_adaprox_state(x0, zeros, zeros, zeros, stepper, g,
                                    n, max_iter, trace=False)

@@ -208,3 +208,16 @@ class AlternatingProjections:
 
     # AlternatingProjections instances close over static operator lists, so
     # they hash/compare by identity — fine as jit-static arguments.
+
+
+# Convex elementwise (separable) operators: the scaled proximal problem
+# ``min_z g(z) + (1/(2 alpha)) (z - x)^T diag(Psi) (z - x)`` decomposes per
+# element into ``prox_{g_i}`` with step ``alpha / Psi_i`` — its exact
+# closed form. ``adaprox(separable_prox=...)`` uses this instead of the
+# prox sub-iteration loop (arXiv:1910.10094 Alg. 1 is only needed for
+# non-separable or nonconvex proxs; prox_hard/prox_hard_plus are excluded
+# because L0's fixed points need the iteration's semantics).
+for _p in (prox_id, prox_zero, prox_plus, prox_min, prox_max, prox_soft,
+           prox_soft_plus, prox_max_entropy):
+    _p.separable = True
+del _p

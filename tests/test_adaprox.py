@@ -150,3 +150,72 @@ def test_adaprox_list_warm_start_moments():
                      Vhat=[[0.001, 0.002]], e_rel=0, max_iter=5,
                      check_convergence=False)
     assert np.isfinite(np.asarray(res.x)).all()
+
+
+def test_adaprox_separable_prox_closed_form():
+    """separable_prox: the closed-form scaled prox equals what the
+    sub-iteration loop converges to (same optimum, exact subproblem)."""
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([1.0, 0.5])
+
+    def grad(x):
+        return x - c
+
+    def prox_disk_separable_no(x, step):  # plus is separable
+        return jnp.maximum(x, 0)
+
+    r_sub = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad, 0.1,
+                       prox=pt.operators.prox_plus, e_rel=1e-10,
+                       max_iter=2000)
+    r_sep = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad, 0.1,
+                       prox=pt.operators.prox_plus, e_rel=1e-10,
+                       max_iter=2000, separable_prox=True)
+    np.testing.assert_allclose(np.asarray(r_sep.x), np.asarray(r_sub.x),
+                               atol=1e-7)
+    # the closed form does exactly ONE application per iteration
+    assert r_sep.sub_iterations[0] == r_sep.iterations
+    assert r_sub.sub_iterations[0] > r_sub.iterations
+
+    # "auto" detects the library operator's separable marker
+    r_auto = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad, 0.1,
+                        prox=pt.operators.prox_plus, e_rel=1e-10,
+                        max_iter=2000, separable_prox="auto")
+    np.testing.assert_allclose(np.asarray(r_auto.x), np.asarray(r_sep.x),
+                               rtol=1e-12)
+
+
+def test_adaprox_separable_auto_skips_nonseparable():
+    """'auto' keeps the sub-iteration loop for non-separable proxs
+    (prox_unity normalizes across elements) and for prox_hard (L0)."""
+    import functools
+
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([0.6, 0.3])
+
+    r1 = pt.adaprox(jnp.asarray([0.4, 0.2]), lambda x: x - c, 0.1,
+                    prox=functools.partial(pt.operators.prox_unity, axis=0),
+                    e_rel=1e-8, max_iter=500, separable_prox="auto")
+    r2 = pt.adaprox(jnp.asarray([0.4, 0.2]), lambda x: x - c, 0.1,
+                    prox=functools.partial(pt.operators.prox_unity, axis=0),
+                    e_rel=1e-8, max_iter=500)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-12)  # identical path taken
+
+
+def test_adaprox_separable_soft_threshold_partial():
+    """Closed form through a functools.partial-wrapped separable prox
+    (per-element thresholds scale with the per-element step)."""
+    import functools
+
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([1.0, -0.8, 0.3])
+    prox = functools.partial(pt.operators.prox_soft, thresh=0.05)
+    r_sub = pt.adaprox(jnp.zeros(3), lambda x: x - c, 0.1, prox=prox,
+                       e_rel=1e-10, max_iter=3000)
+    r_sep = pt.adaprox(jnp.zeros(3), lambda x: x - c, 0.1, prox=prox,
+                       e_rel=1e-10, max_iter=3000, separable_prox="auto")
+    np.testing.assert_allclose(np.asarray(r_sep.x), np.asarray(r_sub.x),
+                               atol=1e-6)
