@@ -299,6 +299,80 @@ class WeightedPGMStepper:
                 self.warm_iters, wk)
 
 
+class WeightedBSDMMStepper:
+    """Stateful per-block step callable for the weighted bsdmm CMF path
+    (the bsdmm driver's stateful-steps protocol).
+
+    Replaces ``partial(step_pgm, W=W)[j]`` + the driver-side stride cond:
+    each block's refresh computes ONLY that block's bound (the plain
+    adapter evaluated BOTH bounds per block — 2x waste), the S-block's
+    batched power iterate warm-starts across refreshes (cold
+    ``cold_iters`` passes on the first refresh, ``warm_iters`` after,
+    dynamic trip count), and the refreshed steps carry in the driver's
+    ``steps_f`` slot with a ``safety`` shrink — the bsdmm analogue of
+    :class:`WeightedPGMStepper`.
+    """
+
+    def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
+                 warm_iters=12):
+        self.W = W
+        self.stride = int(stride)
+        self.safety = float(safety)
+        self.cold_iters = int(cold_iters)
+        self.warm_iters = int(warm_iters)
+
+    def init_bsdmm_state(self, xs):
+        A, S = xs
+        dtype = jnp.result_type(A, S)
+        return _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
+
+    def __call__(self, Xs, j=None, state=None, it=None, cached=None):
+        A, S = Xs
+        W = self.W
+        refresh_now = it % self.stride == 0
+        if j == 0:
+            # A-block bound; the power iterate passes through untouched
+            # (outside the cond — no 28 MB flow through the branch)
+            step = jax.lax.cond(
+                refresh_now,
+                lambda: jnp.asarray(
+                    self.safety / _weighted_lipschitz_A(S, W), cached.dtype),
+                lambda: cached,
+            )
+            return step, state
+
+        def refresh(v):
+            iters = jnp.where(it == 0, self.cold_iters, self.warm_iters)
+            LS, v = _weighted_lipschitz_S(A, W, iters, v0=v, return_v=True)
+            return jnp.asarray(self.safety / LS, cached.dtype), v
+
+        step, v = jax.lax.cond(
+            refresh_now, refresh, lambda v: (cached, v), state
+        )
+        return step, v
+
+    def split_data(self):
+        """Driver hook: W rides as a jit argument, not a trace constant."""
+        stride, safety = self.stride, self.safety
+        cold, warm = self.cold_iters, self.warm_iters
+
+        def rebuild(leaves):
+            return WeightedBSDMMStepper(leaves[0], stride=stride,
+                                        safety=safety, cold_iters=cold,
+                                        warm_iters=warm)
+
+        return rebuild, (jnp.asarray(self.W),)
+
+    def stepper_cache_key(self):
+        from .solvers.common import cacheable, value_key
+
+        wk = value_key(self.W)
+        if not cacheable(wk):
+            return wk
+        return ("wbsdmm", self.stride, self.safety, self.cold_iters,
+                self.warm_iters, wk)
+
+
 def pgm_nmf_iteration(A, S, Y):
     """One reference-math PGM-NMF iteration: gradients, Lipschitz steps,
     non-negativity prox, and the per-factor fixed-point convergence norms
@@ -780,8 +854,14 @@ def nmf(
         prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step,
                                          Y_orig, W_orig)
         if step_stride is not None and step_stride > 1:
-            algorithm_args = dict(algorithm_args,
-                                  steps_f_stride=int(step_stride))
+            if step is None and not _is_unweighted(W):
+                # warm-started per-block weighted bounds (each block's
+                # refresh computes only its own bound) — the bsdmm
+                # analogue of WeightedPGMStepper
+                step_f = WeightedBSDMMStepper(W, stride=step_stride)
+            else:
+                algorithm_args = dict(algorithm_args,
+                                      steps_f_stride=int(step_stride))
         return bsdmm(
             X, prox_f, step_f,
             max_iter=max_iter, e_rel=e_rel, callback=callback,

@@ -56,6 +56,9 @@ class BSDMMState(NamedTuple):
     u: tuple
     steps_f: Any         # (N,) last step_f per block
     steps_g: tuple       # per block: tuple of M_j scalars (carried for 'relative')
+    steps_state: Any     # stateful steps_f_cb carry (e.g. the warm-start
+                         # power iterate of nmf.WeightedBSDMMStepper);
+                         # () for plain callables
     it: Any
     converged: Any       # (N,) bool
     history: Any         # (max_iter, N, 2) per-block aggregated primal/dual
@@ -189,10 +192,23 @@ def bsdmm(
                 out.append(())
         return tuple(out)
 
+    # stateful steps_f_cb protocol (duck-typed): an object with
+    # ``init_bsdmm_state(xs)`` carries per-solve state through the sweep
+    # (e.g. nmf.WeightedBSDMMStepper's warm-start power iterate) and is
+    # called as ``steps_f_cb(Xs, j=, state=, it=, cached=) ->
+    # (step_j, state)``; it handles its own stride logic, so
+    # ``steps_f_stride`` must not also be set.
+    stateful_steps = hasattr(steps_f_cb, "init_bsdmm_state")
+    assert not (stateful_steps and steps_f_stride), \
+        "stateful steps_f_cb handles striding itself"
+
     # large partial-bound data (and operator pytrees) ride as jit
     # arguments, not trace constants — see common.split_partial_data
     pf_rb, pf_lv = split_partial_data(proxs_f)
-    sf_rb, sf_lv = split_partial_data(steps_f_cb)
+    if hasattr(steps_f_cb, "split_data"):
+        sf_rb, sf_lv = steps_f_cb.split_data()
+    else:
+        sf_rb, sf_lv = split_partial_data(steps_f_cb)
     pg_pairs = [
         tuple(split_partial_data(p) for p in (proxs_g[j] or ()))
         for j in range(N)
@@ -222,6 +238,7 @@ def bsdmm(
             u = list(state.u)
             steps_f_arr = state.steps_f
             steps_g_carry = list(state.steps_g)
+            steps_state = state.steps_state
             converged = state.converged
             history = state.history
 
@@ -234,7 +251,12 @@ def bsdmm(
 
                 # slack is identically 1.0 in the reference (never updated,
                 # algorithms.py:794)
-                if steps_f_stride is not None and steps_f_stride > 1:
+                if stateful_steps:
+                    steps_f_j, steps_state = steps_f_cb(
+                        xs_now, j=j, state=steps_state,
+                        it=it, cached=steps_f_arr[j],
+                    )
+                elif steps_f_stride is not None and steps_f_stride > 1:
                     # strided refresh: the expensive step callable runs only
                     # every steps_f_stride sweeps; between refreshes the
                     # carried (safety-shrunk) step is reused
@@ -304,6 +326,7 @@ def bsdmm(
             return BSDMMState(
                 x=tuple(x), z=tuple(z), u=tuple(u),
                 steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
+                steps_state=steps_state,
                 it=it + 1, converged=converged, history=history,
             )
 
@@ -316,6 +339,8 @@ def bsdmm(
             z=z0, u=u0,
             steps_f=jnp.ones((N,), dtype),
             steps_g=init_steps_g(),
+            steps_state=(steps_f_cb.init_bsdmm_state(xs)
+                         if stateful_steps else ()),
             it=jnp.int32(0),
             converged=jnp.zeros((N,), bool),
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
@@ -336,8 +361,11 @@ def bsdmm(
 
         return runner
 
+    steps_key = (steps_f_cb.stepper_cache_key()
+                 if hasattr(steps_f_cb, "stepper_cache_key")
+                 else callable_key(steps_f_cb))
     cache_key = (
-        "bsdmm", callable_key(proxs_f), callable_key(steps_f_cb),
+        "bsdmm", callable_key(proxs_f), steps_key,
         nested_key(_user_structs),
         update_order, steps_g_update, steps_f_stride,
         tuple(float(v) for v in e_rel), tuple(float(v) for v in e_abs),

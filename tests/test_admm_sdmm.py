@@ -378,3 +378,28 @@ def test_sdmm_scalar_fallback_honors_e_abs():
     r_tight = sdmm(x0, prox_f_quad, 0.5, proxs_g=prox_disk,
                    e_rel=1e-6, e_abs=0, max_iter=2000)
     assert r_sdmm.iterations < r_tight.iterations
+
+
+def test_bsdmm_weighted_stepper_matches_strided_adapter(rng):
+    """nmf's WeightedBSDMMStepper (stateful per-block warm-started
+    bounds) reproduces the generic steps_f_stride machinery driving the
+    both-bounds adapter (same refresh schedule, same 0.9 safety)."""
+    from proxmin_tpu.nmf import _bsdmm_adapters
+
+    C, K, n_px = 4, 3, 120
+    Y = rng.random((C, K)) @ rng.random((K, n_px))
+    W = 0.5 + rng.random((C, n_px))
+    A0, S0 = rng.random((C, K)), rng.random((K, n_px))
+
+    A1, S1 = A0.copy(), S0.copy()
+    prox_f, step_f_old = _bsdmm_adapters(
+        jnp.asarray(Y), jnp.asarray(W),
+        (operators.prox_plus, operators.prox_plus), None)
+    bsdmm([A1, S1], prox_f, step_f_old, e_rel=0, max_iter=30,
+          steps_f_stride=10)
+
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, W=W, algorithm="bsdmm", e_rel=0, max_iter=30,
+               step_stride=10)
+    np.testing.assert_allclose(A1, A2, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(S1, S2, rtol=1e-10, atol=1e-12)
