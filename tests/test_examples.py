@@ -30,3 +30,12 @@ def test_tv_denoise_example(argv, capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "RMSE" in out   # the script asserts the denoising itself
+
+
+def test_batched_solves_example(argv, capsys):
+    argv("batched_solves.py", "64")
+    runpy.run_path("/root/repo/examples/batched_solves.py",
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "64 solves in one call" in out
+    assert "match individual solves" in out
