@@ -108,19 +108,9 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         has_prox = tuple(pj is not None for pj in prox_in)
         prox_t = normalize_prox(prox_in, n)
         e_rel_t = normalize_per_block(e_rel, n)
-        if separable_prox is True:
-            separable = has_prox
-        elif separable_prox == "auto":
-            import functools as _ft
+        from .solvers.common import separable_blocks
 
-            separable = tuple(
-                bool(getattr(
-                    pj.func if isinstance(pj, _ft.partial) else pj,
-                    "separable", False)) if pj is not None else False
-                for pj in prox_in
-            )
-        else:
-            separable = (False,) * n
+        separable = separable_blocks(prox_in, has_prox, separable_prox)
         stepper = make_stepper(step, n)
         body = _make_adaprox_body(g, stepper, prox_t, has_prox, phi_psi,
                                   b1, b2, eps, p, e_rel_t,

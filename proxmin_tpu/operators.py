@@ -210,14 +210,50 @@ class AlternatingProjections:
     # they hash/compare by identity — fine as jit-static arguments.
 
 
-# Convex elementwise (separable) operators: the scaled proximal problem
+# Separable-prox markers. The scaled proximal problem
 # ``min_z g(z) + (1/(2 alpha)) (z - x)^T diag(Psi) (z - x)`` decomposes per
 # element into ``prox_{g_i}`` with step ``alpha / Psi_i`` — its exact
-# closed form. ``adaprox(separable_prox=...)`` uses this instead of the
-# prox sub-iteration loop (arXiv:1910.10094 Alg. 1 is only needed for
-# non-separable or nonconvex proxs; prox_hard/prox_hard_plus are excluded
-# because L0's fixed points need the iteration's semantics).
-for _p in (prox_id, prox_zero, prox_plus, prox_min, prox_max, prox_soft,
-           prox_soft_plus, prox_max_entropy):
-    _p.separable = True
+# closed form, used by ``adaprox(separable_prox=...)`` instead of the
+# prox sub-iteration loop (arXiv:1910.10094 Alg. 1). Validity depends on
+# what the operator's ``step`` argument MEANS, so each operator carries a
+# ``separable_when(kwargs) -> bool`` predicate over its bound keywords:
+#
+# * fixed separable constraint sets (the step is ignored; per-element
+#   projection is metric-independent): always valid — prox_id, prox_zero,
+#   prox_plus; prox_min/prox_max only with ``type="absolute"`` or
+#   ``thresh=0`` (their "relative" threshold scales the CONSTRAINT SET by
+#   the step, which differs between the sub-loop's scalar gamma and the
+#   per-element alpha/Psi_i).
+# * step-scaled penalties (``g = thresh * |z|`` etc., threshold
+#   proportional to the step): valid with ``type="relative"`` —
+#   prox_soft, prox_soft_plus, prox_max_entropy. With "absolute" the
+#   operator is a fixed nonlinear map, not the prox of a step-scaled
+#   function, and the sub-loop's fixed point differs structurally.
+# * prox_hard/prox_hard_plus are excluded outright: L0's nonconvex fixed
+#   points need the iteration's semantics.
+
+def _sep_always(kw):
+    return True
+
+
+def _sep_fixed_interval(kw):
+    if kw.get("type", "relative") == "absolute":
+        return True
+    t = kw.get("thresh", 0)
+    try:
+        return float(t) == 0.0
+    except (TypeError, ValueError):
+        return False  # array thresholds: be conservative
+
+
+def _sep_scaled_penalty(kw):
+    return kw.get("type", "relative") == "relative"
+
+
+for _p in (prox_id, prox_zero, prox_plus):
+    _p.separable_when = _sep_always
+for _p in (prox_min, prox_max):
+    _p.separable_when = _sep_fixed_interval
+for _p in (prox_soft, prox_soft_plus, prox_max_entropy):
+    _p.separable_when = _sep_scaled_penalty
 del _p

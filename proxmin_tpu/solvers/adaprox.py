@@ -331,12 +331,15 @@ def adaprox(
     ``separable_prox``: for convex elementwise proxs the scaled proximal
     problem has the exact closed form ``prox(x, alpha/Psi)`` per element
     — one application instead of the reference's sub-iteration loop
-    (arXiv:1910.10094 Alg. 1), both faster (2.4x at the NMF flagship
+    (arXiv:1910.10094 Alg. 1), both faster (3.2x at the NMF flagship
     shape) and exact rather than ``e_rel``-truncated. ``True`` asserts
-    every block's prox is separable; ``"auto"`` enables it per block for
-    the library operators marked ``separable`` (soft/plus/min/max/
-    entropy families; prox_hard is excluded — L0 is nonconvex).
-    Default ``False`` preserves exact reference-iterate parity.
+    every block's prox admits the closed form (the per-element step must
+    mean what the operator expects); ``"auto"`` consults the library
+    operators' ``separable_when`` predicates over their bound keywords —
+    plus/id/zero always; min/max only with ``type="absolute"`` or
+    ``thresh=0``; soft/soft_plus/max_entropy only with
+    ``type="relative"``; hard excluded (L0 is nonconvex). Default
+    ``False`` preserves exact reference-iterate parity.
 
     Returns:
         ``SolverResult`` unpacking as ``(converged, M, V, Vhat)`` like the
@@ -360,21 +363,9 @@ def adaprox(
     prox = normalize_prox(prox_in, n)
     e_rel = normalize_per_block(e_rel, n)
 
-    def _is_separable(pj):
-        import functools as _ft
+    from .common import separable_blocks
 
-        if pj is None:
-            return False
-        if isinstance(pj, _ft.partial):
-            pj = pj.func
-        return bool(getattr(pj, "separable", False))
-
-    if separable_prox is True:
-        separable = has_prox
-    elif separable_prox == "auto":
-        separable = tuple(_is_separable(pj) for pj in prox_in)
-    else:
-        separable = (False,) * n
+    separable = separable_blocks(prox_in, has_prox, separable_prox)
 
     if not hasattr(b1, "__iter__"):
         b1 = np.full((max_iter,), b1, dtype=np.float64)

@@ -336,6 +336,43 @@ def asarray_cached(x):
 
 from collections import OrderedDict as _OrderedDict
 
+def separable_blocks(prox_in, has_prox, separable_prox):
+    """Resolve ``adaprox``'s ``separable_prox`` flag into a per-block
+    tuple (shared by the host driver and ``functional``).
+
+    ``True`` asserts every constrained block's prox admits the
+    closed-form scaled prox (the caller's responsibility); ``"auto"``
+    consults the operator's ``separable_when(bound_kwargs)`` predicate
+    (see ``operators.py``), unwrapping one level of
+    ``functools.partial``; ``False`` disables. Any other value is an
+    error (a typo like ``"Auto"`` silently disabling the optimization
+    would be invisible)."""
+    import functools as _ft
+
+    n = len(prox_in)
+    if separable_prox is True:
+        return tuple(has_prox)
+    if separable_prox is False or separable_prox is None:
+        return (False,) * n
+    if separable_prox != "auto":
+        raise ValueError(
+            f"separable_prox must be True, False or 'auto', "
+            f"got {separable_prox!r}"
+        )
+
+    def check(pj):
+        if pj is None:
+            return False
+        kw = {}
+        if isinstance(pj, _ft.partial):
+            kw = dict(pj.keywords)
+            pj = pj.func
+        pred = getattr(pj, "separable_when", None)
+        return bool(pred(kw)) if pred is not None else False
+
+    return tuple(check(pj) for pj in prox_in)
+
+
 _GRAD_FROM_F = _OrderedDict()
 _GRAD_FROM_F_MAXSIZE = 32
 

@@ -162,9 +162,6 @@ def test_adaprox_separable_prox_closed_form():
     def grad(x):
         return x - c
 
-    def prox_disk_separable_no(x, step):  # plus is separable
-        return jnp.maximum(x, 0)
-
     r_sub = pt.adaprox(jnp.asarray([-1.0, -1.0]), grad, 0.1,
                        prox=pt.operators.prox_plus, e_rel=1e-10,
                        max_iter=2000)
@@ -219,3 +216,63 @@ def test_adaprox_separable_soft_threshold_partial():
                        e_rel=1e-10, max_iter=3000, separable_prox="auto")
     np.testing.assert_allclose(np.asarray(r_sep.x), np.asarray(r_sub.x),
                                atol=1e-6)
+
+
+def test_separable_auto_respects_operator_kwargs():
+    """Review r2s3: 'auto' must consult the operators' separable_when
+    predicates — absolute-type thresholds and step-scaled interval
+    projections do NOT admit the closed form."""
+    import functools
+
+    import proxmin_tpu as pt
+    from proxmin_tpu.solvers.common import separable_blocks
+
+    cases = [
+        (pt.operators.prox_plus, True),
+        (functools.partial(pt.operators.prox_soft, thresh=0.1), True),
+        (functools.partial(pt.operators.prox_soft, thresh=0.1,
+                           type="absolute"), False),
+        (functools.partial(pt.operators.prox_min, thresh=0.5), False),
+        (functools.partial(pt.operators.prox_min, thresh=0.5,
+                           type="absolute"), True),
+        (pt.operators.prox_min, True),      # thresh=0: relative == absolute
+        (pt.operators.prox_hard, False),    # L0: excluded outright
+        (functools.partial(pt.operators.prox_max_entropy, gamma=0.3), True),
+        (None, False),
+    ]
+    prox_in = tuple(c[0] for c in cases)
+    got = separable_blocks(prox_in, tuple(p is not None for p in prox_in),
+                           "auto")
+    assert got == tuple(c[1] for c in cases), got
+
+
+def test_separable_prox_rejects_typos():
+    import pytest
+
+    import proxmin_tpu as pt
+
+    with pytest.raises(ValueError):
+        pt.adaprox(jnp.zeros(2), lambda x: x, 0.1,
+                   prox=pt.operators.prox_plus, separable_prox="Auto",
+                   max_iter=2)
+
+
+def test_separable_closed_form_wrong_for_absolute_soft():
+    """The structural reason absolute-type is excluded: the sub-loop and
+    the closed form genuinely disagree there (confirmed repro from the
+    review); 'auto' must therefore keep the sub-loop."""
+    import functools
+
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([5.0, 0.0, 0.5, 3.0])
+    h = jnp.asarray([1.0, 4.0, 9.0, 1.0])
+    prox = functools.partial(pt.operators.prox_soft, thresh=0.02,
+                             type="absolute")
+    r_sub = pt.adaprox(jnp.zeros(4), lambda x: h * (x - c), 0.05,
+                       prox=prox, e_rel=1e-10, max_iter=800)
+    r_auto = pt.adaprox(jnp.zeros(4), lambda x: h * (x - c), 0.05,
+                        prox=prox, e_rel=1e-10, max_iter=800,
+                        separable_prox="auto")
+    np.testing.assert_allclose(np.asarray(r_auto.x), np.asarray(r_sub.x),
+                               rtol=1e-10)  # identical: sub-loop taken
