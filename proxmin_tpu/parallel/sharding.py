@@ -67,15 +67,30 @@ def make_mesh(shape=None, axis_names=None, devices=None):
     return Mesh(dev_array, axis_names)
 
 
+def _axis_size(mesh, axis):
+    """Device count along one mesh axis or a tuple of axes (tuples give
+    multi-level sharding, e.g. ``("dcn", "data")`` for the standard
+    multi-slice layout: pixel shards split across DCN slices first, ICI
+    within a slice second)."""
+    if axis is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        return math.prod(mesh.shape[a] for a in axis)
+    return mesh.shape[axis]
+
+
 def shard_nmf_problem(mesh, Y, A, S, W=None, data_axis="data",
                       model_axis=None):
     """Place an NMF problem on a mesh: Y/S/W sharded along the pixel axis,
     A replicated (or channel-sharded over ``model_axis``).
 
+    ``data_axis`` may be a tuple of mesh axes for multi-level sharding
+    (e.g. ``("dcn", "data")`` across pod slices).
+
     Returns ``(Y, A, S, W)`` as device arrays with NamedShardings; the
     ordinary solvers then run sharded (auto-SPMD path).
     """
-    n_data = mesh.shape[data_axis]
+    n_data = _axis_size(mesh, data_axis)
     N = np.shape(Y)[1]
     if N % n_data != 0:
         raise ValueError(
@@ -84,7 +99,7 @@ def shard_nmf_problem(mesh, Y, A, S, W=None, data_axis="data",
             f"(e.g. with zero-weight pixels) to a multiple of {n_data}"
         )
     if model_axis is not None:
-        n_model = mesh.shape[model_axis]
+        n_model = _axis_size(mesh, model_axis)
         C = np.shape(Y)[0]
         if C % n_model != 0:
             raise ValueError(

@@ -449,3 +449,30 @@ def test_full_sharded_solve_weighted_stride_matches_single_device(problem,
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(r.x[1]), S1, rtol=1e-8,
                                atol=1e-10)
+
+
+def test_full_sharded_solve_multi_level_data_axes(problem, rng):
+    """Multi-slice layout: the pixel axis sharded over TWO mesh axes
+    (("dcn", "data") — DCN across slices, ICI within) must match the
+    single-device solve; psum/pmax complete over both axes. Weighted +
+    strided exercises the warm-start refresh collectives too."""
+    Y, A0, S0 = problem
+    mesh = make_mesh(shape=(2, 4), axis_names=("dcn", "data"))
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, e_rel=0, max_iter=25)
+    r = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                        data_axis=("dcn", "data"), e_rel=0, max_iter=25)
+    np.testing.assert_allclose(np.asarray(r.x[0]), A1, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.x[1]), S1, rtol=1e-9,
+                               atol=1e-12)
+
+    W = 0.5 + rng.random(Y.shape)
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, W=W, e_rel=0, max_iter=30, step_stride=10)
+    r2 = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                         data_axis=("dcn", "data"), e_rel=0, max_iter=30,
+                         step_stride=10)
+    np.testing.assert_allclose(np.asarray(r2.x[1]), S2, rtol=1e-8,
+                               atol=1e-10)
