@@ -84,10 +84,9 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
     shapes (cold-started moments). Returns
     ``(x_blocks, M, V, Vhat, iterations, converged, diverged)``.
     """
-    import numpy as np
-
     from .solvers.adaprox import (
         SCHEMES, _make_adaprox_body, init_adaprox_state, make_adaprox_cond,
+        normalize_b1_schedule,
     )
     from .solvers.common import normalize_per_block, normalize_prox
     from . import utils as _utils
@@ -101,9 +100,7 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
     has_prox = tuple(pj is not None for pj in prox_in)
     prox_t = normalize_prox(prox_in, n)
     e_rel_t = normalize_per_block(e_rel, n)
-    if not hasattr(b1, "__iter__"):
-        b1 = np.full((max_iter,), b1, dtype=np.float64)
-    b1 = jnp.asarray(b1)
+    b1 = normalize_b1_schedule(b1, max_iter)
     phi_psi = SCHEMES[scheme.lower()]
     stepper = make_stepper(step, n)
     body = _make_adaprox_body(grad, stepper, prox_t, has_prox, phi_psi,

@@ -75,28 +75,18 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
     ``algorithms.py:248-423``); jit/vmap-compatible like
     :func:`make_pgm_solver`.
     """
-    import numpy as np
-
     from .solvers.adaprox import (
         SCHEMES, _make_adaprox_body, init_adaprox_state, make_adaprox_cond,
+        normalize_b1_schedule,
     )
-    from .solvers.common import grad_from_f, normalize_per_block, \
-        normalize_prox
+    from .solvers.common import (
+        grad_from_f, normalize_per_block, normalize_prox, separable_blocks,
+    )
 
-    if not hasattr(b1, "__iter__"):
-        b1 = np.full((max_iter,), b1, dtype=np.float64)
-    # same validation as the adaprox driver (a short b1 schedule would
-    # otherwise silently clamp via JAX's out-of-bounds index semantics);
-    # validated host-side so the factory also works under an ambient
-    # trace (e.g. constructed inside a jitted/vmapped caller)
-    b1_h = np.asarray(b1) if not isinstance(b1, jax.core.Tracer) else None
-    assert b1.shape[0] == max_iter
-    if b1_h is not None:
-        assert (b1_h >= 0).all() and (b1_h < 1).all()
+    b1 = normalize_b1_schedule(b1, max_iter)
     assert 0 <= b2 < 1
     assert eps >= 0
     assert 0 < p <= 0.5
-    b1 = jnp.asarray(b1)
     phi_psi = SCHEMES[scheme.lower()]
 
     def solve(*x0):
@@ -108,8 +98,6 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         has_prox = tuple(pj is not None for pj in prox_in)
         prox_t = normalize_prox(prox_in, n)
         e_rel_t = normalize_per_block(e_rel, n)
-        from .solvers.common import separable_blocks
-
         separable = separable_blocks(prox_in, has_prox, separable_prox)
         stepper = make_stepper(step, n)
         body = _make_adaprox_body(g, stepper, prox_t, has_prox, phi_psi,

@@ -214,7 +214,51 @@ def step_pgm(*X, it=None, W=1):
     return 1.0 / LA, 1.0 / LS
 
 
-class WeightedPGMStepper:
+class _WeightedStepperBase:
+    """Shared machinery of the warm-started weighted-Lipschitz steppers:
+    constructor fields, the driver data-split hook (W rides as a jit
+    argument), structural cache keying, and the cold/warm dynamic trip
+    count."""
+
+    _cache_tag = None  # set by subclasses
+
+    def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
+                 warm_iters=12):
+        self.W = W
+        self.stride = int(stride)
+        self.safety = float(safety)
+        self.cold_iters = int(cold_iters)
+        self.warm_iters = int(warm_iters)
+
+    def _refresh_iters(self, it):
+        """Dynamic trip count: cold on the first refresh, warm after —
+        NOT a lax.cond over two fori_loops, whose branches compile to
+        separate poorly-fused computations inside the solver loop."""
+        return jnp.where(it == 0, self.cold_iters, self.warm_iters)
+
+    def split_data(self):
+        """Driver hook: W rides as a jit argument, not a trace constant."""
+        cls = type(self)
+        stride, safety = self.stride, self.safety
+        cold, warm = self.cold_iters, self.warm_iters
+
+        def rebuild(leaves):
+            return cls(leaves[0], stride=stride, safety=safety,
+                       cold_iters=cold, warm_iters=warm)
+
+        return rebuild, (jnp.asarray(self.W),)
+
+    def stepper_cache_key(self):
+        from .solvers.common import cacheable, value_key
+
+        wk = value_key(self.W)
+        if not cacheable(wk):
+            return wk
+        return (self._cache_tag, self.stride, self.safety,
+                self.cold_iters, self.warm_iters, wk)
+
+
+class WeightedPGMStepper(_WeightedStepperBase):
     """Strided weighted-Lipschitz stepper with a warm-started power
     iterate carried in the solver state.
 
@@ -233,14 +277,6 @@ class WeightedPGMStepper:
     trace constant) and ``stepper_cache_key``.
     """
 
-    def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
-                 warm_iters=12):
-        self.W = W
-        self.stride = int(stride)
-        self.safety = float(safety)
-        self.cold_iters = int(cold_iters)
-        self.warm_iters = int(warm_iters)
-
     def init_state(self, X, G):
         A, S = X
         dtype = jnp.result_type(A, S, self.W)
@@ -258,11 +294,8 @@ class WeightedPGMStepper:
         dtype = jnp.result_type(A, S, W)
         _, v = state
         LA = _weighted_lipschitz_A(S, W)
-        # dynamic trip count (cold on the first refresh, warm after) —
-        # NOT a lax.cond over two fori_loops, which compiles to separate
-        # poorly-fused branch computations inside the solver loop
-        iters = jnp.where(it == 0, self.cold_iters, self.warm_iters)
-        LS, v_new = _weighted_lipschitz_S(A, W, iters, v0=v, return_v=True)
+        LS, v_new = _weighted_lipschitz_S(A, W, self._refresh_iters(it),
+                                          v0=v, return_v=True)
         steps = (jnp.asarray(self.safety / LA, dtype),
                  jnp.asarray(self.safety / LS, dtype))
         return steps, (steps, v_new)
@@ -276,30 +309,10 @@ class WeightedPGMStepper:
         )
         return cached, (cached, v)
 
-    def split_data(self):
-        """Driver hook (:func:`solvers.common.split_stepper_data`)."""
-        stride, safety = self.stride, self.safety
-        cold, warm = self.cold_iters, self.warm_iters
-
-        def rebuild(leaves):
-            return WeightedPGMStepper(leaves[0], stride=stride,
-                                      safety=safety, cold_iters=cold,
-                                      warm_iters=warm)
-
-        return rebuild, (jnp.asarray(self.W),)
-
-    def stepper_cache_key(self):
-        """Driver hook (:func:`solvers.pgm._stepper_cache_key`)."""
-        from .solvers.common import cacheable, value_key
-
-        wk = value_key(self.W)
-        if not cacheable(wk):
-            return wk
-        return ("wnmf", self.stride, self.safety, self.cold_iters,
-                self.warm_iters, wk)
+    _cache_tag = "wnmf"
 
 
-class WeightedBSDMMStepper:
+class WeightedBSDMMStepper(_WeightedStepperBase):
     """Stateful per-block step callable for the weighted bsdmm CMF path
     (the bsdmm driver's stateful-steps protocol).
 
@@ -313,13 +326,7 @@ class WeightedBSDMMStepper:
     :class:`WeightedPGMStepper`.
     """
 
-    def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
-                 warm_iters=12):
-        self.W = W
-        self.stride = int(stride)
-        self.safety = float(safety)
-        self.cold_iters = int(cold_iters)
-        self.warm_iters = int(warm_iters)
+    _cache_tag = "wbsdmm"
 
     def init_bsdmm_state(self, xs):
         A, S = xs
@@ -342,8 +349,8 @@ class WeightedBSDMMStepper:
             return step, state
 
         def refresh(v):
-            iters = jnp.where(it == 0, self.cold_iters, self.warm_iters)
-            LS, v = _weighted_lipschitz_S(A, W, iters, v0=v, return_v=True)
+            LS, v = _weighted_lipschitz_S(A, W, self._refresh_iters(it),
+                                          v0=v, return_v=True)
             return jnp.asarray(self.safety / LS, cached.dtype), v
 
         step, v = jax.lax.cond(
@@ -351,26 +358,6 @@ class WeightedBSDMMStepper:
         )
         return step, v
 
-    def split_data(self):
-        """Driver hook: W rides as a jit argument, not a trace constant."""
-        stride, safety = self.stride, self.safety
-        cold, warm = self.cold_iters, self.warm_iters
-
-        def rebuild(leaves):
-            return WeightedBSDMMStepper(leaves[0], stride=stride,
-                                        safety=safety, cold_iters=cold,
-                                        warm_iters=warm)
-
-        return rebuild, (jnp.asarray(self.W),)
-
-    def stepper_cache_key(self):
-        from .solvers.common import cacheable, value_key
-
-        wk = value_key(self.W)
-        if not cacheable(wk):
-            return wk
-        return ("wbsdmm", self.stride, self.safety, self.cold_iters,
-                self.warm_iters, wk)
 
 
 def pgm_nmf_iteration(A, S, Y):

@@ -36,8 +36,10 @@ from .common import (
     abstract_key,
     cacheable,
     callable_key,
+    grad_from_f,
     normalize_per_block,
     normalize_prox,
+    separable_blocks,
     split_partial_data,
     split_stepper_data,
     tupleize,
@@ -134,6 +136,21 @@ SCHEMES = {
 
 
 _ADAPROX_CACHE = DriverCache()
+
+
+def normalize_b1_schedule(b1, max_iter):
+    """Broadcast/validate the per-iteration b1 schedule (reference
+    ``algorithms.py:327-336``): host-side so it also works under an
+    ambient trace, and strict about length (a short schedule would
+    silently clamp via JAX's out-of-bounds gather). Shared by the
+    driver, ``functional.make_adaprox_solver`` and the AOT exporter."""
+    if not hasattr(b1, "__iter__"):
+        b1 = np.full((max_iter,), b1, dtype=np.float64)
+    if not isinstance(b1, jax.core.Tracer):
+        b1_h = np.asarray(b1)
+        assert (b1_h >= 0).all() and (b1_h < 1).all()
+    assert b1.shape[0] == max_iter
+    return jnp.asarray(b1)
 
 
 def make_adaprox_cond(check_convergence, max_iter):
@@ -350,8 +367,6 @@ def adaprox(
     n = len(x0)
     if grad is None:
         assert f is not None, "grad=None requires f"
-        from .common import grad_from_f
-
         grad = grad_from_f(f, n)
     prox_in = utils._as_tuple(prox)
     if len(prox_in) == 1:
@@ -363,15 +378,9 @@ def adaprox(
     prox = normalize_prox(prox_in, n)
     e_rel = normalize_per_block(e_rel, n)
 
-    from .common import separable_blocks
-
     separable = separable_blocks(prox_in, has_prox, separable_prox)
 
-    if not hasattr(b1, "__iter__"):
-        b1 = np.full((max_iter,), b1, dtype=np.float64)
-    b1 = jnp.asarray(b1)
-    assert b1.shape[0] == max_iter
-    assert bool((b1 >= 0).all()) and bool((b1 < 1).all())
+    b1 = normalize_b1_schedule(b1, max_iter)
     assert 0 <= b2 < 1
     assert eps >= 0
     assert 0 < p <= 0.5

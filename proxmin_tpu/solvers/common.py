@@ -20,6 +20,8 @@ All solvers follow the same TPU-native pattern:
 """
 
 import numpy as np
+from collections import OrderedDict as _OrderedDict
+
 import jax
 import jax.numpy as jnp
 
@@ -333,8 +335,6 @@ def asarray_cached(x):
         return _ASARRAY_CACHE.get_or_build(key, lambda: jnp.asarray(x))
     return jnp.asarray(x)
 
-
-from collections import OrderedDict as _OrderedDict
 
 def separable_blocks(prox_in, has_prox, separable_prox):
     """Resolve ``adaprox``'s ``separable_prox`` flag into a per-block

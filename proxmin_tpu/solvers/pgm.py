@@ -251,14 +251,19 @@ def _stepper_cache_key(step, stepper):
     return ("fn", callable_key(step))
 
 
-def _run_fused(x0, body, max_iter, n):
-    def cond(state):
-        go = jnp.logical_and(
-            state.it < max_iter, jnp.logical_not(jnp.all(state.converged))
-        )
-        return jnp.logical_and(go, jnp.logical_not(state.diverged))
+def _keep_going(state, max_iter):
+    """The shared loop-continue predicate: under the iteration cap, not
+    all blocks converged, no divergence detected."""
+    go = jnp.logical_and(
+        state.it < max_iter, jnp.logical_not(jnp.all(state.converged))
+    )
+    return jnp.logical_and(go, jnp.logical_not(state.diverged))
 
-    return jax.lax.while_loop(cond, body, x0)
+
+def _run_fused(x0, body, max_iter, n):
+    return jax.lax.while_loop(
+        lambda s: _keep_going(s, max_iter), body, x0
+    )
 
 
 class _FrozenStepper:
@@ -288,10 +293,7 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
     iteration."""
 
     def go(st):
-        ok = jnp.logical_and(
-            st.it < max_iter, jnp.logical_not(jnp.all(st.converged))
-        )
-        return jnp.logical_and(ok, jnp.logical_not(st.diverged))
+        return _keep_going(st, max_iter)
 
     def outer_body(st):
         # the extrapolated iterate exactly as the body would compute it
