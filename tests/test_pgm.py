@@ -339,3 +339,22 @@ def test_adaprox_grad_none_autodiff():
     res = adaprox(jnp.asarray([-1.0, -1.0]), None, 0.1, f=f,
                   e_rel=1e-8, max_iter=1000)
     np.testing.assert_allclose(np.asarray(res.x), CENTER, atol=1e-3)
+
+
+def test_grad_from_f_memo_lru_bounded():
+    """Review r2s3: the derived-gradient memo must not grow unboundedly
+    when serving loops pass a fresh lambda per request."""
+    from proxmin_tpu.solvers.common import (
+        _GRAD_FROM_F, _GRAD_FROM_F_MAXSIZE, grad_from_f,
+    )
+
+    _GRAD_FROM_F.clear()
+    fns = [(lambda i: (lambda x: 0.5 * jnp.sum((x - i) ** 2)))(i)
+           for i in range(_GRAD_FROM_F_MAXSIZE + 8)]
+    for fn in fns:
+        grad_from_f(fn, 1)
+    assert len(_GRAD_FROM_F) <= _GRAD_FROM_F_MAXSIZE
+    # most-recent entries survive and stay identity-stable
+    g1 = grad_from_f(fns[-1], 1)
+    g2 = grad_from_f(fns[-1], 1)
+    assert g1 is g2
