@@ -276,3 +276,37 @@ def test_separable_closed_form_wrong_for_absolute_soft():
                         separable_prox="auto")
     np.testing.assert_allclose(np.asarray(r_auto.x), np.asarray(r_sub.x),
                                rtol=1e-10)  # identical: sub-loop taken
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_separable_closed_form_property_sweep(trial):
+    """Random valid separable configurations: the closed form and the
+    converged sub-loop must find the same solution (the closed form is
+    the sub-loop's fixed point wherever separable_when holds)."""
+    import functools
+
+    import proxmin_tpu as pt
+
+    rng = np.random.default_rng(1000 + trial)
+    dim = int(rng.integers(2, 8))
+    c = jnp.asarray(rng.normal(size=dim))
+    h = jnp.asarray(rng.uniform(0.5, 3.0, size=dim))
+    scheme = ["adam", "amsgrad", "padam"][trial % 3]
+    prox = [
+        pt.operators.prox_plus,
+        functools.partial(pt.operators.prox_soft, thresh=0.05),
+        functools.partial(pt.operators.prox_max, thresh=0.7,
+                          type="absolute"),
+    ][trial % 3]
+
+    def grad(x):
+        return h * (x - c)
+
+    kw = dict(prox=prox, scheme=scheme, e_rel=1e-11, max_iter=4000)
+    r_sub = pt.adaprox(jnp.zeros(dim), grad, 0.1, **kw)
+    r_sep = pt.adaprox(jnp.zeros(dim), grad, 0.1, separable_prox="auto",
+                       **kw)
+    # 'auto' must have taken the closed form for these configurations
+    assert r_sep.sub_iterations[0] == r_sep.iterations
+    np.testing.assert_allclose(np.asarray(r_sep.x), np.asarray(r_sub.x),
+                               atol=5e-6)
