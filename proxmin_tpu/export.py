@@ -212,19 +212,38 @@ def export_bsdmm_solver(x_shapes, proxs_f, steps_f_cb, proxs_g=None,
 def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
                       prox_S=operators.prox_plus,
                       e_rel=1e-3, tile_n=8192, dtype=jnp.float32,
-                      store_dtype=None):
+                      store_dtype=None, weighted=False, step_stride=None):
     """Serialize the fused PGM-NMF solver for a fixed (C, K, N) shape.
 
     Returns the serialized bytes. The embedded executable has the
-    signature ``(A: (C,K), S: (K,N), Y: (C,N), max_iter: i32)``.
-    ``prox_S=None`` means identity (same convention as ``nmf``).
+    signature ``(A: (C,K), S: (K,N), Y: (C,N), max_iter: i32)`` — or,
+    with ``weighted=True``, ``(A, S, Y, W: (C,N), max_iter)`` using the
+    weighted fused runner (warm-started strided Lipschitz refresh when
+    ``step_stride`` is set). ``prox_S=None`` means identity (same
+    convention as ``nmf``); ``store_dtype`` is unweighted-only.
     """
+    from .nmf import _make_fused_weighted_pgm_runner
+
     if prox_A is None:
         prox_A = operators.prox_id
     if prox_S is None:
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
+    if weighted:
+        assert store_dtype is None, "store_dtype is unweighted-only"
+        run = _make_fused_weighted_pgm_runner(
+            prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
+            int(N), jnp.dtype(dtype), step_stride,
+        )
+        args = (
+            jax.ShapeDtypeStruct((C, K), dtype),
+            jax.ShapeDtypeStruct((K, N), dtype),
+            jax.ShapeDtypeStruct((C, N), dtype),
+            jax.ShapeDtypeStruct((C, N), dtype),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        return jax_export.export(run)(*args).serialize()
     run = _make_fused_pgm_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K), int(N),
         jnp.dtype(dtype),

@@ -605,3 +605,31 @@ def test_weighted_pgm_stepper_matches_strided_step_pgm(rng):
     # and the stepper is what the step_stride path actually builds
     st = WeightedPGMStepper(jnp.asarray(W), stride=10)
     assert st.segmentable
+
+
+def test_export_nmf_solver_weighted(tmp_path, rng):
+    """AOT export of the WEIGHTED fused solver round-trips against the
+    live weighted runner."""
+    from proxmin_tpu.export import (
+        export_nmf_solver, load_exported, save_exported,
+    )
+
+    C, K, N = 4, 3, 256
+    blob = export_nmf_solver(C, K, N, e_rel=0.0, tile_n=128,
+                             weighted=True, step_stride=5)
+    solve = load_exported(save_exported(str(tmp_path / "wnmf.bin"), blob))
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1, it, cA, cS, loss = solve(A0, S0, Y, W, 12)
+    assert int(it) == 12
+
+    r = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                             max_iter=12, tile_n=128, step_stride=5)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(r.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)
