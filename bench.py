@@ -327,7 +327,34 @@ def bench_e2e(Y, A0, S0):
     return best, iters
 
 
+def _backend_alive(timeout_s=180):
+    """Probe the accelerator backend in a SUBPROCESS with a timeout.
+
+    The remote TPU tunnel has transient outages during which any jax op
+    blocks indefinitely (observed repeatedly); probing in-process would
+    hang this benchmark. A dead probe -> fail fast with an explanation
+    instead of hanging the caller."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.ones(3).block_until_ready(); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        log("FATAL: accelerator backend unreachable (remote-tunnel "
+            "outage) — benchmark cannot run. Last measured numbers are "
+            "recorded in benchmarks/results_r2.json "
+            "(unweighted 0.09 ms/iter ~1200-1600x NumPy, weighted "
+            "stride-10 0.31 ms/iter, e2e 2000 iters 0.27 s).")
+        sys.exit(1)
+
     Y, A0, S0, W = make_problem(weighted=True)
     log(f"problem: Y {C}x{N}, K={K}, float32")
 
