@@ -681,7 +681,10 @@ def nmf(
             the collectives.
         model_axis: name of the channel (tensor-parallel) mesh axis for
             2-D meshes; None = replicate A.
-        algorithm_args: extra solver kwargs (e.g. ``accelerated=True``).
+        algorithm_args: extra solver kwargs (e.g. ``accelerated=True``;
+            for adaprox, ``separable_prox="auto"`` enables the exact
+            closed-form scaled prox — 3.2x at the flagship with the
+            default non-negativity constraints).
 
     Returns:
         The solver's :class:`~proxmin_tpu.solvers.common.SolverResult`;
