@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from . import operators
-from .nmf import _make_fused_pgm_runner
+from .nmf import _make_fused_pgm_runner, _make_fused_weighted_pgm_runner
 
 __all__ = [
     "export_nmf_solver", "export_pgm_solver", "export_adaprox_solver",
@@ -222,8 +222,6 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     ``step_stride`` is set). ``prox_S=None`` means identity (same
     convention as ``nmf``); ``store_dtype`` is unweighted-only.
     """
-    from .nmf import _make_fused_weighted_pgm_runner
-
     if prox_A is None:
         prox_A = operators.prox_id
     if prox_S is None:

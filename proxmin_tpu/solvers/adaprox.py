@@ -147,8 +147,9 @@ def normalize_b1_schedule(b1, max_iter):
     if not hasattr(b1, "__iter__"):
         b1 = np.full((max_iter,), b1, dtype=np.float64)
     if not isinstance(b1, jax.core.Tracer):
-        b1_h = np.asarray(b1)
-        assert (b1_h >= 0).all() and (b1_h < 1).all()
+        # np.asarray also gives list/tuple schedules a .shape
+        b1 = np.asarray(b1)
+        assert (b1 >= 0).all() and (b1 < 1).all()
     assert b1.shape[0] == max_iter
     return jnp.asarray(b1)
 

@@ -310,3 +310,14 @@ def test_separable_closed_form_property_sweep(trial):
     assert r_sep.sub_iterations[0] == r_sep.iterations
     np.testing.assert_allclose(np.asarray(r_sep.x), np.asarray(r_sub.x),
                                atol=5e-6)
+
+
+def test_adaprox_list_b1_schedule():
+    """Review r2s3: a plain-list b1 schedule must work (regression from
+    the normalize_b1_schedule dedup)."""
+    import proxmin_tpu as pt
+
+    c = jnp.asarray([1.0, 0.5])
+    r = pt.adaprox(jnp.zeros(2), lambda x: x - c, 0.1, b1=[0.5] * 30,
+                   max_iter=30, check_convergence=False)
+    assert np.isfinite(np.asarray(r.x)).all()
