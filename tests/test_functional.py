@@ -101,3 +101,80 @@ def test_functional_adaprox_validates_b1_schedule():
     with pytest.raises(AssertionError):
         make_adaprox_solver(lambda x: x, 0.1,
                             b1=np.linspace(0.9, 0.5, 100), max_iter=1000)
+
+
+def test_implicit_diff_interior_and_boundary():
+    """Implicit differentiation at the fixed point matches analytic and
+    finite-difference gradients, inside and on the constraint boundary."""
+    from proxmin_tpu.functional import make_differentiable_pgm_solver
+
+    def grad(x, theta):
+        return x - theta
+
+    def prox_disk(z, step, r=0.5):
+        nrm = jnp.sqrt(jnp.sum(z ** 2))
+        return jnp.where(nrm > r, z * (r / nrm), z)
+
+    solve = make_differentiable_pgm_solver(grad, 0.7, prox=prox_disk)
+    w = jnp.asarray([1.0, 2.0])
+
+    def loss(theta):
+        return jnp.sum(solve(jnp.zeros(2), theta) * w)
+
+    # interior: x* = theta -> dloss/dtheta = w
+    g = jax.grad(loss)(jnp.asarray([0.1, 0.2]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+    # boundary: x* = r theta/||theta|| -> compare to finite differences
+    th = jnp.asarray([1.0, 0.7])
+    g = jax.grad(loss)(th)
+    eps = 1e-6
+    fd = [(loss(th + eps * jnp.eye(2)[i]) - loss(th - eps * jnp.eye(2)[i]))
+          / (2 * eps) for i in range(2)]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), atol=1e-5)
+
+
+def test_implicit_diff_composes_with_jit_vmap():
+    from proxmin_tpu.functional import make_differentiable_pgm_solver
+
+    def grad(x, theta):
+        return 2.0 * (x - theta)
+
+    solve = make_differentiable_pgm_solver(grad, 0.4)
+
+    def loss(theta):
+        return jnp.sum(solve(jnp.zeros(3), theta) ** 2)
+
+    ths = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)))
+    gs = jax.jit(jax.vmap(jax.grad(loss)))(ths)
+    # unconstrained: x* = theta -> dloss/dtheta = 2 theta
+    np.testing.assert_allclose(np.asarray(gs), 2 * np.asarray(ths),
+                               atol=1e-6)
+
+
+def test_implicit_diff_hyperparameter_learning():
+    """Bilevel flavor: gradient-descend an outer loss over the inner
+    solve's data parameter — the classic use of a differentiable layer."""
+    from proxmin_tpu.functional import make_differentiable_pgm_solver
+
+    target = jnp.asarray([0.3, -0.1, 0.4])
+
+    def grad(x, theta):
+        return x - theta
+
+    def prox_plus(z, step):
+        return jnp.maximum(z, 0)
+
+    solve = make_differentiable_pgm_solver(grad, 0.8, prox=prox_plus)
+
+    def outer(theta):
+        return 0.5 * jnp.sum((solve(jnp.zeros(3), theta) - target) ** 2)
+
+    theta = jnp.zeros(3)
+    outer_grad = jax.jit(jax.grad(outer))
+    for _ in range(200):
+        theta = theta - 0.5 * outer_grad(theta)
+    x_final = solve(jnp.zeros(3), theta)
+    # the nonneg targets are reachable; the negative one clamps to 0
+    np.testing.assert_allclose(np.asarray(x_final),
+                               np.maximum(np.asarray(target), 0), atol=1e-4)
