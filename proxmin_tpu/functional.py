@@ -118,7 +118,8 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
 
 
 def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
-                                   max_iter=1000, vjp_iters=100):
+                                   max_iter=1000, vjp_iters=100,
+                                   prox_params=False):
     """Build a PGM solve differentiable w.r.t. problem parameters via
     implicit differentiation at the fixed point.
 
@@ -140,6 +141,11 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     iterations. The gradient w.r.t. ``x0`` is zero (the solution of a
     convergent solve does not depend on the start).
 
+    With ``prox_params=True`` the prox is called as
+    ``prox(z, step, *theta)`` so the same differentiable parameters can
+    drive the constraint/regularizer (e.g. learning a soft-threshold
+    strength); gradients flow through both the gradient and the prox.
+
     Note: for nonsmooth proxs (e.g. projections) the map is
     differentiable almost everywhere; at active-set boundaries the
     returned gradient is the one induced by JAX's subgradient
@@ -149,7 +155,9 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
 
     def T(x, *theta):
         z = x - step * grad(x, *theta)
-        return prox(z, step) if prox is not None else z
+        if prox is None:
+            return z
+        return prox(z, step, *theta) if prox_params else prox(z, step)
 
     @jax.custom_vjp
     def solve(x0, *theta):
