@@ -126,8 +126,11 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     ``grad(x, *theta)`` is the smooth-part gradient parameterized by the
     differentiable inputs ``theta`` (arrays/pytrees); ``step`` is a
     static scalar (< 2/L); ``prox(z, step)`` an optional constraint.
-    Returns ``solve(x0, *theta) -> x*`` usable inside ``jax.grad`` /
-    ``jax.jit`` / ``jax.vmap``.
+    ``x`` may be any pytree (e.g. the two-block ``(A, S)`` of NMF —
+    ``grad`` returns the matching structure and ``prox`` handles blocks
+    internally), so whole matrix factorizations become differentiable
+    nodes. Returns ``solve(x0, *theta) -> x*`` usable inside
+    ``jax.grad`` / ``jax.jit`` / ``jax.vmap``.
 
     The forward pass runs plain forward-backward iterations
     ``x <- T(x, theta) = prox(x - step * grad(x, theta), step)`` to the
@@ -146,15 +149,25 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     drive the constraint/regularizer (e.g. learning a soft-threshold
     strength); gradients flow through both the gradient and the prox.
 
-    Note: for nonsmooth proxs (e.g. projections) the map is
-    differentiable almost everywhere; at active-set boundaries the
-    returned gradient is the one induced by JAX's subgradient
+    Requires a NON-DEGENERATE fixed point: the implicit system is
+    ``(I - d_x T)`` and a singular Jacobian there means the solution map
+    has no derivative. Strongly convex problems qualify everywhere;
+    bilinear factorizations (NMF-type) generally do NOT — their joint
+    Hessian is singular at generic minima even with a ridge (gauge-like
+    flat directions), so neither this VJP nor finite differences is
+    well-defined for them. For nonsmooth proxs (e.g. projections) the
+    map is differentiable almost everywhere; at active-set boundaries
+    the returned gradient is the one induced by JAX's subgradient
     conventions for the prox.
     """
-    from .utils import l2sq
+    tree = jax.tree_util
+
+    def tree_l2sq(t):
+        return sum(jnp.sum(l * l) for l in tree.tree_leaves(t))
 
     def T(x, *theta):
-        z = x - step * grad(x, *theta)
+        z = tree.tree_map(lambda xi, gi: xi - step * gi, x,
+                          grad(x, *theta))
         if prox is None:
             return z
         return prox(z, step, *theta) if prox_params else prox(z, step)
@@ -163,9 +176,10 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     def solve(x0, *theta):
         def cond(c):
             x, x_prev, it = c
+            diff = tree.tree_map(lambda a, b: a - b, x, x_prev)
             return jnp.logical_and(
                 it < max_iter,
-                l2sq(x - x_prev) > (e_rel ** 2) * l2sq(x),
+                tree_l2sq(diff) > (e_rel ** 2) * tree_l2sq(x),
             )
 
         def body(c):
@@ -186,11 +200,11 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
         _, vjp_T = jax.vjp(T, x, *theta)
 
         def body(_, w):
-            return vjp_T(w)[0] + v
+            return tree.tree_map(jnp.add, vjp_T(w)[0], v)
 
         w = jax.lax.fori_loop(0, vjp_iters, body, v)
         outs = vjp_T(w)
-        return (jnp.zeros_like(x),) + tuple(outs[1:])
+        return (tree.tree_map(jnp.zeros_like, x),) + tuple(outs[1:])
 
     solve.defvjp(fwd, bwd)
     return solve

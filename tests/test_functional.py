@@ -216,3 +216,45 @@ def test_implicit_diff_learns_regularization_strength():
     fd = (outer(lam + eps) - outer(lam - eps)) / (2 * eps)
     np.testing.assert_allclose(float(jax.grad(outer)(lam)), float(fd),
                                atol=1e-4)
+
+
+def test_implicit_diff_multiblock_pytree_exact():
+    """Pytree iterates: a coupled two-block problem with known joint
+    Hessian — the implicit gradient matches the analytic H^{-1} ground
+    truth to machine precision.
+
+    (A ridge-regularized NMF variant was tried and rejected: the
+    bilinear structure leaves the JOINT Hessian singular at generic
+    minima even with a ridge — min eig ~1e-16 measured — so the
+    solution-map derivative does not exist there and neither finite
+    differences nor the IFT is well-defined; see the factory docstring's
+    non-degeneracy requirement.)"""
+    from proxmin_tpu.functional import make_differentiable_pgm_solver
+
+    rng = np.random.default_rng(0)
+    na, ns = 3, 4
+    M = rng.standard_normal((na + ns, na + ns))
+    H = jnp.asarray(M @ M.T + 0.5 * np.eye(na + ns))  # SPD joint Hessian
+    Pa, Rb, Qc = H[:na, :na], H[:na, na:], H[na:, na:]
+
+    def grad(x, theta):
+        a, s = x
+        return (Pa @ a + Rb @ s - theta[:na],
+                Rb.T @ a + Qc @ s - theta[na:])
+
+    L = float(jnp.linalg.eigvalsh(H)[-1])
+    solve = make_differentiable_pgm_solver(grad, 0.9 / L, e_rel=1e-13,
+                                           max_iter=20000, vjp_iters=3000)
+
+    w_a = jnp.asarray(rng.standard_normal(na))
+    w_s = jnp.asarray(rng.standard_normal(ns))
+
+    def loss(theta):
+        a, s = solve((jnp.zeros(na), jnp.zeros(ns)), theta)
+        return jnp.dot(a, w_a) + jnp.dot(s, w_s)
+
+    theta = jnp.asarray(rng.standard_normal(na + ns))
+    g = jax.grad(loss)(theta)
+    # x* = H^{-1} theta  ->  dloss/dtheta = H^{-1} [w_a; w_s]
+    gt = jnp.linalg.solve(H, jnp.concatenate([w_a, w_s]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gt), atol=1e-10)
