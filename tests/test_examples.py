@@ -39,3 +39,11 @@ def test_batched_solves_example(argv, capsys):
     out = capsys.readouterr().out
     assert "64 solves in one call" in out
     assert "match individual solves" in out
+
+
+def test_learn_regularizer_example(argv, capsys):
+    argv("learn_regularizer.py")
+    runpy.run_path("/root/repo/examples/learn_regularizer.py",
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "learned wins" in out
