@@ -21,7 +21,6 @@ no masking is needed (padding correctness argued in the tests).
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
