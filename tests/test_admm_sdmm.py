@@ -403,3 +403,28 @@ def test_bsdmm_weighted_stepper_matches_strided_adapter(rng):
                step_stride=10)
     np.testing.assert_allclose(A1, A2, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(S1, S2, rtol=1e-10, atol=1e-12)
+
+
+def test_bsdmm_weighted_stepper_callback_mode(rng):
+    """The stateful WeightedBSDMMStepper round-trips through the
+    compiled-step host loop (callback mode) identically to the fused
+    while-loop path."""
+    C, K, n_px = 4, 3, 100
+    Y = rng.random((C, K)) @ rng.random((K, n_px))
+    W = 0.5 + rng.random((C, n_px))
+    A0, S0 = rng.random((C, K)), rng.random((K, n_px))
+
+    hits = []
+
+    def cb(*X, it=None):
+        hits.append(it)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, algorithm="bsdmm", e_rel=0, max_iter=20,
+               step_stride=10, callback=cb)
+    assert len(hits) == 20
+
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, W=W, algorithm="bsdmm", e_rel=0, max_iter=20,
+               step_stride=10)
+    np.testing.assert_allclose(S1, S2, rtol=1e-12, atol=1e-14)
