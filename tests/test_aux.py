@@ -633,3 +633,26 @@ def test_export_nmf_solver_weighted(tmp_path, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
                                rtol=1e-6)
+
+
+def test_weighted_pgm_stepper_callback_mode(rng):
+    """WeightedPGMStepper's per-iteration cond path (host callback loop)
+    matches the fused segmented path exactly."""
+    C, K, N = 4, 3, 100
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    W = 0.5 + rng.random((C, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+
+    hits = []
+
+    def cb(*X, it=None):
+        hits.append(it)
+
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, e_rel=0, max_iter=25, step_stride=10,
+               callback=cb)
+    assert len(hits) == 25
+
+    A2, S2 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A2, S2, W=W, e_rel=0, max_iter=25, step_stride=10)
+    np.testing.assert_allclose(S1, S2, rtol=1e-12, atol=1e-14)
