@@ -42,15 +42,18 @@ def main():
                                            prox_params=True, e_rel=1e-10)
 
     def outer(lam):
-        return 0.5 * jnp.sum((solve(jnp.zeros(n), lam) - truth) ** 2)
+        x, conv = solve(jnp.zeros(n), lam)
+        return 0.5 * jnp.sum((x - truth) ** 2)
 
     outer_grad = jax.jit(jax.value_and_grad(outer))
     lam = jnp.asarray(-4.0)  # softplus(-4) ~ 0.018: far too weak
-    l0, _ = outer_grad(lam)
+    l0 = None
     for it in range(150):
         val, g = outer_grad(lam)
+        if l0 is None:
+            l0 = val
         lam = lam - 1.0 * g
-    l1, _ = outer_grad(lam)
+    l1 = outer(lam)
     print(f"outer loss {float(l0):.4f} -> {float(l1):.4f} "
           f"(learned lam = {float(jax.nn.softplus(lam)):.4f})")
     assert float(l1) < 0.5 * float(l0)

@@ -119,7 +119,7 @@ def test_implicit_diff_interior_and_boundary():
     w = jnp.asarray([1.0, 2.0])
 
     def loss(theta):
-        return jnp.sum(solve(jnp.zeros(2), theta) * w)
+        return jnp.sum(solve(jnp.zeros(2), theta)[0] * w)
 
     # interior: x* = theta -> dloss/dtheta = w
     g = jax.grad(loss)(jnp.asarray([0.1, 0.2]))
@@ -143,7 +143,7 @@ def test_implicit_diff_composes_with_jit_vmap():
     solve = make_differentiable_pgm_solver(grad, 0.4)
 
     def loss(theta):
-        return jnp.sum(solve(jnp.zeros(3), theta) ** 2)
+        return jnp.sum(solve(jnp.zeros(3), theta)[0] ** 2)
 
     ths = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)))
     gs = jax.jit(jax.vmap(jax.grad(loss)))(ths)
@@ -168,13 +168,14 @@ def test_implicit_diff_hyperparameter_learning():
     solve = make_differentiable_pgm_solver(grad, 0.8, prox=prox_plus)
 
     def outer(theta):
-        return 0.5 * jnp.sum((solve(jnp.zeros(3), theta) - target) ** 2)
+        return 0.5 * jnp.sum((solve(jnp.zeros(3), theta)[0] - target) ** 2)
 
     theta = jnp.zeros(3)
     outer_grad = jax.jit(jax.grad(outer))
     for _ in range(200):
         theta = theta - 0.5 * outer_grad(theta)
-    x_final = solve(jnp.zeros(3), theta)
+    x_final, conv = solve(jnp.zeros(3), theta)
+    assert bool(conv)
     # the nonneg targets are reachable; the negative one clamps to 0
     np.testing.assert_allclose(np.asarray(x_final),
                                np.maximum(np.asarray(target), 0), atol=1e-4)
@@ -202,7 +203,7 @@ def test_implicit_diff_learns_regularization_strength():
                                            prox_params=True)
 
     def outer(lam):
-        return 0.5 * jnp.sum((solve(jnp.zeros(8), lam) - truth) ** 2)
+        return 0.5 * jnp.sum((solve(jnp.zeros(8), lam)[0] - truth) ** 2)
 
     lam = jnp.asarray(-3.0)   # softplus(-3) ~ 0.049: too weak
     og = jax.jit(jax.grad(outer))
@@ -244,13 +245,14 @@ def test_implicit_diff_multiblock_pytree_exact():
 
     L = float(jnp.linalg.eigvalsh(H)[-1])
     solve = make_differentiable_pgm_solver(grad, 0.9 / L, e_rel=1e-13,
-                                           max_iter=20000, vjp_iters=3000)
+                                           max_iter=20000,
+                                           vjp_rtol=1e-13)
 
     w_a = jnp.asarray(rng.standard_normal(na))
     w_s = jnp.asarray(rng.standard_normal(ns))
 
     def loss(theta):
-        a, s = solve((jnp.zeros(na), jnp.zeros(ns)), theta)
+        (a, s), _ = solve((jnp.zeros(na), jnp.zeros(ns)), theta)
         return jnp.dot(a, w_a) + jnp.dot(s, w_s)
 
     theta = jnp.asarray(rng.standard_normal(na + ns))
@@ -258,3 +260,25 @@ def test_implicit_diff_multiblock_pytree_exact():
     # x* = H^{-1} theta  ->  dloss/dtheta = H^{-1} [w_a; w_s]
     gt = jnp.linalg.solve(H, jnp.concatenate([w_a, w_s]))
     np.testing.assert_allclose(np.asarray(g), np.asarray(gt), atol=1e-10)
+
+
+def test_implicit_diff_ill_conditioned_adjoint_converges():
+    """Review r2s3: a fixed 100-step Neumann sum gave a 40% gradient
+    error at condition number 100; the residual-stopped adjoint must
+    adapt its iteration count and return the true gradient."""
+    from proxmin_tpu.functional import make_differentiable_pgm_solver
+
+    h = jnp.asarray([1.0, 1e-2])  # condition number 100
+
+    def grad(x, theta):
+        return h * x - theta
+
+    solve = make_differentiable_pgm_solver(grad, 0.9, max_iter=10000)
+
+    def loss(theta):
+        x, conv = solve(jnp.zeros(2), theta)
+        return jnp.sum(x)
+
+    g = jax.grad(loss)(jnp.asarray([0.3, 0.4]))
+    # x* = theta / h  ->  dloss/dtheta = 1 / h = [1, 100]
+    np.testing.assert_allclose(np.asarray(g), [1.0, 100.0], rtol=1e-6)
