@@ -37,7 +37,7 @@ PROX_PAIRS = [
 ]
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(12))
 def test_pgm_random_configs(trial):
     rng = np.random.default_rng(1000 + trial)
     n_blocks = int(rng.integers(1, 4))
