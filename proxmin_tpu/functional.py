@@ -34,7 +34,7 @@ from . import utils
 from .utils import make_stepper
 
 __all__ = ["make_pgm_solver", "make_adaprox_solver",
-           "make_differentiable_pgm_solver"]
+           "make_differentiable_pgm_solver", "make_nmf_solver"]
 
 
 def make_pgm_solver(grad, step, prox=None, accelerated=False,
@@ -238,4 +238,47 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
         return (tree.tree_map(jnp.zeros_like, x),) + tuple(outs[1:])
 
     solve.defvjp(fwd, bwd)
+    return solve
+
+
+def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000):
+    """Build a pure PGM-NMF solve with the DATA as an argument:
+    ``solve(A0, S0, Y) -> (A, S, iterations, converged)``.
+
+    Unlike :func:`proxmin_tpu.nmf.nmf` (a host driver that binds Y
+    internally), the returned callable is pure with ``Y`` as an input —
+    so ``jax.vmap(solve)`` factorizes a whole BATCH of problems (e.g.
+    per-patch unmixing of an image grid) in one compiled call, each lane
+    running the reference-math PGM-NMF iteration (gradients, on-device
+    Lipschitz steps, non-negativity by default) until its own
+    fixed-point tolerance.
+    """
+    from . import operators as _ops
+    from .nmf import grad_likelihood, step_pgm
+    from .utils import fixed_point_converged
+
+    pA = prox_A if prox_A is not None else _ops.prox_plus
+    pS = prox_S if prox_S is not None else _ops.prox_plus
+
+    def solve(A0, S0, Y):
+        def body(c):
+            A, S, it, _ = c
+            gA, gS = grad_likelihood(A, S, Y=Y)
+            sA, sS = step_pgm(A, S)
+            A_new = pA(A - sA * gA, sA)
+            S_new = pS(S - sS * gS, sS)
+            conv = jnp.logical_and(
+                fixed_point_converged(A_new, A, e_rel),
+                fixed_point_converged(S_new, S, e_rel),
+            )
+            return A_new, S_new, it + 1, conv
+
+        def cond(c):
+            return jnp.logical_and(c[2] < max_iter, jnp.logical_not(c[3]))
+
+        A, S, it, conv = jax.lax.while_loop(
+            cond, body, (A0, S0, jnp.int32(0), jnp.asarray(False))
+        )
+        return A, S, it, conv
+
     return solve

@@ -282,3 +282,31 @@ def test_implicit_diff_ill_conditioned_adjoint_converges():
     g = jax.grad(loss)(jnp.asarray([0.3, 0.4]))
     # x* = theta / h  ->  dloss/dtheta = 1 / h = [1, 100]
     np.testing.assert_allclose(np.asarray(g), [1.0, 100.0], rtol=1e-6)
+
+
+def test_make_nmf_solver_vmap_patchwise():
+    """Batch NMF: vmap factorizes a grid of patch problems in one call,
+    each lane matching its individual solve."""
+    from proxmin_tpu.functional import make_nmf_solver
+
+    rng = np.random.default_rng(3)
+    B, C, K, N = 6, 4, 2, 32
+    Ys = jnp.asarray(rng.random((B, C, K)) @ rng.random((B, K, N)))
+    A0s = jnp.asarray(rng.random((B, C, K)))
+    S0s = jnp.asarray(rng.random((B, K, N)))
+
+    solve = make_nmf_solver(e_rel=1e-6, max_iter=400)
+    As, Ss, its, convs = jax.jit(jax.vmap(solve))(A0s, S0s, Ys)
+
+    for b in (0, B - 1):
+        Ab, Sb, itb, convb = jax.jit(solve)(A0s[b], S0s[b], Ys[b])
+        np.testing.assert_allclose(np.asarray(As[b]), np.asarray(Ab),
+                                   rtol=1e-10)
+        assert int(its[b]) == int(itb)
+
+    # lanes reduce their loss substantially
+    from proxmin_tpu.nmf import log_likelihood
+    for b in range(B):
+        l0 = float(log_likelihood(A0s[b], S0s[b], Y=Ys[b]))
+        l1 = float(log_likelihood(As[b], Ss[b], Y=Ys[b]))
+        assert l1 < 0.5 * l0  # nonconvex lanes can plateau; all descend
