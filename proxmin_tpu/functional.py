@@ -254,17 +254,35 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000):
     fixed-point tolerance.
     """
     from . import operators as _ops
-    from .nmf import grad_likelihood, step_pgm
+    from .nmf import grad_likelihood
     from .utils import fixed_point_converged
 
     pA = prox_A if prox_A is not None else _ops.prox_plus
     pS = prox_S if prox_S is not None else _ops.prox_plus
 
+    def lam_max(G, iters=24):
+        # power iteration on the tiny K-by-K Gram: pure matvec/elementwise
+        # ops, which compose safely with vmap on TPU (batched
+        # jnp.linalg.eigvalsh — step_pgm's exact single-problem path —
+        # has no efficient batched TPU lowering)
+        k = G.shape[0]
+        v = jnp.ones((k,), G.dtype) + 0.01 * jnp.arange(k, dtype=G.dtype)
+
+        def body(_, v):
+            w = G @ v
+            return w * jax.lax.rsqrt(jnp.maximum(jnp.sum(w * w),
+                                                 jnp.finfo(G.dtype).tiny))
+
+        v = jax.lax.fori_loop(0, iters, body, v)
+        return (v @ G @ v) / jnp.maximum(jnp.sum(v * v),
+                                         jnp.finfo(G.dtype).tiny)
+
     def solve(A0, S0, Y):
         def body(c):
             A, S, it, _ = c
             gA, gS = grad_likelihood(A, S, Y=Y)
-            sA, sS = step_pgm(A, S)
+            sA = 1.0 / lam_max(S @ S.T)
+            sS = 1.0 / lam_max(A.T @ A)
             A_new = pA(A - sA * gA, sA)
             S_new = pS(S - sS * gS, sS)
             conv = jnp.logical_and(
