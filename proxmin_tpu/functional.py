@@ -34,6 +34,7 @@ from . import utils
 from .utils import make_stepper
 
 __all__ = ["make_pgm_solver", "make_adaprox_solver",
+           "make_admm_solver", "make_sdmm_solver", "make_bsdmm_solver",
            "make_differentiable_pgm_solver", "make_nmf_solver"]
 
 
@@ -116,6 +117,103 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         st = jax.lax.while_loop(cond, body, state)
         x = st.x[0] if n == 1 else st.x
         return x, st.M, st.V, st.Vhat, st.it, st.converged, st.diverged
+
+    return solve
+
+
+def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
+                     e_rel=1e-6, e_abs=0, max_iter=1000):
+    """Build a pure linearized-ADMM solve: ``solve(x0) -> (x, iterations,
+    converged, errors)`` (``errors`` = the Boyd §3.3.1 residual rows,
+    shape ``(1, 4)``).
+
+    Same semantics as :func:`proxmin_tpu.admm` (reference
+    ``algorithms.py:426-520``), including the slack-restart heuristic,
+    minus the host conveniences — jit/vmap-compatible like
+    :func:`make_pgm_solver`, so ``jax.vmap(solve)`` runs a batch of
+    independent ADMM problems in one compiled call (under ``vmap`` the
+    ``lax.while_loop`` freezes finished lanes, so per-lane results equal
+    the individual solves). All callables must be jit-traceable.
+    """
+    from .linop import as_linear_operator
+    from .solvers.admm import _sdmm_core
+
+    Lop = as_linear_operator(L)
+    proxs_g = (prox_g,) if prox_g is not None else ()
+    steps_g = (step_g,) if prox_g is not None else ()
+    runner = _sdmm_core(
+        None, prox_f, step_f, proxs_g, steps_g,
+        (Lop,) if prox_g is not None else (),
+        e_rel, e_abs, max_iter, None, return_errors=True,
+        return_runner=True,
+    )
+
+    def solve(x0):
+        st = runner(x0)
+        return st.x, st.it, st.converged, st.errors
+
+    return solve
+
+
+def make_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None, Ls=None,
+                     e_rel=1e-6, e_abs=0, max_iter=1000):
+    """Build a pure SDMM solve (M simultaneous constraints):
+    ``solve(x0) -> (x, iterations, converged, errors)`` (``errors``
+    shape ``(M, 4)``).
+
+    Same semantics as :func:`proxmin_tpu.sdmm` (reference
+    ``algorithms.py:523-650``); jit/vmap-compatible like
+    :func:`make_pgm_solver`.
+    """
+    from .linop import as_linear_operator
+    from .solvers.admm import _sdmm_core
+
+    proxs_g = tuple(proxs_g)
+    M = len(proxs_g)
+    if not hasattr(Ls, "__iter__"):
+        Ls = [Ls] * M
+    Lops = tuple(as_linear_operator(Li) for Li in Ls)
+    steps_g = (None,) * M if steps_g is None else tuple(steps_g)
+    assert len(steps_g) == M
+    runner = _sdmm_core(
+        None, prox_f, step_f, proxs_g, steps_g, Lops,
+        e_rel, e_abs, max_iter, None, return_errors=False,
+        admm_convention=False, return_runner=True,
+    )
+
+    def solve(x0):
+        st = runner(x0)
+        return st.x, st.it, st.converged, st.errors
+
+    return solve
+
+
+def make_bsdmm_solver(proxs_f, steps_f_cb, proxs_g=None, steps_g=None,
+                      Ls=None, update_order=None, steps_g_update="steps_f",
+                      e_rel=1e-6, e_abs=0, max_iter=1000,
+                      steps_f_stride=None):
+    """Build a pure bSDMM solve: ``solve(*x_blocks) -> (x_blocks,
+    iterations, converged_per_block)``.
+
+    Same semantics as :func:`proxmin_tpu.bsdmm` (reference
+    ``algorithms.py:653-850``); jit/vmap-compatible like
+    :func:`make_pgm_solver`. The solver structure (block count, dtype,
+    constraint topology) is resolved from the actual blocks at trace
+    time, so one factory output works across shapes/dtypes (one compile
+    each, the standard jit contract).
+    """
+    from .solvers.bsdmm import bsdmm
+
+    def solve(*x_blocks):
+        runner = bsdmm(
+            list(x_blocks), proxs_f, steps_f_cb, proxs_g=proxs_g,
+            steps_g=steps_g, Ls=Ls, update_order=update_order,
+            steps_g_update=steps_g_update, max_iter=max_iter,
+            e_rel=e_rel, e_abs=e_abs, steps_f_stride=steps_f_stride,
+            _export_runner=True,
+        )
+        st = runner(*x_blocks)
+        return st.x, st.it, st.converged
 
     return solve
 

@@ -310,3 +310,142 @@ def test_make_nmf_solver_vmap_patchwise():
         l0 = float(log_likelihood(A0s[b], S0s[b], Y=Ys[b]))
         l1 = float(log_likelihood(As[b], Ss[b], Y=Ys[b]))
         assert l1 < 0.5 * l0  # nonconvex lanes can plateau; all descend
+
+
+def test_functional_admm_matches_driver():
+    from proxmin_tpu.functional import make_admm_solver
+
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(CENTER)) / (1.0 + step)
+
+    solve = jax.jit(make_admm_solver(prox_f, 0.5, prox_g=prox_disk,
+                                     e_rel=1e-8, max_iter=500))
+    x, it, conv, errors = solve(jnp.asarray([-1.0, -1.0]))
+    r = pt.admm(jnp.asarray([-1.0, -1.0]), prox_f, 0.5, prox_g=prox_disk,
+                e_rel=1e-8, max_iter=500)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r.x), rtol=1e-12)
+    assert int(it) == r.iterations
+    assert bool(conv) == r.converged
+    assert errors.shape == (1, 4)
+
+
+def test_functional_admm_vmap_tv_denoise_batch():
+    """A batch of 1-D TV-denoise problems (quadratic fidelity + soft
+    threshold on first differences through the difference operator L) in
+    ONE compiled call; every lane equals its individual solve."""
+    from proxmin_tpu.functional import make_admm_solver
+
+    rng = np.random.default_rng(7)
+    B, n = 8, 32
+    ys = jnp.asarray(np.cumsum(rng.normal(size=(B, n)), axis=1)
+                     + 0.3 * rng.normal(size=(B, n)))
+    D = jnp.asarray(np.eye(n)[1:] - np.eye(n)[:-1])  # (n-1, n) differences
+
+    def prox_tv(v, step):
+        from proxmin_tpu import operators
+        return operators.prox_soft(v, step, thresh=0.5)
+
+    def solve_one(x0, y):
+        def prox_f(v, step, _y=y):
+            return (v + step * _y) / (1.0 + step)
+
+        return make_admm_solver(prox_f, 0.4, prox_g=prox_tv, L=D,
+                                e_rel=1e-9, max_iter=600)(x0)
+
+    xs, its, convs, _ = jax.jit(jax.vmap(solve_one))(ys, ys)
+
+    assert len(set(np.asarray(its).tolist())) > 1  # genuinely different
+    for b in (0, 3, B - 1):
+        xb, itb, convb, _ = jax.jit(solve_one)(ys[b], ys[b])
+        np.testing.assert_allclose(np.asarray(xs[b]), np.asarray(xb),
+                                   rtol=1e-11, atol=1e-12)
+        assert int(its[b]) == int(itb)
+
+
+def test_functional_sdmm_matches_driver_and_vmap():
+    from proxmin_tpu.functional import make_sdmm_solver
+
+    def prox_halfplane(v, step):
+        return v.at[0].set(jnp.maximum(v[0], 0.15))
+
+    centers = jnp.asarray(np.random.default_rng(11).normal(size=(6, 2)))
+
+    def solve_one(x0, c):
+        def prox_f(v, step, _c=c):
+            return (v + step * _c) / (1.0 + step)
+
+        return make_sdmm_solver(prox_f, 0.5,
+                                proxs_g=[prox_disk, prox_halfplane],
+                                e_rel=1e-9, max_iter=800)(x0)
+
+    # single-problem parity vs the sdmm driver
+    c0 = jnp.asarray(CENTER)
+    x, it, conv, errors = jax.jit(solve_one)(jnp.asarray([-1.0, -1.0]), c0)
+
+    def prox_f0(v, step):
+        return (v + step * c0) / (1.0 + step)
+
+    r = pt.sdmm(jnp.asarray([-1.0, -1.0]), prox_f0, 0.5,
+                proxs_g=[prox_disk, prox_halfplane], e_rel=1e-9,
+                max_iter=800)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r.x), rtol=1e-12)
+    assert int(it) == r.iterations
+    assert errors.shape == (2, 4)
+
+    # vmapped batch equals per-lane solves
+    x0s = jnp.tile(jnp.asarray([-1.0, -1.0]), (6, 1))
+    xs, its, convs, _ = jax.jit(jax.vmap(solve_one))(x0s, centers)
+    for b in (0, 5):
+        xb, itb, _, _ = jax.jit(solve_one)(x0s[b], centers[b])
+        np.testing.assert_allclose(np.asarray(xs[b]), np.asarray(xb),
+                                   rtol=1e-11, atol=1e-12)
+        assert int(its[b]) == int(itb)
+
+
+def test_functional_bsdmm_matches_driver_and_vmap():
+    from proxmin_tpu.functional import make_bsdmm_solver
+
+    c1 = np.array([1.0, -0.5])
+    c2 = np.array([0.2, 0.8, -0.1])
+
+    def proxs_f(x, step, Xs=None, j=None):
+        c = jnp.asarray([c1, c2][j])
+        return (x + step * c) / (1 + step)
+
+    def steps(Xs, j=None):
+        return 0.4
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    solve = make_bsdmm_solver(proxs_f, steps, proxs_g=[[pg], [pg, pg]],
+                              e_rel=1e-9, max_iter=200)
+    xs, it, conv = jax.jit(solve)(jnp.zeros(2), jnp.zeros(3))
+    r = pt.bsdmm([jnp.zeros(2), jnp.zeros(3)], proxs_f, steps,
+                 proxs_g=[[pg], [pg, pg]], e_rel=1e-9, max_iter=200)
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(r.x[0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xs[1]), np.asarray(r.x[1]),
+                               rtol=1e-12)
+    assert int(it) == r.iterations
+
+    # vmap: batch over scaled block targets, each lane = individual solve
+    scales = jnp.asarray([0.5, 1.0, 1.7, 2.4])
+
+    def solve_one(s):
+        def pf(x, step, Xs=None, j=None, _s=s):
+            c = _s * jnp.asarray([c1, c2][j])
+            return (x + step * c) / (1 + step)
+
+        return make_bsdmm_solver(pf, steps, proxs_g=[[pg], [pg, pg]],
+                                 e_rel=1e-9, max_iter=200)(
+            jnp.zeros(2), jnp.zeros(3))
+
+    xsb, itsb, convsb = jax.jit(jax.vmap(solve_one))(scales)
+    for b in (0, 3):
+        xb, itb, _ = jax.jit(solve_one)(scales[b])
+        np.testing.assert_allclose(np.asarray(xsb[0][b]),
+                                   np.asarray(xb[0]), rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(xsb[1][b]),
+                                   np.asarray(xb[1]), rtol=1e-11)
+        assert int(itsb[b]) == int(itb)
