@@ -223,12 +223,14 @@ class _WeightedStepperBase:
     _cache_tag = None  # set by subclasses
 
     def __init__(self, W, stride=10, safety=0.9, cold_iters=48,
-                 warm_iters=12):
+                 warm_iters=12, adapt=False, max_stride=100):
         self.W = W
         self.stride = int(stride)
         self.safety = float(safety)
         self.cold_iters = int(cold_iters)
         self.warm_iters = int(warm_iters)
+        self.adapt = bool(adapt)
+        self.max_stride = int(max_stride)
 
     def _refresh_iters(self, it):
         """Dynamic trip count: cold on the first refresh, warm after —
@@ -241,10 +243,12 @@ class _WeightedStepperBase:
         cls = type(self)
         stride, safety = self.stride, self.safety
         cold, warm = self.cold_iters, self.warm_iters
+        adapt, max_stride = self.adapt, self.max_stride
 
         def rebuild(leaves):
             return cls(leaves[0], stride=stride, safety=safety,
-                       cold_iters=cold, warm_iters=warm)
+                       cold_iters=cold, warm_iters=warm, adapt=adapt,
+                       max_stride=max_stride)
 
         return rebuild, (jnp.asarray(self.W),)
 
@@ -255,7 +259,8 @@ class _WeightedStepperBase:
         if not cacheable(wk):
             return wk
         return (self._cache_tag, self.stride, self.safety,
-                self.cold_iters, self.warm_iters, wk)
+                self.cold_iters, self.warm_iters, self.adapt,
+                self.max_stride, wk)
 
 
 class WeightedPGMStepper(_WeightedStepperBase):
@@ -275,6 +280,12 @@ class WeightedPGMStepper(_WeightedStepperBase):
     Implements the stepper protocol (``init_state`` / ``__call__``) plus
     the driver hooks ``split_data`` (W rides as a jit argument, not a
     trace constant) and ``stepper_cache_key``.
+
+    ``adapt=True`` grows the refresh interval while the measured bound
+    drift stays below ``(1 - safety) / 2`` — the reference
+    ``ApproximateCache`` policy (``/root/reference/proxmin/utils.py:
+    124-190``) carried in the solver state (:func:`utils.grow_stride`):
+    as A settles, the VPU-bound power-iteration refresh amortizes away.
     """
 
     def init_state(self, X, G):
@@ -282,7 +293,7 @@ class WeightedPGMStepper(_WeightedStepperBase):
         dtype = jnp.result_type(A, S, self.W)
         v0 = _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
         zero = jnp.zeros((), dtype)
-        return ((zero, zero), v0)
+        return ((zero, zero), v0, jnp.int32(self.stride), jnp.int32(0))
 
     segmentable = True  # pgm may hoist the refresh out of the hot loop
 
@@ -292,22 +303,31 @@ class WeightedPGMStepper(_WeightedStepperBase):
         A, S = X
         W = self.W
         dtype = jnp.result_type(A, S, W)
-        _, v = state
+        cached, v, stride, _ = state
         LA = _weighted_lipschitz_A(S, W)
         LS, v_new = _weighted_lipschitz_S(A, W, self._refresh_iters(it),
                                           v0=v, return_v=True)
         steps = (jnp.asarray(self.safety / LA, dtype),
                  jnp.asarray(self.safety / LS, dtype))
-        return steps, (steps, v_new)
+        if self.adapt:
+            stride = utils.grow_stride(
+                stride, cached, steps, (1.0 - self.safety) / 2,
+                self.max_stride,
+            )
+        return steps, (steps, v_new, stride, it + stride)
+
+    def state_stride(self, state):
+        """Segmented-mode hook: current refresh interval in the carry."""
+        return state[2]
 
     def __call__(self, state, X, it, G):
-        cached, v = jax.lax.cond(
-            it % self.stride == 0,
+        state = jax.lax.cond(
+            it >= state[3],
             lambda args: self.segment_refresh(args, X, it)[1],
             lambda args: args,
             state,
         )
-        return cached, (cached, v)
+        return state[0], state
 
     _cache_tag = "wnmf"
 
@@ -455,13 +475,16 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
-                                    C, K, N, dtype, stride):
+                                    C, K, N, dtype, stride, adapt=False):
     """Weighted variant of the fused-PGM runner: the kernel consumes the
     weighted residual ``D = W (A S - Y)`` in the same single pass, while
     the weighted Lipschitz bounds (implicit batched power iteration, the
     only part the kernel cannot fuse) refresh every ``stride`` iterations
     in the carry (0.9 safety factor; ``stride=1`` = every iteration,
-    matching the reference's semantics exactly)."""
+    matching the reference's semantics exactly). ``adapt=True`` grows
+    the refresh interval in-carry while the bound drift stays below
+    half the safety slack (:func:`utils.grow_stride`, the reference
+    ``ApproximateCache`` policy)."""
     import jax
     from .ops.nmf_kernels import (
         _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
@@ -496,8 +519,21 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                     jnp.asarray(1.0 / LS, jnp.float32), v)
 
         def body(carry):
-            A, S, sA, sS, v, it, _, _, _ = carry
-            if stride > 1:
+            A, S, sA, sS, v, stride_c, nxt, it, _, _, _ = carry
+            if adapt:
+                def refresh(args):
+                    sA_o, sS_o, v, stride_c, _ = args
+                    sA_, sS_, v = weighted_steps(A, S, v, it)
+                    sA_n, sS_n = 0.9 * sA_, 0.9 * sS_
+                    stride_n = utils.grow_stride(
+                        stride_c, (sA_o, sS_o), (sA_n, sS_n), 0.05, 100)
+                    return sA_n, sS_n, v, stride_n, it + stride_n
+
+                sA, sS, v, stride_c, nxt = jax.lax.cond(
+                    it >= nxt, refresh, lambda args: args,
+                    (sA, sS, v, stride_c, nxt),
+                )
+            elif stride > 1:
                 def refresh(v):
                     sA_, sS_, v = weighted_steps(A, S, v, it)
                     return 0.9 * sA_, 0.9 * sS_, v
@@ -515,19 +551,22 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             conv_A = (jnp.sum((A_new - A) ** 2)
                       <= e_rel ** 2 * jnp.sum(A_new ** 2))
             conv_S = dS_sq <= e_rel ** 2 * nS_sq
-            return (A_new, S_new, sA, sS, v, it + 1, conv_A, conv_S, loss)
+            return (A_new, S_new, sA, sS, v, stride_c, nxt, it + 1,
+                    conv_A, conv_S, loss)
 
         def cond(carry):
-            _, _, _, _, _, it, conv_A, conv_S, _ = carry
+            it, conv_A, conv_S = carry[7], carry[8], carry[9]
             done = jnp.logical_and(conv_A, conv_S)
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
         z = jnp.zeros((), jnp.float32)
         v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
-        init = (A_p, S_p, z, z, v0, jnp.int32(0), jnp.asarray(False),
-                jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
-        A_f, S_f, _, _, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
-            cond, body, init
+        init = (A_p, S_p, z, z, v0, jnp.int32(stride), jnp.int32(0),
+                jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(jnp.inf, jnp.float32))
+        out = jax.lax.while_loop(cond, body, init)
+        A_f, S_f, it, conv_A, conv_S, loss = (
+            out[0], out[1], out[7], out[8], out[9], out[10]
         )
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
                 it, conv_A, conv_S, loss)
@@ -547,6 +586,7 @@ def nmf_pgm_fused(
     tile_n=8192,
     store_dtype=None,
     step_stride=None,
+    step_adapt=False,
 ):
     """PGM-NMF with the fully-fused Pallas iteration — the fast path.
 
@@ -598,12 +638,18 @@ def nmf_pgm_fused(
         assert store_dtype is None, "store_dtype is unweighted-only"
         run = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
-            step_stride,
+            step_stride, adapt=bool(step_adapt),
         )
         A_f, S_f, it, conv_A, conv_S, loss = run(
             A, S, Y, jnp.asarray(W), max_iter
         )
     else:
+        if step_adapt:
+            raise ValueError(
+                "step_adapt applies to the weighted Lipschitz refresh "
+                "only (the unweighted kernel's K x K eigensolves are "
+                "exact and cheap every iteration)"
+            )
         run = _make_fused_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
@@ -638,6 +684,7 @@ def nmf(
     callback=None,
     engine="xla",
     step_stride=None,
+    step_adapt=False,
     mesh=None,
     model_axis=None,
     **algorithm_args,
@@ -671,6 +718,14 @@ def nmf(
             striding them is an order-of-magnitude win on large weighted
             problems for every CMF path (the reference recomputes every
             iteration, ``nmf.py:69-88``).
+        step_adapt: GROW the refresh interval while the measured step
+            drift stays below half the safety slack — the reference
+            ``ApproximateCache`` policy (``utils.py:124-190``) running
+            inside the compiled loop (:func:`utils.grow_stride`),
+            starting from ``step_stride`` (default 1 when unset) and
+            capped at 100. pgm/adaprox only (xla and pallas engines);
+            as the factors settle, step refreshes become progressively
+            rarer at no accuracy cost beyond the safety factor.
         mesh: optional ``jax.sharding.Mesh`` for one-call scale-out: the
             pixel axis of Y/S/W shards over the mesh's ``'data'`` axis
             (A replicates, or channel-shards over ``model_axis`` on a
@@ -720,7 +775,7 @@ def nmf(
 
         if (algorithm is algorithms.pgm and engine == "xla"
                 and step is None and callback is None
-                and not algorithm_args):
+                and not step_adapt and not algorithm_args):
             return nmf_pgm_sharded(
                 Y, A, S, W=None if _is_unweighted(W) else W, mesh=mesh,
                 prox_A=prox_A if prox_A is not None else operators.prox_id,
@@ -736,7 +791,8 @@ def nmf(
                   prox_A=prox_A, prox_S=prox_S, algorithm=algorithm,
                   step=step, max_iter=max_iter, e_rel=e_rel,
                   callback=callback, engine=engine,
-                  step_stride=step_stride, **algorithm_args)
+                  step_stride=step_stride, step_adapt=step_adapt,
+                  **algorithm_args)
         from .solvers.common import writeback as _writeback
 
         _writeback((A, S), res.x)
@@ -747,7 +803,7 @@ def nmf(
         pallas_ok = (
             algorithm is algorithms.pgm and step is None
             and _is_unweighted(W) and callback is None
-            and step_stride is None
+            and step_stride is None and not step_adapt
             and set(algorithm_args) <= {"tile_n", "store_dtype"}
         )
         if pallas_only and not pallas_ok:
@@ -775,9 +831,17 @@ def nmf(
                 W_k = jnp.full(np.shape(Y), W, jnp.asarray(Y).dtype)
             else:
                 W_k = W
+        if step_adapt and W_k is None:
+            raise ValueError(
+                "step_adapt applies to the weighted Lipschitz refresh; "
+                "the unweighted pallas engine computes exact steps every "
+                "iteration (tiny K x K eigensolves) so there is nothing "
+                "to amortize"
+            )
         return nmf_pgm_fused(
             Y, A, S, W=W_k, prox_A=prox_A, prox_S=prox_S,
             e_rel=e_rel, max_iter=max_iter, step_stride=step_stride,
+            step_adapt=step_adapt,
             **algorithm_args,
         )
     elif engine != "xla":
@@ -804,19 +868,26 @@ def nmf(
     # step_stride routing: pgm/adaprox wrap the stepper in StridedStepper;
     # bsdmm strides the per-block steps_f_cb inside its own carry
 
+    # adaptive striding starts at step_stride (default 1, the reference
+    # ApproximateCache's cold start) and grows in-carry
+    strided = (step_stride is not None and step_stride > 1) or step_adapt
+    stride0 = int(step_stride) if step_stride is not None else 1
+
     if algorithm is algorithms.pgm:
-        if step_stride is not None and step_stride > 1:
+        if strided:
             if step is None and not _is_unweighted(W):
                 # warm-started weighted refresh: ~4x cheaper than the
                 # generic StridedStepper wrapping step_pgm (the power
                 # iterate carries over between refreshes)
-                step = WeightedPGMStepper(W, stride=step_stride)
+                step = WeightedPGMStepper(W, stride=stride0,
+                                          adapt=step_adapt)
             else:
                 if step is None:
                     step = partial(step_pgm, W=W)
                 from .utils import StridedStepper
 
-                step = StridedStepper(step, 2, stride=step_stride)
+                step = StridedStepper(step, 2, stride=stride0,
+                                      adapt=step_adapt)
         elif step is None:
             step = partial(step_pgm, W=W)
         return algorithm(
@@ -829,10 +900,11 @@ def nmf(
     if adaprox is not None and algorithm is adaprox:
         if step is None:
             step = step_adaprox
-        if step_stride is not None and step_stride > 1:
+        if strided:
             from .utils import StridedStepper
 
-            step = StridedStepper(step, 2, stride=step_stride)
+            step = StridedStepper(step, 2, stride=stride0,
+                                  adapt=step_adapt)
         return algorithm(
             X, grad, step, prox=prox,
             max_iter=max_iter, e_rel=e_rel, callback=callback,
@@ -841,6 +913,12 @@ def nmf(
 
     bsdmm = getattr(algorithms, "bsdmm", None)
     if bsdmm is not None and algorithm is bsdmm:
+        if step_adapt:
+            raise ValueError(
+                "step_adapt is not supported for algorithm='bsdmm' "
+                "(its per-block steps refresh inside the Gauss-Seidel "
+                "sweep); use a fixed step_stride there"
+            )
         prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step,
                                          Y_orig, W_orig)
         if step_stride is not None and step_stride > 1:

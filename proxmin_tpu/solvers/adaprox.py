@@ -244,8 +244,14 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
         x_new, M_new, V_new, Vhat_new = [], [], [], []
         sub_iters = state.sub_iters
         for j in range(n):
+            # the b1 schedule array is host-built in f64, and a Python
+            # b2 raised to the traced power t promotes to the default
+            # float; cast both to the block dtype so f32 iterates stay
+            # f32 under enabled x64
+            dt = state.x[j].dtype
             Phi, Psi, Mj, Vj, Vhatj = phi_psi(
-                it, G[j], state.M[j], state.V[j], state.Vhat[j], b1, b2, eps, p
+                it, G[j], state.M[j], state.V[j], state.Vhat[j],
+                b1.astype(dt), jnp.asarray(b2, dt), eps, p
             )
             xj = state.x[j] - Alpha[j] * Phi / Psi
 

@@ -296,7 +296,8 @@ def split_stepper_data(step, stepper, n_blocks):
 
         def stepper_rb(leaves, _st=stepper):
             return StridedStepper(rb(leaves), n_blocks, stride=_st.stride,
-                                  safety=_st.safety)
+                                  safety=_st.safety, adapt=_st.adapt,
+                                  max_stride=_st.max_stride)
 
         return stepper_rb, lv
     if isinstance(stepper, FunctionStepper):

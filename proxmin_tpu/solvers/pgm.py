@@ -243,7 +243,8 @@ def _stepper_cache_key(step, stepper):
         okey = callable_key(orig) if callable(orig) else nested_key(orig)
         if not cacheable(okey):
             return okey
-        return ("strided", stepper.stride, stepper.safety, okey)
+        return ("strided", stepper.stride, stepper.safety, stepper.adapt,
+                stepper.max_stride, okey)
     if isinstance(stepper, ConstantStepper):
         return ("const", tuple(_const_step_key(v) for v in stepper.value))
     if isinstance(stepper, BarzilaiBorweinStepper):
@@ -290,7 +291,14 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
     OUT of the hot inner carry — measured ~2x faster at the weighted-NMF
     flagship shape (0.45 -> 0.24 ms/iter), where the per-iteration cond
     broke gradient/prox fusion and copied the stepper state every
-    iteration."""
+    iteration.
+
+    Adaptive steppers (``stepper.adapt``) carry a DYNAMIC refresh
+    interval in their state (the reference ``ApproximateCache`` growth
+    policy, ``utils.grow_stride``); the segment length then comes from
+    the post-refresh state instead of the static ``stride``."""
+
+    adaptive = bool(getattr(stepper, "adapt", False))
 
     def go(st):
         return _keep_going(st, max_iter)
@@ -310,7 +318,8 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
         st = st._replace(S=steps, stepper_state=sst)
         body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
                               accelerated, backtracking, f, trace=trace)
-        seg_end = st.it + stride
+        seg_len = stepper.state_stride(sst) if adaptive else stride
+        seg_end = st.it + seg_len
 
         # the stepper state (e.g. WeightedPGMStepper's 28 MB warm-start
         # iterate) is loop-invariant inside the segment — keep it OUT of
@@ -435,7 +444,8 @@ def pgm(
     # (see _run_segmented); iterate-identical, ~2x at the weighted flagship
     use_segmented = (
         getattr(stepper, "segmentable", False)
-        and int(getattr(stepper, "stride", 0) or 0) > 1
+        and (int(getattr(stepper, "stride", 0) or 0) > 1
+             or getattr(stepper, "adapt", False))
     )
 
     def build():

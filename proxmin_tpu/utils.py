@@ -39,7 +39,7 @@ __all__ = [
     "batched_lanczos_max",
     "Traceback", "NullCallback", "ApproximateCache", "profile_trace",
     "NesterovAccelerator", "nesterov_next",
-    "BarzilaiBorweinStepper", "StridedStepper",
+    "BarzilaiBorweinStepper", "StridedStepper", "grow_stride",
     "initZU", "do_the_mm", "update_variables",
     "get_step_g", "get_step_f",
     "get_variable_errors", "check_constraint_convergence", "check_convergence",
@@ -376,6 +376,38 @@ class BarzilaiBorweinStepper:
         return tuple(np.asarray(s) for s in steps)
 
 
+def grow_stride(stride, old_steps, new_steps, budget, max_stride):
+    """The reference :class:`ApproximateCache`'s stride-growth rule
+    (``/root/reference/proxmin/utils.py:176-186``) as a pure function
+    over traced values: when the relative drift of the refreshed steps
+    since the previous refresh is positive but below ``budget``
+    (= slack/2), grow the refresh interval by
+    ``max(1, floor(budget / drift * stride))``, capped at
+    ``max_stride``; otherwise keep it.
+
+    ``old_steps`` / ``new_steps`` are matching pytrees of step values
+    (scalars or arrays); drift is the max relative change over all
+    leaves. The all-zero ``old_steps`` of the first refresh gives drift
+    ~1 and therefore no growth (the reference's ``it > 1`` guard)."""
+    leaves_old = jax.tree_util.tree_leaves(old_steps)
+    leaves_new = jax.tree_util.tree_leaves(new_steps)
+    f32 = jnp.float32
+    # per-leaf relative drift (the reference's |stored - val| / stored,
+    # one value per cached quantity), maxed over leaves
+    drift = jnp.stack([
+        jnp.max(jnp.abs(n.astype(f32) - o.astype(f32)))
+        / jnp.maximum(jnp.max(jnp.abs(o.astype(f32))),
+                      jnp.finfo(f32).tiny)
+        for o, n in zip(leaves_old, leaves_new)
+    ]).max()
+    grow = jnp.logical_and(drift > 0, drift < budget)
+    bump = jnp.maximum(
+        1, jnp.floor(budget / jnp.maximum(drift, jnp.finfo(f32).tiny)
+                     * stride.astype(f32))
+    ).astype(stride.dtype)
+    return jnp.where(grow, jnp.minimum(max_stride, stride + bump), stride)
+
+
 class StridedStepper:
     """Recompute an expensive step function only every ``stride``
     iterations, holding the cached value in the solver carry.
@@ -389,14 +421,25 @@ class StridedStepper:
 
     ``safety`` (< 1) shrinks the cached steps to guard against the
     Lipschitz constant growing between refreshes.
+
+    ``adapt=True`` additionally GROWS the refresh interval while the
+    measured step drift stays below ``(1 - safety) / 2`` — the reference
+    ``ApproximateCache`` policy (``utils.py:124-190``) carried inside
+    the compiled loop (see :func:`grow_stride`), starting from the
+    user's initial ``stride`` and capped at ``max_stride``. On solves
+    where the iterate (and hence the Lipschitz bound) settles, refreshes
+    become progressively rarer and their amortized cost vanishes.
     """
 
-    def __init__(self, step, n_blocks, stride=10, safety=0.9):
+    def __init__(self, step, n_blocks, stride=10, safety=0.9, adapt=False,
+                 max_stride=100):
         self.inner = make_stepper(step, n_blocks)
         self._orig = step          # for structural driver-cache keying
         self.n_blocks = n_blocks
         self.stride = int(stride)
         self.safety = float(safety)
+        self.adapt = bool(adapt)
+        self.max_stride = int(max_stride)
 
     def init_state(self, X, G):
         inner0 = self.inner.init_state(X, G)
@@ -410,26 +453,42 @@ class StridedStepper:
             inner0, X, G,
         )
         cached = tuple(jnp.zeros(s.shape, s.dtype) for s in shapes)
+        # (stride, next_refresh) ride in the carry only when adaptive;
+        # the fixed-stride state keeps its original structure
+        if self.adapt:
+            return (inner0, cached, jnp.int32(self.stride), jnp.int32(0))
         return (inner0, cached)
 
+    def _refresh(self, state, X, it, G):
+        """Shared refresh math for both call modes: evaluate the inner
+        stepper, apply the safety shrink, and (adaptive mode) grow the
+        stride from the measured drift."""
+        if self.adapt:
+            inner_state, cached_old, stride, _ = state
+        else:
+            inner_state, cached_old = state[0], state[1]
+        steps, new_inner = self.inner(inner_state, X, it, G)
+        steps = tuple(jnp.asarray(s) * self.safety for s in steps)
+        if not self.adapt:
+            return (new_inner, steps)
+        budget = (1.0 - self.safety) / 2
+        stride_new = grow_stride(stride, cached_old, steps, budget,
+                                 self.max_stride)
+        return (new_inner, steps, stride_new, it + stride_new)
+
+    def _due(self, state, it):
+        if self.adapt:
+            return it >= state[3]
+        return it % self.stride == 0
+
     def __call__(self, state, X, it, G):
-        inner_state, cached = state
-
-        def refresh(args):
-            inner_state, _ = args
-            steps, new_inner = self.inner(inner_state, X, it, G)
-            steps = tuple(
-                jnp.asarray(s) * self.safety for s in steps
-            )
-            return new_inner, steps
-
-        def reuse(args):
-            return args
-
-        inner_state, cached = jax.lax.cond(
-            it % self.stride == 0, refresh, reuse, (inner_state, cached)
+        state = jax.lax.cond(
+            self._due(state, it),
+            lambda s: self._refresh(s, X, it, G),
+            lambda s: s,
+            state,
         )
-        return cached, (inner_state, cached)
+        return state[1], state
 
     @property
     def segmentable(self):
@@ -450,10 +509,14 @@ class StridedStepper:
     def segment_refresh(self, state, X, it):
         """Refresh the cached steps at a segment boundary (pgm segmented
         mode). Same math as the ``refresh`` branch of ``__call__``."""
-        inner_state, _ = state
-        steps, new_inner = self.inner(inner_state, X, it, None)
-        steps = tuple(jnp.asarray(s) * self.safety for s in steps)
-        return steps, (new_inner, steps)
+        state = self._refresh(state, X, it, None)
+        return state[1], state
+
+    def state_stride(self, state):
+        """Current refresh interval held in the carry (segmented-mode
+        hook; adaptive steppers only)."""
+        assert self.adapt
+        return state[2]
 
 
 def make_stepper(step, n_blocks):

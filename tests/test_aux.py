@@ -656,3 +656,134 @@ def test_weighted_pgm_stepper_callback_mode(rng):
     A2, S2 = A0.copy(), S0.copy()
     pt.nmf.nmf(Y, A2, S2, W=W, e_rel=0, max_iter=25, step_stride=10)
     np.testing.assert_allclose(S1, S2, rtol=1e-12, atol=1e-14)
+
+
+def test_grow_stride_policy():
+    """utils.grow_stride implements the reference ApproximateCache rule
+    (reference utils.py:176-186): grow by max(1, floor(budget/drift *
+    stride)) when 0 < drift < budget, capped at max_stride."""
+    import jax.numpy as jnp
+    from proxmin_tpu.utils import grow_stride
+
+    s = jnp.int32(10)
+    old = (jnp.asarray(1.0), jnp.asarray(2.0))
+
+    # drift 0.01 < budget 0.05 -> bump = floor(0.05/0.01 * 10) = 50
+    new = (jnp.asarray(1.01), jnp.asarray(2.0))
+    assert int(grow_stride(s, old, new, 0.05, 100)) == 60
+    # capped at max_stride
+    assert int(grow_stride(s, old, new, 0.05, 25)) == 25
+    # zero drift: no growth (reference requires rel_error > 0)
+    assert int(grow_stride(s, old, old, 0.05, 100)) == 10
+    # drift above budget: no growth
+    big = (jnp.asarray(1.5), jnp.asarray(2.0))
+    assert int(grow_stride(s, old, big, 0.05, 100)) == 10
+    # all-zero old steps (first refresh): drift ~ huge -> no growth
+    zero = (jnp.asarray(0.0), jnp.asarray(0.0))
+    assert int(grow_stride(s, zero, new, 0.05, 100)) == 10
+
+
+def test_strided_stepper_adaptive_schedule():
+    """Adaptive StridedStepper: with a (nearly) constant step function
+    the carried stride grows and refreshes become sparse; the returned
+    steps always carry the safety factor."""
+    import jax.numpy as jnp
+    from proxmin_tpu.utils import StridedStepper
+
+    calls = []
+
+    def step(x, it=None):
+        calls.append(1)
+        return 1.0
+
+    st = StridedStepper(step, 1, stride=2, safety=0.9, adapt=True,
+                        max_stride=50)
+    x = (jnp.zeros(3),)
+    g = (jnp.zeros(3),)
+    state = st.init_state(x, g)
+    strides = []
+    for it in range(40):
+        steps, state = st(state, x, jnp.int32(it), g)
+        strides.append(int(state[2]))
+        np.testing.assert_allclose(float(steps[0]), 0.9)
+    # refresh at it=0 (drift vs zeros: no growth), refresh at it=2
+    # (zero drift vs equal cached: no growth either -> stride unchanged)
+    assert strides[0] == 2
+
+    # now a slowly-drifting step: growth must kick in
+    t = {"v": 1.0}
+
+    def step2(x, it=None):
+        t["v"] *= 1.0001
+        return t["v"]
+
+    # drive through the segmented protocol like the pgm driver would
+    st2 = StridedStepper(step2, 1, stride=2, safety=0.9, adapt=True,
+                         max_stride=50)
+    state = st2.init_state(x, g)
+    it = 0
+    seen = []
+    while it < 100:
+        steps, state = st2.segment_refresh(state, x, jnp.int32(it))
+        seen.append((it, int(st2.state_stride(state))))
+        it += int(st2.state_stride(state))
+    # stride grew beyond the initial 2 and is capped at max_stride
+    assert seen[-1][1] > 2
+    assert all(s <= 50 for _, s in seen)
+    # fewer refreshes than iterations/initial-stride
+    assert len(seen) < 100 // 2
+
+
+def test_nmf_step_adapt_weighted_quality(rng):
+    """step_adapt=True on the weighted nmf: same final quality as the
+    fixed-stride solve within the safety-slack tolerance, with the
+    adaptive refresh (pgm segmented mode, dynamic segment lengths)."""
+    C, K, N = 4, 3, 96
+    Y = rng.random((C, K)).astype(np.float32) @ \
+        rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1 = jnp.asarray(A0), jnp.asarray(S0)
+    r_fix = pt.nmf.nmf(jnp.asarray(Y), A1, S1, W=jnp.asarray(W),
+                       e_rel=0, max_iter=200, step_stride=10)
+    A2, S2 = jnp.asarray(A0), jnp.asarray(S0)
+    r_ad = pt.nmf.nmf(jnp.asarray(Y), A2, S2, W=jnp.asarray(W),
+                      e_rel=0, max_iter=200, step_stride=10,
+                      step_adapt=True)
+
+    from proxmin_tpu.nmf import log_likelihood
+    l_fix = float(log_likelihood(*r_fix.x, Y=jnp.asarray(Y),
+                                 W=jnp.asarray(W)))
+    l_ad = float(log_likelihood(*r_ad.x, Y=jnp.asarray(Y),
+                                W=jnp.asarray(W)))
+    l0 = float(log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                              Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    assert l_ad < 0.05 * l0          # both descend far below the init
+    assert l_ad < 1.5 * l_fix + 1e-6  # and comparably to fixed stride
+
+
+def test_nmf_step_adapt_unweighted_and_adaprox(rng):
+    """step_adapt composes with the unweighted pgm path (StridedStepper
+    wrap) and with adaprox; bsdmm rejects it."""
+    C, K, N = 3, 2, 48
+    Y = rng.random((C, K)).astype(np.float32) @ \
+        rng.random((K, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    from proxmin_tpu.nmf import log_likelihood
+    for alg in ("pgm", "adaprox"):
+        A, S = jnp.asarray(A0), jnp.asarray(S0)
+        r = pt.nmf.nmf(jnp.asarray(Y), A, S, algorithm=alg, e_rel=0,
+                       max_iter=150, step_adapt=True)
+        l1 = float(log_likelihood(*r.x, Y=jnp.asarray(Y)))
+        l0 = float(log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                                  Y=jnp.asarray(Y)))
+        assert l1 < 0.5 * l0, alg
+
+    with pytest.raises(ValueError):
+        pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                   algorithm="bsdmm", e_rel=0, max_iter=5,
+                   step_adapt=True)
