@@ -122,7 +122,7 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
 
 
 def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
-                     e_rel=1e-6, e_abs=0, max_iter=1000):
+                     e_rel=1e-6, e_abs=0, max_iter=1000, adapt_step=False):
     """Build a pure linearized-ADMM solve: ``solve(x0) -> (x, iterations,
     converged, errors)`` (``errors`` = the Boyd §3.3.1 residual rows,
     shape ``(1, 4)``).
@@ -145,7 +145,7 @@ def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
         None, prox_f, step_f, proxs_g, steps_g,
         (Lop,) if prox_g is not None else (),
         e_rel, e_abs, max_iter, None, return_errors=True,
-        return_runner=True,
+        return_runner=True, adapt_step=adapt_step,
     )
 
     def solve(x0):
@@ -156,7 +156,7 @@ def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
 
 
 def make_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None, Ls=None,
-                     e_rel=1e-6, e_abs=0, max_iter=1000):
+                     e_rel=1e-6, e_abs=0, max_iter=1000, adapt_step=False):
     """Build a pure SDMM solve (M simultaneous constraints):
     ``solve(x0) -> (x, iterations, converged, errors)`` (``errors``
     shape ``(M, 4)``).
@@ -178,7 +178,7 @@ def make_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None, Ls=None,
     runner = _sdmm_core(
         None, prox_f, step_f, proxs_g, steps_g, Lops,
         e_rel, e_abs, max_iter, None, return_errors=False,
-        admm_convention=False, return_runner=True,
+        admm_convention=False, return_runner=True, adapt_step=adapt_step,
     )
 
     def solve(x0):

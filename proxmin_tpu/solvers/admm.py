@@ -69,6 +69,8 @@ class ADMMState(NamedTuple):
     r_prev: Any          # same structure as z
     history: Any         # (cap, M, 4) residual trace indexed by total_it
                          # (restarts keep appending; empty when trace off)
+    step_scale: Any      # residual-balancing multiplier on step_f
+                         # (adapt_step mode; pinned 1.0 otherwise)
 
 
 def _stack_errors(errors, multi):
@@ -84,7 +86,7 @@ def _stack_errors(errors, multi):
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
     callback, return_errors, trace=False, admm_convention=True,
-    cache_key=None, retain_refs=(), return_runner=False,
+    cache_key=None, retain_refs=(), return_runner=False, adapt_step=False,
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
@@ -94,6 +96,17 @@ def _sdmm_core(
     defaulted) to the convergence test (``algorithms.py:495``) while
     reference sdmm passes the evaluated value (``algorithms.py:625``);
     the flag selects which convention the single-constraint branch keeps.
+
+    ``adapt_step``: Boyd (2011) §3.4.1 residual balancing — when the
+    primal residual dominates (``||R|| > 10 ||S||``) the penalty rises,
+    i.e. the f-prox step SHRINKS by 2 (steps here are ~1/rho); when the
+    dual dominates it grows by 2; the scaled duals U rescale by the same
+    factor so the underlying multiplier ``y = U / step_g`` is continuous
+    (without the rescale the first adapted iteration takes a spurious
+    jump). The reference defines this adaptation (``utils.py:282-292``)
+    but never calls it — and with the opposite sign, which for
+    prox steps ~ 1/rho drives the residual imbalance FURTHER; see
+    ``tests/test_admm_sdmm.py`` for the measured iteration counts.
     """
     M = len(proxs_g)
     has_g = M > 0
@@ -133,6 +146,8 @@ def _sdmm_core(
         def body(state: ADMMState) -> ADMMState:
             it = state.it
             step_f_ = state.slack * step_fn(state.x, it=it)
+            if adapt_step:
+                step_f_ = step_f_ * state.step_scale
 
             if has_g:
                 if M == 1:
@@ -180,6 +195,23 @@ def _sdmm_core(
                     errors_arr.astype(history.dtype)
                 )
 
+            # residual balancing (Boyd §3.4.1): compare aggregate primal
+            # vs dual residual norms; adjust the step multiplier for the
+            # NEXT iteration and rescale the scaled duals to keep the
+            # multiplier y = U / step_g continuous
+            if adapt_step and has_g:
+                lR = jnp.sqrt(jnp.sum(errors_arr[:, 2] ** 2))
+                lS = jnp.sqrt(jnp.sum(errors_arr[:, 3] ** 2))
+                mu, tau = 10.0, 2.0
+                ratio = jnp.where(
+                    lR > mu * lS, 1.0 / tau,
+                    jnp.where(lS > mu * lR, tau, 1.0),
+                )
+                step_scale = state.step_scale * ratio
+                u = jax.tree_util.tree_map(lambda ui: ui * ratio, u)
+            else:
+                step_scale = state.step_scale
+
             # stall detector (reference algorithms.py:504-514 / 634-641):
             # X and primal residual unchanged since last iteration -> halve the
             # slack, reset the iteration counter, re-initialize Z and U
@@ -213,7 +245,7 @@ def _sdmm_core(
             return ADMMState(
                 x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
                 slack=slack, converged=conv, errors=errors_arr,
-                r_prev=r, history=history,
+                r_prev=r, history=history, step_scale=step_scale,
             )
 
         return body, init_zu
@@ -238,6 +270,7 @@ def _sdmm_core(
             history=jnp.zeros(
                 (_RESTART_BUDGET * max_iter if trace else 0, max(M, 1), 4)
             ),
+            step_scale=jnp.asarray(1.0, x.dtype),
         )
 
     total_cap = _RESTART_BUDGET * max_iter
@@ -322,6 +355,7 @@ def admm(
     max_iter=1000,
     callback=None,
     trace=False,
+    adapt_step=False,
 ):
     """Linearized Alternating Direction Method of Multipliers.
 
@@ -329,6 +363,13 @@ def admm(
     (``algorithms.py:426-520``): minimizes ``f(x) + g(L x)`` for two
     proxable functions, with ``step_g`` defaulting to
     ``step_f * ||L||_s^2`` and the stall-restart heuristic.
+
+    ``adapt_step=True`` enables Boyd §3.4.1 residual balancing with dual
+    rescaling (see ``_sdmm_core``): a mis-scaled ``step_f`` is corrected
+    on the fly by comparing primal/dual residual norms, typically a
+    large iteration-count win when the good step is not known a priori.
+    The reference defines this adaptation but never wires it
+    (``utils.py:282-292``).
 
     Returns:
         ``SolverResult`` unpacking as ``(converged, error)`` with
@@ -344,12 +385,13 @@ def admm(
         callable_key(step_f) if callable(step_f) else value_key(step_f),
         callable_key(prox_g) if prox_g is not None else None,
         value_key(step_g), value_key(L), float(e_rel), float(e_abs),
-        abstract_key((x0,)),
+        bool(adapt_step), abstract_key((x0,)),
     )
     state = _sdmm_core(
         x0, prox_f, step_f, proxs_g, steps_g, (Lop,) if prox_g is not None else (),
         e_rel, e_abs, max_iter, callback, return_errors=True, trace=trace,
         cache_key=cache_key, retain_refs=(prox_f, step_f, prox_g, L),
+        adapt_step=adapt_step,
     )
 
     # one batched device->host fetch (round trips are expensive on
@@ -388,6 +430,7 @@ def sdmm(
     max_iter=1000,
     callback=None,
     trace=False,
+    adapt_step=False,
 ):
     """Simultaneous-Direction Method of Multipliers (M constraints).
 
@@ -414,7 +457,7 @@ def sdmm(
         return admm(
             X, prox_f, step_f, prox_g=proxs_g, step_g=steps_g, L=Ls,
             e_rel=e_rel, e_abs=e_abs, max_iter=max_iter, callback=callback,
-            trace=trace,
+            trace=trace, adapt_step=adapt_step,
         )
 
     (x0,), originals, _ = tupleize(X)
@@ -435,7 +478,7 @@ def sdmm(
         tuple(callable_key(p) for p in proxs_g),
         nested_key(tuple(steps_g)),
         nested_key(tuple(Ls)),
-        float(e_rel), float(e_abs), abstract_key((x0,)),
+        float(e_rel), float(e_abs), bool(adapt_step), abstract_key((x0,)),
     )
     state = _sdmm_core(
         x0, prox_f, step_f, tuple(proxs_g), steps_g, Lops,
@@ -443,6 +486,7 @@ def sdmm(
         admm_convention=False,
         cache_key=cache_key,
         retain_refs=(prox_f, step_f, tuple(proxs_g), tuple(Ls), steps_g),
+        adapt_step=adapt_step,
     )
 
     conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(

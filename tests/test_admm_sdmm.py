@@ -428,3 +428,66 @@ def test_bsdmm_weighted_stepper_callback_mode(rng):
     pt.nmf.nmf(Y, A2, S2, W=W, algorithm="bsdmm", e_rel=0, max_iter=20,
                step_stride=10)
     np.testing.assert_allclose(S1, S2, rtol=1e-12, atol=1e-14)
+
+
+def test_admm_adapt_step_corrects_misscaled_steps(rng):
+    """Boyd §3.4.1 residual balancing (adapt_step=True): a step_f wrong
+    by orders of magnitude converges in a few dozen iterations instead
+    of thousands, while a well-scaled step is left untouched (the
+    balance band ||R|| <= 10 ||S|| never trips). The reference defines
+    this adaptation but never wires it (utils.py:282-292)."""
+    n = 64
+    y = jnp.asarray(np.cumsum(rng.normal(size=n)) + 0.3 *
+                    rng.normal(size=n))
+    D = jnp.asarray(np.eye(n)[1:] - np.eye(n)[:-1])
+
+    def prox_f(v, step):
+        return (v + step * y) / (1.0 + step)
+
+    def prox_tv(v, step):
+        return operators.prox_soft(v, step, thresh=0.5)
+
+    # reference point: a good fixed step
+    r_good = admm(y, prox_f, 0.5, prox_g=prox_tv, L=D, e_rel=1e-5,
+                  max_iter=10000)
+    assert r_good.converged
+
+    for bad in (0.005, 50.0):
+        r_fix = admm(y, prox_f, bad, prox_g=prox_tv, L=D, e_rel=1e-5,
+                     max_iter=10000)
+        r_ad = admm(y, prox_f, bad, prox_g=prox_tv, L=D, e_rel=1e-5,
+                    max_iter=10000, adapt_step=True)
+        assert r_ad.converged
+        # at least 10x fewer iterations than the fixed mis-scaled step
+        assert r_ad.iterations * 10 <= max(r_fix.iterations, 1000)
+        # same solution as the well-stepped solve
+        np.testing.assert_allclose(np.asarray(r_ad.x),
+                                   np.asarray(r_good.x), atol=5e-4)
+
+    # well-scaled step: adaptation never trips, solve is identical
+    r_ad0 = admm(y, prox_f, 0.5, prox_g=prox_tv, L=D, e_rel=1e-5,
+                 max_iter=10000, adapt_step=True)
+    assert r_ad0.iterations == r_good.iterations
+    np.testing.assert_allclose(np.asarray(r_ad0.x), np.asarray(r_good.x),
+                               rtol=0, atol=0)
+
+
+def test_sdmm_adapt_step(rng):
+    """adapt_step on the multi-constraint driver: mis-scaled step
+    recovers and reaches the same constrained optimum."""
+    def prox_halfplane(v, step):
+        return v.at[0].set(jnp.maximum(v[0], 0.15))
+
+    r_good = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 0.5,
+                  proxs_g=[prox_disk, prox_halfplane], e_rel=1e-7,
+                  max_iter=20000)
+    r_ad = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 200.0,
+                proxs_g=[prox_disk, prox_halfplane], e_rel=1e-7,
+                max_iter=20000, adapt_step=True)
+    r_fix = sdmm(jnp.asarray([-1.0, -1.0]), prox_f_quad, 200.0,
+                 proxs_g=[prox_disk, prox_halfplane], e_rel=1e-7,
+                 max_iter=20000)
+    assert r_ad.converged
+    assert r_ad.iterations < r_fix.iterations
+    np.testing.assert_allclose(np.asarray(r_ad.x), np.asarray(r_good.x),
+                               atol=1e-4)
