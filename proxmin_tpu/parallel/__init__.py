@@ -16,6 +16,10 @@ from .sharding import (  # noqa: F401
     nmf_pgm_sharded,
     prox_unity_sharded,
 )
+from .distributed import (  # noqa: F401
+    DistributedInfo,
+    initialize_distributed,
+)
 
 __all__ = [
     "make_mesh",
@@ -23,4 +27,6 @@ __all__ = [
     "make_nmf_pgm_step",
     "nmf_pgm_sharded",
     "prox_unity_sharded",
+    "initialize_distributed",
+    "DistributedInfo",
 ]

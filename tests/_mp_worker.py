@@ -1,0 +1,55 @@
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from proxmin_tpu.parallel import initialize_distributed, make_mesh
+
+addr, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+info = initialize_distributed(coordinator_address=addr,
+                              num_processes=nproc, process_id=pid)
+assert info.process_count == nproc, info
+assert info.global_device_count == nproc, info
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = make_mesh()  # all global devices, 1-D ('data',)
+assert mesh.devices.size == nproc
+
+# one global psum over the mesh: each process contributes its shard
+local = np.full((4,), float(pid + 1), np.float32)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local)
+
+@jax.jit
+def total(x):
+    return jnp.sum(x)
+
+out = float(total(garr))
+expect = 4.0 * sum(range(1, nproc + 1))
+assert out == expect, (out, expect)
+print(f"proc {pid}: global sum {out} OK", flush=True)
+
+# an actual sharded PGM-NMF training step across the process group:
+# Y/S shard over pixels (each process holds its local pixel block), A
+# replicated; the grad_A contraction psums across processes
+from proxmin_tpu.parallel import make_nmf_pgm_step
+
+C, K, N_local = 4, 3, 16
+rng = np.random.default_rng(7)           # same seed: replicated A
+A = rng.random((C, K)).astype(np.float32)
+S_local = np.random.default_rng(100 + pid).random((K, N_local)).astype(np.float32)
+Y_local = np.random.default_rng(200 + pid).random((C, N_local)).astype(np.float32)
+
+Yg = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(None, "data")), Y_local)
+Sg = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(None, "data")), S_local)
+Ag = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P(None, None)))
+
+step = make_nmf_pgm_step(mesh)
+A1, S1, loss = step(Ag, Sg, Yg, None)
+jax.block_until_ready((A1, S1, loss))
+assert np.isfinite(float(loss))
+assert A1.shape == (C, K) and S1.shape == (K, N_local * nproc)
+print(f"proc {pid}: sharded NMF step loss {float(loss):.4f} OK", flush=True)
