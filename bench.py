@@ -216,22 +216,31 @@ def bench_tpu(Y, A0, S0):
     S = jnp.asarray(S0)
 
     # --- engine 1: XLA-fused solver loop --------------------------------
-    def body(i, carry):
-        A, S, _ = carry
-        return pgm_nmf_iteration(A, S, Y_dev)
-
+    # Y rides as a jit ARGUMENT, exactly like the production drivers
+    # (common.split_partial_data): closure-capturing it embeds a 20 MB
+    # HLO constant whose serialization through the remote-lowering path
+    # dominated "compile" time in earlier rounds (measured 387s lower +
+    # 10s compile captured vs 0.2s + 1.6s as an argument — the r02
+    # "1497s compile cliff" was THIS, not XLA compile time).
     @jax.jit
-    def run_xla(A, S, n):
+    def run_xla(A, S, Y, n):
+        def body(i, carry):
+            A, S, _ = carry
+            return pgm_nmf_iteration(A, S, Y)
+
         return jax.lax.fori_loop(0, n, body, (A, S, jnp.asarray(False)))
 
     def call_xla(n):
-        out = run_xla(A, S, n)
+        out = run_xla(A, S, Y_dev, n)
         np.asarray(out[2])         # conv flag is a live output
         return np.asarray(out[0])  # tiny transfer forces real completion
 
     t0 = time.perf_counter()
-    call_xla(ITERS_LO)  # compile
+    lowered = run_xla.lower(A, S, Y_dev, ITERS_LO)
+    compiled_obj = lowered.compile()
     compile_time = time.perf_counter() - t0
+    call_xla(ITERS_LO)  # first dispatch (may hit a tunnel stall; timed
+    del compiled_obj    # separately from compile on purpose)
     t_xla, first = _timed(call_xla, ITERS_LO, ITERS_HI)
     fixed = max(first - ITERS_LO * t_xla, 0.0)
     log(f"tpu/xla:    {t_xla * 1e3:.3f} ms/iter (marginal; "
@@ -240,12 +249,6 @@ def bench_tpu(Y, A0, S0):
     # naive bound: read Y (C*N) + read S + write S (K*N each), f32
     bytes_naive = (C * N + 2 * K * N) * 4
     gbs = roofline("tpu/xla", t_xla, bytes_naive)
-
-    # skip the second engine when compiles are cold and very slow (keeps
-    # the bench inside external time budgets; xla is the default engine)
-    if compile_time > 240:
-        log("tpu/pallas: skipped (cold-compile budget)")
-        return t_xla, "xla", gbs, compile_time
 
     # --- engine 2: fully-fused Pallas iteration kernel ------------------
     run_pallas = _make_fused_pgm_runner(
@@ -269,10 +272,13 @@ def bench_tpu(Y, A0, S0):
 
 
 def bench_tpu_weighted(Y, A0, S0, W):
-    """Weighted flagship through the production ``nmf()`` driver: the
-    warm-started :class:`~proxmin_tpu.nmf.WeightedPGMStepper` running in
-    the pgm driver's segmented mode (refresh hoisted out of the hot
-    loop), including the full convergence machinery."""
+    """Weighted flagship through the production ``nmf()`` driver, three
+    engines: (a) XLA driver with the warm-started
+    :class:`~proxmin_tpu.nmf.WeightedPGMStepper` in segmented mode,
+    fixed stride; (b) the same with the ADAPTIVE stride (in-carry
+    ApproximateCache growth — refreshes become rare as A settles);
+    (c) the fused single-pass Pallas iteration kernel
+    (``engine='pallas'``), fixed stride."""
     import jax.numpy as jnp
     import proxmin_tpu as pt
 
@@ -280,23 +286,31 @@ def bench_tpu_weighted(Y, A0, S0, W):
     W_dev = jnp.asarray(W)
     A = jnp.asarray(A0)
     S = jnp.asarray(S0)
+    bytes_naive = (2 * C * N + 2 * K * N) * 4  # + W read per iteration
 
-    def call(n):
-        res = pt.nmf.nmf(Y_dev, A, S, W=W_dev, e_rel=0, max_iter=n,
-                         step_stride=STRIDE)
-        return np.asarray(res.x[0])
+    out = {}
+    variants = (
+        ("xla-stride", dict(step_stride=STRIDE)),
+        ("xla-adapt", dict(step_stride=STRIDE, step_adapt=True)),
+        ("pallas-stride", dict(step_stride=STRIDE, engine="pallas")),
+    )
+    for name, kw in variants:
+        def call(n, _kw=kw):
+            res = pt.nmf.nmf(Y_dev, A, S, W=W_dev, e_rel=0, max_iter=n,
+                             **_kw)
+            return np.asarray(res.x[0])
 
-    t0 = time.perf_counter()
-    call(W_ITERS_LO)  # compile
-    compile_time = time.perf_counter() - t0
-    t_w, first = _timed(call, W_ITERS_LO, W_ITERS_HI)
-    fixed = max(first - W_ITERS_LO * t_w, 0.0)
-    log(f"tpu/weighted(stride={STRIDE}): {t_w * 1e3:.3f} ms/iter "
-        f"(marginal; ~{fixed * 1e3:.0f} ms fixed/call; "
-        f"compile {compile_time:.0f}s)")
-    # weighted adds a W read per iteration
-    roofline("tpu/weighted", t_w, (2 * C * N + 2 * K * N) * 4)
-    return t_w
+        t0 = time.perf_counter()
+        call(W_ITERS_LO)  # compile
+        compile_time = time.perf_counter() - t0
+        t_w, first = _timed(call, W_ITERS_LO, W_ITERS_HI)
+        fixed = max(first - W_ITERS_LO * t_w, 0.0)
+        log(f"tpu/weighted[{name}]: {t_w * 1e3:.3f} ms/iter "
+            f"(marginal; ~{fixed * 1e3:.0f} ms fixed/call; "
+            f"compile {compile_time:.0f}s)")
+        roofline(f"tpu/weighted[{name}]", t_w, bytes_naive)
+        out[name] = t_w
+    return out
 
 
 def bench_tpu_adaprox(Y, A0, S0):
@@ -388,7 +402,8 @@ def main():
 
     t_tpu, engine, gbs, compile_s = bench_tpu(Y, A0, S0)
     log(f"tpu best ({engine}): {t_tpu * 1e3:.3f} ms/iter")
-    t_tpu_w = bench_tpu_weighted(Y, A0, S0, W)
+    t_ws = bench_tpu_weighted(Y, A0, S0, W)
+    t_tpu_w = min(t_ws.values())
     t_tpu_a = bench_tpu_adaprox(Y, A0, S0)
     t_e2e, e2e_iters = bench_e2e(Y, A0, S0)
 
@@ -400,6 +415,10 @@ def main():
     extra = {
         "weighted_stride10_per_iter_speedup_vs_numpy": round(speedup_w, 1),
         "weighted_tpu_ms_per_iter": round(t_tpu_w * 1e3, 4),
+        "weighted_variants_ms_per_iter": {
+            k: round(v * 1e3, 4) for k, v in t_ws.items()
+        },
+        "flagship_compile_seconds": round(compile_s, 1),
         "e2e_2000iter_seconds": round(t_e2e, 3),
         "e2e_iterations": e2e_iters,
         "e2e_speedup_vs_numpy_equiv": round(e2e_speedup, 1),
