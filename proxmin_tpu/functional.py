@@ -73,7 +73,7 @@ def make_pgm_solver(grad, step, prox=None, accelerated=False,
 def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
                         b2=0.999, eps=1e-8, p=0.25, check_convergence=True,
                         e_rel=1e-6, max_iter=1000, prox_max_iter=1000,
-                        f=None, separable_prox=False):
+                        f=None, separable_prox=False, moment_dtype=None):
     """Build a pure AdaProx solve: ``solve(*x0) -> (x, M, V, Vhat,
     iterations, converged, diverged)`` (cold-started moments).
 
@@ -109,8 +109,10 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         body = _make_adaprox_body(g, stepper, prox_t, has_prox, phi_psi,
                                   b1, b2, eps, p, e_rel_t,
                                   check_convergence, prox_max_iter,
-                                  separable=separable)
-        zeros = tuple(jnp.zeros_like(x) for x in x0)
+                                  separable=separable,
+                                  moment_dtype=moment_dtype)
+        zeros = tuple(jnp.zeros(x.shape, moment_dtype or x.dtype)
+                      for x in x0)
         state = init_adaprox_state(x0, zeros, zeros, zeros, stepper, g,
                                    n, max_iter, trace=False)
         cond = make_adaprox_cond(check_convergence, max_iter)

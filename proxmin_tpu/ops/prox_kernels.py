@@ -6,10 +6,16 @@ read + one write at exactly memory bandwidth) and as the building blocks
 for fused update kernels. Each is parity-tested against the jnp operator
 library (``proxmin_tpu.operators``).
 
-All kernels stream (8, TILE_N) float32 tiles through VMEM on a 1-D grid;
-inputs are zero-padded to tile boundaries (zeros are fixed points of every
+All kernels stream (8, TILE_N) tiles through VMEM on a 1-D grid; inputs
+are zero-padded to tile boundaries (zeros are fixed points of every
 operator here, so padding is harmless, except ``prox_unity`` which
 normalizes along the unsharded factor axis and masks padding explicitly).
+
+Dtypes: compute is float32 (the TPU datapath), except float64 inputs,
+which run in full f64 in interpreter mode (CPU) and raise a TypeError
+on real TPU instead of silently downcasting — x64 parity
+configurations route through ``proxmin_tpu.operators`` or interpret
+mode (see :func:`_compute_dtype`).
 """
 
 import functools
@@ -41,14 +47,33 @@ def _auto_interpret(interpret):
     return interpret
 
 
+def _compute_dtype(X, interpret):
+    """Kernel compute dtype: f32 for everything except f64 inputs, which
+    keep full precision in interpreter mode (CPU) and RAISE on real TPU
+    — the MXU/VPU have no f64, and a silent f32 round-trip would
+    invisibly degrade x64 parity configurations (VERDICT r2 #10)."""
+    if X.dtype == jnp.dtype("float64"):
+        if not interpret:
+            raise TypeError(
+                "float64 input to a Pallas prox kernel on TPU: the "
+                "hardware has no f64 datapath, so the kernel would "
+                "silently round-trip through f32. Cast to float32 or "
+                "use the jnp operators (proxmin_tpu.operators.*), "
+                "which keep f64 end to end."
+            )
+        return jnp.float64
+    return jnp.float32
+
+
 def _elementwise_call(kernel, X, thresh, interpret):
     """Run an elementwise kernel over a 2-D array with (rows, TILE) tiles."""
     R, C = X.shape
+    cdt = _compute_dtype(X, interpret)
     Rp = _round_up(max(R, _SUBLANE), _SUBLANE)
     tile = min(_TILE_N, _round_up(C, _LANE))
     Cp = _round_up(C, tile)
-    Xp = jnp.pad(X.astype(jnp.float32), ((0, Rp - R), (0, Cp - C)))
-    t = jnp.full((1, 1), thresh, jnp.float32)
+    Xp = jnp.pad(X.astype(cdt), ((0, Rp - R), (0, Cp - C)))
+    t = jnp.full((1, 1), thresh, cdt)
 
     out = pl.pallas_call(
         kernel,
@@ -61,7 +86,7 @@ def _elementwise_call(kernel, X, thresh, interpret):
         ],
         out_specs=pl.BlockSpec((Rp, tile), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Rp, Cp), cdt),
         interpret=interpret,
     )(Xp, t)
     return out[:R, :C].astype(X.dtype)

@@ -230,7 +230,7 @@ def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
 
 def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
                        p, e_rel, check_convergence, prox_max_iter,
-                       trace=False, separable=None):
+                       trace=False, separable=None, moment_dtype=None):
     n = len(prox)
     if separable is None:
         separable = (False,) * n
@@ -249,10 +249,23 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             # float; cast both to the block dtype so f32 iterates stay
             # f32 under enabled x64
             dt = state.x[j].dtype
+            # moment_dtype (e.g. bf16) halves the moment HBM traffic —
+            # the carry STORES reduced precision, the EMA/bias math
+            # computes in the block dtype (cast up here, down on store)
+            Mj_in, Vj_in, Vhatj_in = (
+                (state.M[j].astype(dt), state.V[j].astype(dt),
+                 state.Vhat[j].astype(dt))
+                if moment_dtype is not None
+                else (state.M[j], state.V[j], state.Vhat[j])
+            )
             Phi, Psi, Mj, Vj, Vhatj = phi_psi(
-                it, G[j], state.M[j], state.V[j], state.Vhat[j],
+                it, G[j], Mj_in, Vj_in, Vhatj_in,
                 b1.astype(dt), jnp.asarray(b2, dt), eps, p
             )
+            if moment_dtype is not None:
+                Mj = Mj.astype(moment_dtype)
+                Vj = Vj.astype(moment_dtype)
+                Vhatj = Vhatj.astype(moment_dtype)
             xj = state.x[j] - Alpha[j] * Phi / Psi
 
             if has_prox[j] and separable[j]:
@@ -335,6 +348,7 @@ def adaprox(
     trace=False,
     f=None,
     separable_prox=False,
+    moment_dtype=None,
 ):
     """Adaptive Proximal Gradient Method (proximal Adam family).
 
@@ -364,6 +378,17 @@ def adaprox(
     ``thresh=0``; soft/soft_plus/max_entropy only with
     ``type="relative"``; hard excluded (L0 is nonconvex). Default
     ``False`` preserves exact reference-iterate parity.
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores the M/V/Vhat moment
+    arrays in reduced precision in the solver carry: the EMA/bias math
+    still computes in the iterate dtype (cast up per iteration, down on
+    store). This is a CAPACITY option — moment memory halves for
+    problems near the HBM limit; on v5e it measures slightly SLOWER
+    than f32 (0.26 vs 0.19 ms/iter at the flagship: the cast VPU work
+    exceeds the bandwidth saved, same pattern as bf16 ``store_dtype``
+    — see the AdaProx roofline in ``docs/BENCHMARKS.md``). Moment EMAs
+    carry bf16 rounding (~3 decimal digits); iterates/convergence tests
+    stay full precision. Default ``None`` = iterate dtype (parity).
 
     Returns:
         ``SolverResult`` unpacking as ``(converged, M, V, Vhat)`` like the
@@ -415,11 +440,14 @@ def adaprox(
         return tuple(given)
 
     def moments_as_arrays(given, xs):
-        """Concrete (traced or eager) moment blocks from user input."""
+        """Concrete (traced or eager) moment blocks from user input,
+        in the storage dtype (``moment_dtype`` or the block dtype)."""
         if given is None:
-            return tuple(jnp.zeros_like(x) for x in xs)
+            return tuple(
+                jnp.zeros(x.shape, moment_dtype or x.dtype) for x in xs
+            )
         return tuple(
-            jnp.array(g, copy=True, dtype=x.dtype)
+            jnp.array(g, copy=True, dtype=moment_dtype or x.dtype)
             for g, x in zip(given, xs)
         )
 
@@ -436,6 +464,7 @@ def adaprox(
            float(b2), float(eps), float(p), e_rel, check_convergence,
            max_iter, prox_max_iter, trace, callback is None,
            hash(np.asarray(b1).tobytes()),  # b1 schedule is a trace constant
+           str(moment_dtype) if moment_dtype is not None else None,
            abstract_key(x0))
 
     # large partial-bound data rides as jit arguments, not trace
@@ -456,7 +485,7 @@ def adaprox(
             body = _make_adaprox_body(
                 g, st, pr, has_prox, phi_psi, b1, b2, eps, p, e_rel,
                 check_convergence, prox_max_iter, trace=trace,
-                separable=separable,
+                separable=separable, moment_dtype=moment_dtype,
             )
             return body, g, st
 

@@ -321,3 +321,47 @@ def test_adaprox_list_b1_schedule():
     r = pt.adaprox(jnp.zeros(2), lambda x: x - c, 0.1, b1=[0.5] * 30,
                    max_iter=30, check_convergence=False)
     assert np.isfinite(np.asarray(r.x)).all()
+
+
+def test_moment_dtype_bf16_storage(rng):
+    """moment_dtype=bf16: moments stored reduced-precision, iterates
+    full precision; the solve still reaches the constrained optimum and
+    returned moments carry the storage dtype."""
+    center = jnp.asarray(np.array([1.0, 0.5], np.float32))
+
+    def grad(x):
+        return x - center
+
+    def prox(x, step):
+        return jnp.maximum(x, 0.0)
+
+    x0 = jnp.asarray(np.array([-1.0, -1.0], np.float32))
+    r16 = adaprox(x0, grad, 0.1, prox=prox, scheme="adam", e_rel=1e-7,
+                  max_iter=3000, moment_dtype=jnp.bfloat16)
+    r32 = adaprox(x0, grad, 0.1, prox=prox, scheme="adam", e_rel=1e-7,
+                  max_iter=3000)
+    assert r16.x.dtype == jnp.float32
+    assert r16.M[0].dtype == jnp.bfloat16
+    assert r32.M[0].dtype == jnp.float32
+    # both land on the analytic optimum (projection of center)
+    np.testing.assert_allclose(np.asarray(r16.x), [1.0, 0.5], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r32.x), [1.0, 0.5], atol=1e-3)
+
+
+def test_moment_dtype_amsgrad_warmstart_roundtrip(rng):
+    """Vhat-using scheme + warm start: reduced-precision moments resume
+    cleanly (M/V/Vhat accepted back in storage dtype)."""
+    center = jnp.asarray(np.array([0.3, 0.8], np.float32))
+
+    def grad(x):
+        return x - center
+
+    x0 = jnp.asarray(np.array([2.0, 2.0], np.float32))
+    r1 = adaprox(x0, grad, 0.1, scheme="amsgrad", check_convergence=False,
+                 max_iter=50, moment_dtype=jnp.bfloat16)
+    r2 = adaprox(r1.x, grad, 0.1, scheme="amsgrad",
+                 check_convergence=False, max_iter=450,
+                 M=r1.M, V=r1.V, Vhat=r1.Vhat,
+                 moment_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(center),
+                               atol=2e-2)

@@ -387,3 +387,38 @@ def test_fused_weighted_masked_pixels(rng):
                      engine="pallas")
     assert np.isfinite(np.asarray(res.x[0])).all()
     assert np.isfinite(np.asarray(res.x[1])).all()
+
+
+def test_prox_kernels_f64_exact_in_interpret_mode(rng):
+    """x64 parity THROUGH the kernels (VERDICT r2 #10): f64 inputs keep
+    full precision in interpreter mode — results match the f64 jnp
+    operators bit-for-bit, beyond f32 representability."""
+    X = jnp.asarray(rng.normal(size=(5, 137)) * (1 + 1e-12))
+    assert X.dtype == jnp.float64   # conftest enables x64
+    np.testing.assert_array_equal(
+        np.asarray(prox_plus_pallas(X, 0.5)),
+        np.asarray(op.prox_plus(X, 0.5)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prox_soft_pallas(X, 0.5, thresh=0.3)),
+        np.asarray(op.prox_soft(X, 0.5, thresh=0.3)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prox_hard_pallas(X, 0.5, thresh=0.3)),
+        np.asarray(op.prox_hard(X, 0.5, thresh=0.3)),
+    )
+    Xp = jnp.asarray(0.1 + rng.random((6, 99)))
+    np.testing.assert_allclose(
+        np.asarray(prox_unity_pallas(Xp, 0.5)),
+        np.asarray(op.prox_unity(Xp, 0.5)),
+        rtol=1e-15,
+    )
+
+
+def test_prox_kernels_f64_raises_on_compiled_path(rng):
+    """On a real TPU (interpret=False) f64 must raise, not silently
+    round-trip through f32."""
+    X = jnp.asarray(rng.normal(size=(4, 64)))
+    assert X.dtype == jnp.float64
+    with pytest.raises(TypeError, match="float64"):
+        prox_plus_pallas(X, 0.5, interpret=False)
