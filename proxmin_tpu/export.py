@@ -212,16 +212,21 @@ def export_bsdmm_solver(x_shapes, proxs_f, steps_f_cb, proxs_g=None,
 def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
                       prox_S=operators.prox_plus,
                       e_rel=1e-3, tile_n=8192, dtype=jnp.float32,
-                      store_dtype=None, weighted=False, step_stride=None):
+                      store_dtype=None, weighted=False, step_stride=None,
+                      step_adapt=False):
     """Serialize the fused PGM-NMF solver for a fixed (C, K, N) shape.
 
     Returns the serialized bytes. The embedded executable has the
     signature ``(A: (C,K), S: (K,N), Y: (C,N), max_iter: i32)`` — or,
     with ``weighted=True``, ``(A, S, Y, W: (C,N), max_iter)`` using the
     weighted fused runner (warm-started strided Lipschitz refresh when
-    ``step_stride`` is set). ``prox_S=None`` means identity (same
-    convention as ``nmf``); ``store_dtype`` is unweighted-only.
+    ``step_stride`` is set; ``step_adapt=True`` bakes the in-carry
+    adaptive stride growth). ``prox_S=None`` means identity (same
+    convention as ``nmf``); ``store_dtype``/``step_adapt`` pair with
+    unweighted/weighted respectively.
     """
+    assert not (step_adapt and not weighted), \
+        "step_adapt applies to the weighted Lipschitz refresh only"
     if prox_A is None:
         prox_A = operators.prox_id
     if prox_S is None:
@@ -233,6 +238,7 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
         run = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
             int(N), jnp.dtype(dtype), step_stride,
+            adapt=bool(step_adapt),
         )
         args = (
             jax.ShapeDtypeStruct((C, K), dtype),

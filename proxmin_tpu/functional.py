@@ -341,20 +341,35 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     return solve
 
 
-def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000):
+def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
+                    weighted=False, cold_iters=32, warm_iters=8,
+                    safety=0.9):
     """Build a pure PGM-NMF solve with the DATA as an argument:
-    ``solve(A0, S0, Y) -> (A, S, iterations, converged)``.
+    ``solve(A0, S0, Y) -> (A, S, iterations, converged)`` — or, with
+    ``weighted=True``, ``solve(A0, S0, Y, W)``.
 
     Unlike :func:`proxmin_tpu.nmf.nmf` (a host driver that binds Y
-    internally), the returned callable is pure with ``Y`` as an input —
-    so ``jax.vmap(solve)`` factorizes a whole BATCH of problems (e.g.
-    per-patch unmixing of an image grid) in one compiled call, each lane
-    running the reference-math PGM-NMF iteration (gradients, on-device
-    Lipschitz steps, non-negativity by default) until its own
-    fixed-point tolerance.
+    internally), the returned callable is pure with ``Y`` (and ``W``)
+    as inputs — so ``jax.vmap(solve)`` factorizes a whole BATCH of
+    problems (e.g. per-patch unmixing of an image grid) in one compiled
+    call, each lane running the reference-math PGM-NMF iteration
+    (gradients, on-device Lipschitz steps, non-negativity by default)
+    until its own fixed-point tolerance.
+
+    The weighted Lipschitz bounds use only matvec/elementwise power
+    iterations (vmap-safe; batched ``eigvalsh`` has no efficient TPU
+    lowering): the C channel Grams by ``cold_iters`` passes, the
+    per-pixel bound by the implicit batched power iteration with its
+    iterate warm-started ACROSS solver iterations in the loop carry
+    (``cold_iters`` passes on the first iteration, ``warm_iters``
+    after), shrunk by ``safety`` to guard the warm estimate — the same
+    machinery as :class:`proxmin_tpu.nmf.WeightedPGMStepper` at
+    stride 1.
     """
     from . import operators as _ops
-    from .nmf import grad_likelihood
+    from .nmf import (
+        _weighted_lipschitz_S, _weighted_lipschitz_S_v0, grad_likelihood,
+    )
     from .utils import fixed_point_converged
 
     pA = prox_A if prox_A is not None else _ops.prox_plus
@@ -377,7 +392,24 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000):
         return (v @ G @ v) / jnp.maximum(jnp.sum(v * v),
                                          jnp.finfo(G.dtype).tiny)
 
-    def solve(A0, S0, Y):
+    def lam_max_psd_batch(H, iters):
+        # batched power iteration over a stack of tiny PSD Grams
+        c, k, _ = H.shape
+        u = jnp.ones((c, k), H.dtype) + 0.01 * jnp.arange(k, dtype=H.dtype)
+
+        def body(_, u):
+            w = jnp.einsum("ckl,cl->ck", H, u)
+            ssq = jnp.sum(w * w, axis=1, keepdims=True)
+            return w * jax.lax.rsqrt(jnp.maximum(ssq,
+                                                 jnp.finfo(H.dtype).tiny))
+
+        u = jax.lax.fori_loop(0, iters, body, u)
+        hu = jnp.einsum("ckl,cl->ck", H, u)
+        ray = jnp.sum(u * hu, axis=1) / jnp.maximum(
+            jnp.sum(u * u, axis=1), jnp.finfo(H.dtype).tiny)
+        return jnp.max(ray)
+
+    def solve_unweighted(A0, S0, Y):
         def body(c):
             A, S, it, _ = c
             gA, gS = grad_likelihood(A, S, Y=Y)
@@ -399,4 +431,34 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000):
         )
         return A, S, it, conv
 
-    return solve
+    def solve_weighted(A0, S0, Y, W):
+        def body(c):
+            A, S, v, it, _ = c
+            gA, gS = grad_likelihood(A, S, Y=Y, W=W)
+            H = jnp.einsum("kn,cn,ln->ckl", S, W, S)
+            LA = lam_max_psd_batch(H, cold_iters)
+            LS, v = _weighted_lipschitz_S(
+                A, W, jnp.where(it == 0, cold_iters, warm_iters),
+                v0=v, return_v=True,
+            )
+            sA = safety / LA
+            sS = safety / LS
+            A_new = pA(A - sA * gA, sA)
+            S_new = pS(S - sS * gS, sS)
+            conv = jnp.logical_and(
+                fixed_point_converged(A_new, A, e_rel),
+                fixed_point_converged(S_new, S, e_rel),
+            )
+            return A_new, S_new, v, it + 1, conv
+
+        def cond(c):
+            return jnp.logical_and(c[3] < max_iter, jnp.logical_not(c[4]))
+
+        v0 = _weighted_lipschitz_S_v0(S0.shape[1], A0.shape[1],
+                                      jnp.result_type(A0, S0, W))
+        A, S, _, it, conv = jax.lax.while_loop(
+            cond, body, (A0, S0, v0, jnp.int32(0), jnp.asarray(False))
+        )
+        return A, S, it, conv
+
+    return solve_weighted if weighted else solve_unweighted

@@ -351,32 +351,77 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
     def init_bsdmm_state(self, xs):
         A, S = xs
         dtype = jnp.result_type(A, S)
-        return _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
+        v0 = _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
+        if not self.adapt:
+            return v0
+        # adaptive mode: per-block refresh interval + next-refresh sweep
+        # (index 0 = A block, 1 = S block) ride with the power iterate
+        return (v0, jnp.full((2,), self.stride, jnp.int32),
+                jnp.zeros((2,), jnp.int32))
+
+    def _grow(self, stride_j, cached, step_new, it):
+        """Per-block ApproximateCache growth; suppressed on the first
+        sweep (the carried step initializes to 1.0, not a real bound,
+        so first-refresh 'drift' would be meaningless)."""
+        grown = utils.grow_stride(
+            stride_j, (cached,), (step_new,),
+            (1.0 - self.safety) / 2, self.max_stride,
+        )
+        return jnp.where(it > 0, grown, stride_j)
 
     def __call__(self, Xs, j=None, state=None, it=None, cached=None):
         A, S = Xs
         W = self.W
-        refresh_now = it % self.stride == 0
+        if self.adapt:
+            v, strides, nxt = state
+            refresh_now = it >= nxt[j]
+        else:
+            v = state
+            refresh_now = it % self.stride == 0
+
         if j == 0:
             # A-block bound; the power iterate passes through untouched
             # (outside the cond — no 28 MB flow through the branch)
-            step = jax.lax.cond(
-                refresh_now,
-                lambda: jnp.asarray(
-                    self.safety / _weighted_lipschitz_A(S, W), cached.dtype),
-                lambda: cached,
-            )
-            return step, state
+            def refresh_a():
+                s_new = jnp.asarray(
+                    self.safety / _weighted_lipschitz_A(S, W), cached.dtype)
+                if not self.adapt:
+                    return (s_new,)
+                stride_j = self._grow(strides[0], cached, s_new, it)
+                return s_new, stride_j, it + stride_j
 
-        def refresh(v):
+            def keep_a():
+                if not self.adapt:
+                    return (cached,)
+                return cached, strides[0], nxt[0]
+
+            out = jax.lax.cond(refresh_now, refresh_a, keep_a)
+            if not self.adapt:
+                return out[0], state
+            step, stride_j, nxt_j = out
+            return step, (v, strides.at[0].set(stride_j),
+                          nxt.at[0].set(nxt_j))
+
+        def refresh_s(v):
             LS, v = _weighted_lipschitz_S(A, W, self._refresh_iters(it),
                                           v0=v, return_v=True)
-            return jnp.asarray(self.safety / LS, cached.dtype), v
+            s_new = jnp.asarray(self.safety / LS, cached.dtype)
+            if not self.adapt:
+                return s_new, v
+            stride_j = self._grow(strides[1], cached, s_new, it)
+            return s_new, v, stride_j, it + stride_j
 
-        step, v = jax.lax.cond(
-            refresh_now, refresh, lambda v: (cached, v), state
-        )
-        return step, v
+        def keep_s(v):
+            if not self.adapt:
+                return cached, v
+            return cached, v, strides[1], nxt[1]
+
+        out = jax.lax.cond(refresh_now, refresh_s, keep_s, v)
+        if not self.adapt:
+            step, v = out
+            return step, v
+        step, v, stride_j, nxt_j = out
+        return step, (v, strides.at[1].set(stride_j), nxt.at[1].set(nxt_j))
 
 
 
@@ -913,23 +958,26 @@ def nmf(
 
     bsdmm = getattr(algorithms, "bsdmm", None)
     if bsdmm is not None and algorithm is bsdmm:
-        if step_adapt:
+        weighted_default = step is None and not _is_unweighted(W)
+        if step_adapt and not weighted_default:
             raise ValueError(
-                "step_adapt is not supported for algorithm='bsdmm' "
-                "(its per-block steps refresh inside the Gauss-Seidel "
-                "sweep); use a fixed step_stride there"
+                "step_adapt for algorithm='bsdmm' is supported on the "
+                "weighted default-step path (the expensive per-block "
+                "Lipschitz bounds); use a fixed step_stride for custom "
+                "steps or unweighted problems"
             )
         prox_f, step_f = _bsdmm_adapters(Y, W, tuple(prox), step,
                                          Y_orig, W_orig)
-        if step_stride is not None and step_stride > 1:
-            if step is None and not _is_unweighted(W):
+        if strided:
+            if weighted_default:
                 # warm-started per-block weighted bounds (each block's
                 # refresh computes only its own bound) — the bsdmm
                 # analogue of WeightedPGMStepper
-                step_f = WeightedBSDMMStepper(W, stride=step_stride)
+                step_f = WeightedBSDMMStepper(W, stride=stride0,
+                                              adapt=step_adapt)
             else:
                 algorithm_args = dict(algorithm_args,
-                                      steps_f_stride=int(step_stride))
+                                      steps_f_stride=stride0)
         return bsdmm(
             X, prox_f, step_f,
             max_iter=max_iter, e_rel=e_rel, callback=callback,

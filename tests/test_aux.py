@@ -787,3 +787,58 @@ def test_nmf_step_adapt_unweighted_and_adaprox(rng):
         pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
                    algorithm="bsdmm", e_rel=0, max_iter=5,
                    step_adapt=True)
+
+
+def test_bsdmm_weighted_step_adapt(rng):
+    """step_adapt on the weighted bsdmm CMF path: adaptive per-block
+    refresh intervals reach the same quality as the fixed stride, and
+    the carried strides actually grow once the bounds settle."""
+    C, K, N = 4, 3, 64
+    Y = rng.random((C, K)).astype(np.float32) @ \
+        rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    from proxmin_tpu.nmf import log_likelihood
+
+    r_fix = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                       W=jnp.asarray(W), algorithm="bsdmm", e_rel=0,
+                       max_iter=60, step_stride=5)
+    r_ad = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                      W=jnp.asarray(W), algorithm="bsdmm", e_rel=0,
+                      max_iter=60, step_stride=5, step_adapt=True)
+    l_fix = float(log_likelihood(*map(jnp.asarray, r_fix.x),
+                                 Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    l_ad = float(log_likelihood(*map(jnp.asarray, r_ad.x),
+                                Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    l0 = float(log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                              Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    assert l_ad < 0.1 * l0
+    assert l_ad < 1.5 * l_fix + 1e-6
+
+    # unweighted/custom-step bsdmm rejects step_adapt
+    with pytest.raises(ValueError):
+        pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                   algorithm="bsdmm", e_rel=0, max_iter=5,
+                   step_adapt=True)
+
+    # stride growth observable at the stepper level: drive the adaptive
+    # stepper manually with a settled iterate
+    from proxmin_tpu.nmf import WeightedBSDMMStepper
+
+    st = WeightedBSDMMStepper(jnp.asarray(W), stride=2, adapt=True)
+    state = st.init_bsdmm_state((jnp.asarray(A0), jnp.asarray(S0)))
+    cached = jnp.ones((), jnp.float32)
+    s0_ = s1_ = cached
+    for sweep in range(30):
+        # slow drift of the iterate (exactly-zero drift never grows,
+        # matching the reference's rel_error > 0 requirement)
+        xs = (jnp.asarray(A0) * (1 + 1e-4 * sweep),
+              jnp.asarray(S0) * (1 + 1e-4 * sweep))
+        s0_, state = st(xs, j=0, state=state, it=jnp.int32(sweep),
+                        cached=cached if sweep == 0 else s0_)
+        s1_, state = st(xs, j=1, state=state, it=jnp.int32(sweep),
+                        cached=cached if sweep == 0 else s1_)
+    strides = np.asarray(state[1])
+    assert (strides > 2).all()   # both blocks grew their interval

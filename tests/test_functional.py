@@ -449,3 +449,32 @@ def test_functional_bsdmm_matches_driver_and_vmap():
         np.testing.assert_allclose(np.asarray(xsb[1][b]),
                                    np.asarray(xb[1]), rtol=1e-11)
         assert int(itsb[b]) == int(itb)
+
+
+def test_make_nmf_solver_weighted_vmap():
+    """Weighted batch NMF: vmap over per-patch (Y, W) problems in one
+    compiled call, each lane equal to its individual solve and
+    descending the weighted loss."""
+    from proxmin_tpu.functional import make_nmf_solver
+    from proxmin_tpu.nmf import log_likelihood
+
+    rng = np.random.default_rng(9)
+    B, C, K, N = 5, 4, 2, 48
+    Ys = jnp.asarray(rng.random((B, C, K)) @ rng.random((B, K, N)))
+    Ws = jnp.asarray(0.5 + rng.random((B, C, N)))
+    A0s = jnp.asarray(rng.random((B, C, K)))
+    S0s = jnp.asarray(rng.random((B, K, N)))
+
+    solve = make_nmf_solver(e_rel=1e-6, max_iter=300, weighted=True)
+    As, Ss, its, convs = jax.jit(jax.vmap(solve))(A0s, S0s, Ys, Ws)
+
+    for b in (0, B - 1):
+        Ab, Sb, itb, _ = jax.jit(solve)(A0s[b], S0s[b], Ys[b], Ws[b])
+        np.testing.assert_allclose(np.asarray(As[b]), np.asarray(Ab),
+                                   rtol=1e-10)
+        assert int(its[b]) == int(itb)
+
+    for b in range(B):
+        l0 = float(log_likelihood(A0s[b], S0s[b], Y=Ys[b], W=Ws[b]))
+        l1 = float(log_likelihood(As[b], Ss[b], Y=Ys[b], W=Ws[b]))
+        assert l1 < 0.1 * l0
