@@ -820,13 +820,13 @@ def nmf(
 
         if (algorithm is algorithms.pgm and engine == "xla"
                 and step is None and callback is None
-                and not step_adapt and not algorithm_args):
+                and not algorithm_args):
             return nmf_pgm_sharded(
                 Y, A, S, W=None if _is_unweighted(W) else W, mesh=mesh,
                 prox_A=prox_A if prox_A is not None else operators.prox_id,
                 prox_S=prox_S if prox_S is not None else operators.prox_id,
                 e_rel=e_rel, max_iter=max_iter, model_axis=model_axis,
-                step_stride=step_stride,
+                step_stride=step_stride, step_adapt=step_adapt,
             )
         Yd, Ad, Sd, Wd = shard_nmf_problem(
             mesh, Y, A, S, None if _is_unweighted(W) else W,

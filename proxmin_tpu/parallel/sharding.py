@@ -295,6 +295,7 @@ def nmf_pgm_sharded(
     e_rel=1e-3, max_iter=1000,
     data_axis="data", model_axis=None,
     step_stride=None,
+    step_adapt=False,
 ):
     """Full sharded PGM-NMF solve: the entire while-loop runs inside one
     jitted ``shard_map`` over the mesh — convergence scalars are psum'd so
@@ -307,7 +308,11 @@ def nmf_pgm_sharded(
     iterations (0.9 safety factor, like ``nmf(step_stride=...)``) — on
     weighted problems the bounds cost ~50 collective-completed passes
     per evaluation, so striding them matters even more when each pass
-    also rides ICI.
+    also rides ICI. ``step_adapt=True`` grows the refresh interval
+    in-carry (the ApproximateCache rule, ``utils.grow_stride``) — the
+    interval is derived from psum-replicated step scalars, so every
+    shard takes identical segment lengths and the collectives inside
+    the refresh stay collective-safe.
 
     Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
     arrays), ``.iterations``, ``.converged``, ``.loss``.
@@ -407,7 +412,7 @@ def nmf_pgm_sharded(
             loss=jnp.asarray(jnp.inf, dt),
         )
 
-        if step_stride is not None and step_stride > 1:
+        if (step_stride is not None and step_stride > 1) or step_adapt:
             # segmented strided mode (same architecture as the pgm
             # driver's _run_segmented): refresh the steps once per
             # stride OUTSIDE the hot inner loop, with the weighted power
@@ -421,12 +426,13 @@ def nmf_pgm_sharded(
             # unweighted carry would thread a dead (N_local, K) array
             # through every segment boundary)
             v0 = _weighted_steps_v0(A, S, dt) if weighted else ()
+            stride0 = jnp.int32(step_stride if step_stride else 1)
 
             def outer_cond(carry):
                 return cond(carry[0])
 
             def outer_body(carry):
-                st, v = carry
+                st, v, stride_c = carry
                 if weighted:
                     # dynamic trip count, not a cond over two fori_loops
                     # (the cond branches compile poorly-fused)
@@ -439,17 +445,27 @@ def nmf_pgm_sharded(
                                                model_axis)
                 steps = (0.9 * jnp.asarray(sA, dt),
                          0.9 * jnp.asarray(sS, dt))
+                if step_adapt:
+                    # drift vs the previously-carried (replicated) step
+                    # scalars; the zero-initialized steps give drift ~1
+                    # on the first refresh, so no spurious growth
+                    from ..utils import grow_stride
+
+                    stride_c = grow_stride(
+                        stride_c, (st.step_A, st.step_S), steps,
+                        0.05, 100)
                 st = st._replace(step_A=steps[0], step_S=steps[1])
-                seg_end = st.it + step_stride
+                seg_end = st.it + (stride_c if step_adapt
+                                   else step_stride)
 
                 def inner_cond(s2):
                     return jnp.logical_and(cond(s2), s2.it < seg_end)
 
                 st = jax.lax.while_loop(inner_cond, make_body(steps), st)
-                return st, v
+                return st, v, stride_c
 
-            final, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                          (init, v0))
+            final, _, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                             (init, v0, stride0))
         else:
             final = jax.lax.while_loop(cond, make_body(), init)
         return final.A, final.S, final.it, final.conv_A, final.conv_S, final.loss

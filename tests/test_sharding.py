@@ -476,3 +476,38 @@ def test_full_sharded_solve_multi_level_data_axes(problem, rng):
                          step_stride=10)
     np.testing.assert_allclose(np.asarray(r2.x[1]), S2, rtol=1e-8,
                                atol=1e-10)
+
+
+def test_sharded_solve_step_adapt(rng):
+    """step_adapt inside the whole-solve shard_map: the adaptive
+    segment lengths are derived from replicated scalars, so the solve
+    completes with collectives intact and matches the fixed-stride
+    result quality."""
+    import jax.numpy as jnp
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+    from proxmin_tpu.nmf import log_likelihood
+
+    C, K, N = 4, 3, 64
+    Y = rng.random((C, K)).astype(np.float32) @ \
+        rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    mesh = make_mesh()
+
+    r_fix = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                            e_rel=0, max_iter=120, step_stride=10)
+    r_ad = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                           e_rel=0, max_iter=120, step_stride=10,
+                           step_adapt=True)
+    assert r_ad.iterations == 120
+    l0 = float(log_likelihood(jnp.asarray(A0), jnp.asarray(S0),
+                              Y=jnp.asarray(Y), W=jnp.asarray(W)))
+    assert r_ad.loss < 0.1 * l0
+    assert r_ad.loss < 1.5 * r_fix.loss + 1e-6
+
+    # and through the one-call nmf(mesh=...) route
+    import proxmin_tpu as pt
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, mesh=mesh, e_rel=0,
+                   max_iter=60, step_adapt=True)
+    assert r.iterations == 60
