@@ -191,7 +191,13 @@ def _sdmm_core(
             errors_arr = _stack_errors(errors, M > 1)
             history = state.history
             if trace:
-                history = history.at[state.total_it].set(
+                # the buffer holds 2*max_iter rows (not the full
+                # 8*max_iter restart budget — a 4x memory saving);
+                # restart storms beyond that overwrite the last row,
+                # which the clamp below makes safe (an out-of-bounds
+                # .at[].set would silently drop instead)
+                idx = jnp.minimum(state.total_it, history.shape[0] - 1)
+                history = history.at[idx].set(
                     errors_arr.astype(history.dtype)
                 )
 
@@ -267,9 +273,7 @@ def _sdmm_core(
             converged=jnp.asarray(False),
             errors=jnp.zeros((max(M, 1), 4)),
             r_prev=r0,
-            history=jnp.zeros(
-                (_RESTART_BUDGET * max_iter if trace else 0, max(M, 1), 4)
-            ),
+            history=jnp.zeros((2 * max_iter if trace else 0, max(M, 1), 4)),
             step_scale=jnp.asarray(1.0, x.dtype),
         )
 
@@ -407,7 +411,8 @@ def admm(
         logger.warning("Solution did not converge")
 
     errors = tuple(float(v) for v in err_h[0])
-    history = (np.asarray(state.history[:int(tot_h)])
+    history = (np.asarray(state.history[:min(int(tot_h),
+                                             state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
     return SolverResult(
@@ -502,7 +507,8 @@ def sdmm(
     errors = tuple(
         tuple(float(v) for v in row) for row in err_h
     )
-    history = (np.asarray(state.history[:int(tot_h)])
+    history = (np.asarray(state.history[:min(int(tot_h),
+                                             state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
     return BoolResult(
