@@ -35,7 +35,8 @@ from .utils import make_stepper
 
 __all__ = ["make_pgm_solver", "make_adaprox_solver",
            "make_admm_solver", "make_sdmm_solver", "make_bsdmm_solver",
-           "make_differentiable_pgm_solver", "make_nmf_solver"]
+           "make_differentiable_pgm_solver",
+           "make_differentiable_admm_solver", "make_nmf_solver"]
 
 
 def make_pgm_solver(grad, step, prox=None, accelerated=False,
@@ -267,6 +268,28 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
     drive the constraint/regularizer (e.g. learning a soft-threshold
     strength); gradients flow through both the gradient and the prox.
     """
+    def T(x, *theta):
+        z = jax.tree_util.tree_map(lambda xi, gi: xi - step * gi, x,
+                                   grad(x, *theta))
+        if prox is None:
+            return z
+        return prox(z, step, *theta) if prox_params else prox(z, step)
+
+    return _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters,
+                                        vjp_rtol)
+
+
+def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol):
+    """The shared IFT scaffolding: a custom-vjp ``solve(w0, *theta) ->
+    (w*, converged)`` for an arbitrary (locally contractive) iteration
+    map ``T(w, *theta)`` over a pytree state ``w``. Forward: plain
+    fixed-point iteration to the relative tolerance. Backward: the
+    adjoint fixed point ``v = (d_w T)^T v + cotangent`` run to
+    ``vjp_rtol``, then pushed through ``d_theta T`` — O(1) memory in
+    the iteration count, no unrolling. See
+    :func:`make_differentiable_pgm_solver` for the convergence caveats
+    (``spectral_radius(d_w T) < 1`` required; the ``w0`` cotangent is
+    identically zero by construction)."""
     tree = jax.tree_util
 
     def tree_l2sq(t):
@@ -274,13 +297,6 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
 
     def tree_sub(a, b):
         return tree.tree_map(lambda x, y: x - y, a, b)
-
-    def T(x, *theta):
-        z = tree.tree_map(lambda xi, gi: xi - step * gi, x,
-                          grad(x, *theta))
-        if prox is None:
-            return z
-        return prox(z, step, *theta) if prox_params else prox(z, step)
 
     @jax.custom_vjp
     def solve(x0, *theta):
@@ -338,6 +354,67 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
         return (tree.tree_map(jnp.zeros_like, x),) + tuple(outs[1:])
 
     solve.defvjp(fwd, bwd)
+    return solve
+
+
+def make_differentiable_admm_solver(prox_f, step_f, prox_g, step_g=None,
+                                    L=None, e_rel=1e-9, max_iter=1000,
+                                    vjp_iters=10000, vjp_rtol=1e-9,
+                                    prox_params=False):
+    """Build a linearized-ADMM solve differentiable w.r.t. problem
+    parameters via implicit differentiation at the fixed point — the
+    ADMM-family sibling of :func:`make_differentiable_pgm_solver`.
+
+    The iteration map is one fixed-step ADMM update over the full state
+    ``w = (x, z, u)`` (:func:`utils.update_variables`: the linearized
+    x-update then the z/u multiplier step; no slack restart, no
+    residual balancing — those are non-smooth control flow). With
+    ``prox_params=True`` both proxs are called as
+    ``prox(v, step, *theta)``, so the differentiable parameters can
+    drive the data term AND the regularizer (e.g. learning a TV
+    strength through ``prox_g``). Returns
+    ``solve(x0, *theta) -> (x*, converged)`` usable inside
+    ``jax.grad`` / ``jax.jit`` / ``jax.vmap``.
+
+    Caveats mirror the PGM version: the adjoint converges iff
+    ``spectral_radius(d_w T) < 1`` at the fixed point — guaranteed when
+    ``f`` is locally strongly convex around the solution and the proxs
+    are differentiable there (the ADMM map is averaged/nonexpansive in
+    general, with radius exactly 1 along flat directions — there the
+    solution map has no derivative and neither this VJP nor finite
+    differences is defined). At nonsmooth points of the proxs
+    (active-set boundaries) the returned gradient follows JAX's
+    subgradient conventions. ALWAYS check ``converged``; the ``x0``
+    cotangent is identically zero (the fixed point does not depend on
+    the start).
+    """
+    from .linop import as_linear_operator
+    from . import utils as _utils
+
+    Lop = as_linear_operator(L)
+    sg = (step_g if step_g is not None
+          else _utils.get_step_g(step_f, Lop.spectral_norm_sq))
+
+    def T(w, *theta):
+        x, z, u = w
+        if prox_params:
+            pf = lambda v, s: prox_f(v, s, *theta)   # noqa: E731
+            pg = lambda v, s: prox_g(v, s, *theta)   # noqa: E731
+        else:
+            pf, pg = prox_f, prox_g
+        x, z, u, _, _, _ = _utils.update_variables(
+            x, z, u, pf, step_f, pg, sg, Lop
+        )
+        return (x, z, u)
+
+    inner = _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters,
+                                         vjp_rtol)
+
+    def solve(x0, *theta):
+        z0, u0 = _utils.initZU(x0, Lop)
+        w, converged = inner((x0, z0, u0), *theta)
+        return w[0], converged
+
     return solve
 
 

@@ -478,3 +478,81 @@ def test_make_nmf_solver_weighted_vmap():
         l0 = float(log_likelihood(A0s[b], S0s[b], Y=Ys[b], W=Ws[b]))
         l1 = float(log_likelihood(As[b], Ss[b], Y=Ys[b], W=Ws[b]))
         assert l1 < 0.1 * l0
+
+
+def test_implicit_diff_admm_gradient_vs_finite_differences():
+    """Differentiable ADMM: d(solution)/d(theta) via the implicit VJP
+    matches central finite differences on a strongly-convex quadratic
+    with a soft-threshold constraint through a difference operator."""
+    from proxmin_tpu.functional import make_differentiable_admm_solver
+    from proxmin_tpu import operators
+
+    n = 12
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.normal(size=n))
+    D = jnp.asarray(np.eye(n)[1:] - np.eye(n)[:-1])
+
+    def prox_f(v, step, theta):
+        # f(x) = 0.5||x - (y + theta)||^2 -> strongly convex
+        return (v + step * (y + theta)) / (1.0 + step)
+
+    def prox_g(v, step, theta):
+        return operators.prox_soft(v, step, thresh=0.3)
+
+    solve = make_differentiable_admm_solver(
+        prox_f, 0.5, prox_g, L=D, e_rel=1e-12, max_iter=20000,
+        vjp_rtol=1e-12, prox_params=True)
+
+    def loss(theta):
+        x, conv = solve(jnp.zeros(n), theta)
+        return jnp.sum(x ** 3)  # nonlinear readout exercises the VJP
+
+    theta0 = jnp.asarray(rng.normal(size=n) * 0.1)
+    x0, conv = solve(jnp.zeros(n), theta0)
+    assert bool(conv)
+
+    g = jax.grad(loss)(theta0)
+    # central finite differences on a few coordinates
+    eps = 1e-5
+    for i in (0, 5, n - 1):
+        e = jnp.zeros(n).at[i].set(eps)
+        fd = (float(loss(theta0 + e)) - float(loss(theta0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=2e-4, atol=1e-7)
+
+
+def test_implicit_diff_admm_learns_regularizer():
+    """Learn a soft-threshold strength through the differentiable ADMM:
+    gradient descent on lambda recovers a better fit to a clean target
+    than the initial guess."""
+    from proxmin_tpu.functional import make_differentiable_admm_solver
+    from proxmin_tpu import operators
+
+    n = 32
+    rng = np.random.default_rng(12)
+    truth = jnp.asarray(np.repeat(rng.normal(size=4), n // 4))
+    y = truth + 0.2 * jnp.asarray(rng.normal(size=n))
+    D = jnp.asarray(np.eye(n)[1:] - np.eye(n)[:-1])
+
+    def prox_f(v, step, lam):
+        return (v + step * y) / (1.0 + step)
+
+    def prox_g(v, step, lam):
+        # softplus keeps the threshold positive and differentiable
+        return operators.prox_soft(v, step, thresh=jax.nn.softplus(lam))
+
+    solve = make_differentiable_admm_solver(
+        prox_f, 0.5, prox_g, L=D, e_rel=1e-10, max_iter=20000,
+        vjp_rtol=1e-10, prox_params=True)
+
+    def objective(lam):
+        x, _ = solve(y, lam)
+        return jnp.mean((x - truth) ** 2)
+
+    lam = jnp.asarray(-3.0)    # ~no regularization
+    mse0 = float(objective(lam))
+    for _ in range(60):
+        lam = lam - 20.0 * jax.grad(objective)(lam)
+    mse1 = float(objective(lam))
+    # descends to the landscape's optimum (lam ~ -0.56, mse ~ 0.0078
+    # from 0.021 — a 2.7x fit improvement over the unregularized start)
+    assert mse1 < 0.5 * mse0
