@@ -230,17 +230,23 @@ def bench_tpu(Y, A0, S0):
 
         return jax.lax.fori_loop(0, n, body, (A, S, jnp.asarray(False)))
 
-    def call_xla(n):
-        out = run_xla(A, S, Y_dev, n)
-        np.asarray(out[2])         # conv flag is a live output
-        return np.asarray(out[0])  # tiny transfer forces real completion
-
     t0 = time.perf_counter()
     lowered = run_xla.lower(A, S, Y_dev, ITERS_LO)
     compiled_obj = lowered.compile()
     compile_time = time.perf_counter() - t0
-    call_xla(ITERS_LO)  # first dispatch (may hit a tunnel stall; timed
-    del compiled_obj    # separately from compile on purpose)
+
+    def call_xla(n):
+        # the iteration count is a traced scalar, so the one AOT
+        # Compiled object serves every n — going through run_xla()
+        # would pay a SECOND full trace+compile (the jit call cache is
+        # separate from .lower().compile()) and corrupt the
+        # stall-vs-compile attribution
+        out = compiled_obj(A, S, Y_dev, jnp.int32(n))
+        np.asarray(out[2])         # conv flag is a live output
+        return np.asarray(out[0])  # tiny transfer forces real completion
+
+    call_xla(ITERS_LO)   # first dispatch (tunnel stalls land here,
+                         # timed separately from compile on purpose)
     t_xla, first = _timed(call_xla, ITERS_LO, ITERS_HI)
     fixed = max(first - ITERS_LO * t_xla, 0.0)
     log(f"tpu/xla:    {t_xla * 1e3:.3f} ms/iter (marginal; "

@@ -225,8 +225,10 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     convention as ``nmf``); ``store_dtype``/``step_adapt`` pair with
     unweighted/weighted respectively.
     """
-    assert not (step_adapt and not weighted), \
-        "step_adapt applies to the weighted Lipschitz refresh only"
+    if step_adapt and not weighted:
+        raise ValueError(
+            "step_adapt applies to the weighted Lipschitz refresh only"
+        )
     if prox_A is None:
         prox_A = operators.prox_id
     if prox_S is None:

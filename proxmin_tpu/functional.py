@@ -445,7 +445,8 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
     """
     from . import operators as _ops
     from .nmf import (
-        _weighted_lipschitz_S, _weighted_lipschitz_S_v0, grad_likelihood,
+        _lam_max_psd_batch, _weighted_lipschitz_S,
+        _weighted_lipschitz_S_v0, grad_likelihood,
     )
     from .utils import fixed_point_converged
 
@@ -468,23 +469,6 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
         v = jax.lax.fori_loop(0, iters, body, v)
         return (v @ G @ v) / jnp.maximum(jnp.sum(v * v),
                                          jnp.finfo(G.dtype).tiny)
-
-    def lam_max_psd_batch(H, iters):
-        # batched power iteration over a stack of tiny PSD Grams
-        c, k, _ = H.shape
-        u = jnp.ones((c, k), H.dtype) + 0.01 * jnp.arange(k, dtype=H.dtype)
-
-        def body(_, u):
-            w = jnp.einsum("ckl,cl->ck", H, u)
-            ssq = jnp.sum(w * w, axis=1, keepdims=True)
-            return w * jax.lax.rsqrt(jnp.maximum(ssq,
-                                                 jnp.finfo(H.dtype).tiny))
-
-        u = jax.lax.fori_loop(0, iters, body, u)
-        hu = jnp.einsum("ckl,cl->ck", H, u)
-        ray = jnp.sum(u * hu, axis=1) / jnp.maximum(
-            jnp.sum(u * u, axis=1), jnp.finfo(H.dtype).tiny)
-        return jnp.max(ray)
 
     def solve_unweighted(A0, S0, Y):
         def body(c):
@@ -513,7 +497,7 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
             A, S, v, it, _ = c
             gA, gS = grad_likelihood(A, S, Y=Y, W=W)
             H = jnp.einsum("kn,cn,ln->ckl", S, W, S)
-            LA = lam_max_psd_batch(H, cold_iters)
+            LA = _lam_max_psd_batch(H, cold_iters)
             LS, v = _weighted_lipschitz_S(
                 A, W, jnp.where(it == 0, cold_iters, warm_iters),
                 v0=v, return_v=True,

@@ -92,7 +92,30 @@ def step_S(A, S):
     return 1.0 / _lambda_max(A.T @ A)
 
 
-def _weighted_lipschitz_A(S, W, num_iters=None):
+def _lam_max_psd_batch(H, iters):
+    """Max top-eigenvalue over a stack of tiny PSD Grams ``(C, K, K)``
+    by batched power iteration — pure matvec/elementwise ops, so it
+    composes with ``jax.vmap`` (batched ``eigvalsh`` has no efficient
+    TPU lowering). Used by :func:`functional.make_nmf_solver`'s
+    weighted path; the host drivers use the exact ``eigvalsh`` route in
+    :func:`_weighted_lipschitz_A` instead."""
+    c, k, _ = H.shape
+    u = jnp.ones((c, k), H.dtype) + 0.01 * jnp.arange(k, dtype=H.dtype)
+
+    def body(_, u):
+        w = jnp.einsum("ckl,cl->ck", H, u)
+        ssq = jnp.sum(w * w, axis=1, keepdims=True)
+        return w * jax.lax.rsqrt(jnp.maximum(ssq,
+                                             jnp.finfo(H.dtype).tiny))
+
+    u = jax.lax.fori_loop(0, iters, body, u)
+    hu = jnp.einsum("ckl,cl->ck", H, u)
+    ray = jnp.sum(u * hu, axis=1) / jnp.maximum(
+        jnp.sum(u * u, axis=1), jnp.finfo(H.dtype).tiny)
+    return jnp.max(ray)
+
+
+def _weighted_lipschitz_A(S, W):
     """``max_c lambda_max(S diag(W[c,:]) S^T)``.
 
     Mathematically identical to the reference's
@@ -102,7 +125,9 @@ def _weighted_lipschitz_A(S, W, num_iters=None):
     (K×K), so they are assembled exactly in ONE pass over W/S (an
     einsum) and eigensolved on device — the round-1 48-pass batched
     power iteration paid 48x the HBM traffic for an approximation.
-    Falls back to batched Lanczos for unusually large C*K*K."""
+    Falls back to batched Lanczos for unusually large C*K*K. The
+    vmap-safe power-iteration variant over the same Grams is
+    :func:`_lam_max_psd_batch`."""
     C = W.shape[0]
     K = S.shape[0]
     dtype = jnp.result_type(S, W)
@@ -768,9 +793,14 @@ def nmf(
             ``ApproximateCache`` policy (``utils.py:124-190``) running
             inside the compiled loop (:func:`utils.grow_stride`),
             starting from ``step_stride`` (default 1 when unset) and
-            capped at 100. pgm/adaprox only (xla and pallas engines);
-            as the factors settle, step refreshes become progressively
-            rarer at no accuracy cost beyond the safety factor.
+            capped at 100. Supported on pgm and adaprox (any engine;
+            the pallas engine additionally requires a weighted problem,
+            since unweighted steps are exact K×K eigensolves with
+            nothing to amortize), on the weighted default-step bsdmm
+            path (per-block intervals), and inside the sharded
+            whole-solve (``mesh=``). As the factors settle, step
+            refreshes become progressively rarer at no accuracy cost
+            beyond the safety factor.
         mesh: optional ``jax.sharding.Mesh`` for one-call scale-out: the
             pixel axis of Y/S/W shards over the mesh's ``'data'`` axis
             (A replicates, or channel-shards over ``model_axis`` on a

@@ -75,11 +75,28 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         try:
             jax.distributed.initialize(**kwargs)
         except (ValueError, RuntimeError) as e:
-            # two benign cases: (a) raced/previously initialized —
-            # proceed; (b) nothing configured in a single-process run —
-            # fall back to the local backend. Anything else (e.g. a bad
-            # coordinator address the user DID pass) re-raises.
-            if "already initialized" not in str(e).lower() and kwargs:
+            # exactly two benign cases: (a) raced/previously
+            # initialized — proceed; (b) NOTHING is configured in a
+            # single-process run (auto-detect found no coordinator:
+            # "coordinator_address should be defined") — fall back to
+            # the local backend. Everything else re-raises, including
+            # bring-up FAILURES on an env-configured cluster
+            # (coordinator timeout, unreachable host): swallowing those
+            # would silently degrade a pod job to per-host
+            # single-process solves with no error anywhere.
+            msg = str(e).lower()
+            benign = (
+                "already initialized" in msg
+                or (not kwargs and "coordinator_address" in msg
+                    and "should be defined" in msg)
+                # backend already up (e.g. an environment that imports
+                # jax at startup) AND nothing configured to join: a
+                # single-process run. With explicit kwargs the user
+                # meant to join a cluster — re-raise so the ordering
+                # error is not silently ignored.
+                or (not kwargs and "must be called before" in msg)
+            )
+            if not benign:
                 raise
 
     return DistributedInfo(

@@ -447,8 +447,9 @@ def nmf_pgm_sharded(
                          0.9 * jnp.asarray(sS, dt))
                 if step_adapt:
                     # drift vs the previously-carried (replicated) step
-                    # scalars; the zero-initialized steps give drift ~1
-                    # on the first refresh, so no spurious growth
+                    # scalars; the zero-initialized steps give a huge
+                    # (>= budget) drift on the first refresh, so no
+                    # spurious growth
                     from ..utils import grow_stride
 
                     stride_c = grow_stride(

@@ -107,9 +107,21 @@ def _sdmm_core(
     but never calls it — and with the opposite sign, which for
     prox steps ~ 1/rho drives the residual imbalance FURTHER; see
     ``tests/test_admm_sdmm.py`` for the measured iteration counts.
+    Requires DERIVED ``step_g`` (the ``step_f * ||L||^2`` coupling): a
+    fixed user ``step_g`` would not track the adapted ``step_f``, so
+    the dual rescale corrupts ``y`` and ``step_f`` can cross the
+    linearized-ADMM stability bound ``step_f <= step_g / ||L||^2``
+    (measured: NaN divergence) — callers reject that combination.
     """
     M = len(proxs_g)
     has_g = M > 0
+    if adapt_step and any(sg is not None for sg in steps_g):
+        raise ValueError(
+            "adapt_step requires the derived step_g coupling "
+            "(step_g=None): a fixed user step_g cannot track the "
+            "adapted step_f, which corrupts the dual rescale and can "
+            "cross the linearized-ADMM stability bound"
+        )
 
     L_struct = list(Ls) if M != 1 else (Ls[0] if has_g else None)
 

@@ -387,8 +387,10 @@ def grow_stride(stride, old_steps, new_steps, budget, max_stride):
 
     ``old_steps`` / ``new_steps`` are matching pytrees of step values
     (scalars or arrays); drift is the max relative change over all
-    leaves. The all-zero ``old_steps`` of the first refresh gives drift
-    ~1 and therefore no growth (the reference's ``it > 1`` guard)."""
+    leaves. The all-zero ``old_steps`` of the first refresh gives a
+    huge drift (|new| over the tiny-clamped zero denominator), which is
+    ``>= budget`` and therefore never grows — reproducing the
+    reference's ``it > 1`` guard by outcome."""
     leaves_old = jax.tree_util.tree_leaves(old_steps)
     leaves_new = jax.tree_util.tree_leaves(new_steps)
     f32 = jnp.float32
@@ -639,8 +641,20 @@ def get_step_g(step_f, norm_L2, N=1, M=1):
 
 
 def get_step_f(step_f, lR2, lS2):
-    """Residual-balancing step update (Boyd 2011 §3.4.1,
-    reference ``utils.py:282-292``)."""
+    """Reference-parity port of the reference's (dead) residual-balancing
+    helper (``utils.py:282-292``, Boyd 2011 §3.4.1).
+
+    .. warning::
+        The reference's update has the sign appropriate for a PENALTY
+        parameter (``rho``), but this library's (and the reference's)
+        ``step_f`` is a PROX step ~ ``1/rho`` — growing it when the
+        primal residual dominates drives the imbalance further and can
+        stall or diverge. This function is kept verbatim for API parity
+        only. For working residual balancing use
+        ``admm(..., adapt_step=True)`` / ``sdmm(..., adapt_step=True)``,
+        which apply the correct direction AND the required dual
+        rescaling (see ``solvers/admm.py``).
+    """
     mu, tau = 10.0, 2.0
     return jnp.where(
         lR2 > mu * lS2,

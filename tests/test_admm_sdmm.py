@@ -491,3 +491,20 @@ def test_sdmm_adapt_step(rng):
     assert r_ad.iterations < r_fix.iterations
     np.testing.assert_allclose(np.asarray(r_ad.x), np.asarray(r_good.x),
                                atol=1e-4)
+
+
+def test_adapt_step_rejects_explicit_step_g():
+    """adapt_step requires the derived step_g coupling: a fixed user
+    step_g cannot track the adapted step_f (review finding: the
+    combination diverges to NaN), so it is rejected up front."""
+    with pytest.raises(ValueError, match="adapt_step"):
+        admm(jnp.asarray([0.0, 0.0]), prox_f_quad, 0.5,
+             prox_g=prox_disk, step_g=0.5, adapt_step=True)
+    with pytest.raises(ValueError, match="adapt_step"):
+        sdmm(jnp.asarray([0.0, 0.0]), prox_f_quad, 0.5,
+             proxs_g=[prox_disk, prox_disk], steps_g=[0.5, 0.5],
+             adapt_step=True)
+    from proxmin_tpu.functional import make_admm_solver
+    with pytest.raises(ValueError, match="adapt_step"):
+        make_admm_solver(prox_f_quad, 0.5, prox_g=prox_disk,
+                         step_g=0.5, adapt_step=True)

@@ -86,3 +86,29 @@ def test_dryrun_multichip_device_counts(n):
     finally:
         sys.path.pop(0)
     ge.dryrun_multichip(n)
+
+
+def test_initialize_distributed_reraises_configured_failures(monkeypatch):
+    """A bring-up FAILURE on a configured cluster must re-raise — only
+    the benign 'nothing configured' case falls back to single-process
+    (review finding: swallowing it silently degrades pod jobs to
+    per-host solves)."""
+    import jax
+    from proxmin_tpu.parallel import initialize_distributed
+
+    def boom(**kw):
+        raise RuntimeError("barrier timed out: coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        initialize_distributed()   # env-configured failure, no kwargs
+    with pytest.raises(RuntimeError, match="unreachable"):
+        initialize_distributed(coordinator_address="10.0.0.1:1234",
+                               num_processes=2, process_id=0)
+
+    def not_configured(**kw):
+        raise ValueError("coordinator_address should be defined.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", not_configured)
+    info = initialize_distributed()    # benign: single-process fallback
+    assert info.process_count >= 1
