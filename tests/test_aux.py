@@ -842,3 +842,28 @@ def test_bsdmm_weighted_step_adapt(rng):
                         cached=cached if sweep == 0 else s1_)
     strides = np.asarray(state[1])
     assert (strides > 2).all()   # both blocks grew their interval
+
+
+def test_step_adapt_identical_through_callback_loop(rng):
+    """Mode-parity invariant: the adaptive weighted stepper produces
+    IDENTICAL iterates through the fused while_loop and through the
+    callback host loop (the per-iteration __call__ path and the
+    segmented path must implement the same refresh schedule)."""
+    C, K, N = 4, 3, 48
+    Y = rng.random((C, K)).astype(np.float32) @ \
+        rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r_fused = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0),
+                         jnp.asarray(S0), W=jnp.asarray(W), e_rel=0,
+                         max_iter=25, step_stride=4, step_adapt=True)
+    r_cb = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
+                      W=jnp.asarray(W), e_rel=0, max_iter=25,
+                      step_stride=4, step_adapt=True,
+                      callback=lambda *X, it=None: None)
+    np.testing.assert_allclose(np.asarray(r_fused.x[0]),
+                               np.asarray(r_cb.x[0]), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(r_fused.x[1]),
+                               np.asarray(r_cb.x[1]), rtol=0, atol=0)
