@@ -377,17 +377,21 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
         A, S = xs
         dtype = jnp.result_type(A, S)
         v0 = _weighted_lipschitz_S_v0(self.W.shape[1], A.shape[1], dtype)
-        if not self.adapt:
-            return v0
-        # adaptive mode: per-block refresh interval + next-refresh sweep
-        # (index 0 = A block, 1 = S block) ride with the power iterate
+        # per-block refresh interval + next-refresh sweep (index 0 = A
+        # block, 1 = S block) ride with the power iterate; fixed-stride
+        # mode carries them too (the next-refresh mechanism reproduces
+        # the `it % stride == 0` schedule exactly) so both modes share
+        # one state shape and one code path
         return (v0, jnp.full((2,), self.stride, jnp.int32),
                 jnp.zeros((2,), jnp.int32))
 
     def _grow(self, stride_j, cached, step_new, it):
-        """Per-block ApproximateCache growth; suppressed on the first
-        sweep (the carried step initializes to 1.0, not a real bound,
-        so first-refresh 'drift' would be meaningless)."""
+        """Per-block ApproximateCache growth (identity when not
+        adaptive); suppressed on the first sweep (the carried step
+        initializes to 1.0, not a real bound, so first-refresh 'drift'
+        would be meaningless)."""
+        if not self.adapt:
+            return stride_j
         grown = utils.grow_stride(
             stride_j, (cached,), (step_new,),
             (1.0 - self.safety) / 2, self.max_stride,
@@ -397,12 +401,8 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
     def __call__(self, Xs, j=None, state=None, it=None, cached=None):
         A, S = Xs
         W = self.W
-        if self.adapt:
-            v, strides, nxt = state
-            refresh_now = it >= nxt[j]
-        else:
-            v = state
-            refresh_now = it % self.stride == 0
+        v, strides, nxt = state
+        refresh_now = it >= nxt[j]
 
         if j == 0:
             # A-block bound; the power iterate passes through untouched
@@ -410,20 +410,13 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
             def refresh_a():
                 s_new = jnp.asarray(
                     self.safety / _weighted_lipschitz_A(S, W), cached.dtype)
-                if not self.adapt:
-                    return (s_new,)
                 stride_j = self._grow(strides[0], cached, s_new, it)
                 return s_new, stride_j, it + stride_j
 
-            def keep_a():
-                if not self.adapt:
-                    return (cached,)
-                return cached, strides[0], nxt[0]
-
-            out = jax.lax.cond(refresh_now, refresh_a, keep_a)
-            if not self.adapt:
-                return out[0], state
-            step, stride_j, nxt_j = out
+            step, stride_j, nxt_j = jax.lax.cond(
+                refresh_now, refresh_a,
+                lambda: (cached, strides[0], nxt[0]),
+            )
             return step, (v, strides.at[0].set(stride_j),
                           nxt.at[0].set(nxt_j))
 
@@ -431,21 +424,13 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
             LS, v = _weighted_lipschitz_S(A, W, self._refresh_iters(it),
                                           v0=v, return_v=True)
             s_new = jnp.asarray(self.safety / LS, cached.dtype)
-            if not self.adapt:
-                return s_new, v
             stride_j = self._grow(strides[1], cached, s_new, it)
             return s_new, v, stride_j, it + stride_j
 
-        def keep_s(v):
-            if not self.adapt:
-                return cached, v
-            return cached, v, strides[1], nxt[1]
-
-        out = jax.lax.cond(refresh_now, refresh_s, keep_s, v)
-        if not self.adapt:
-            step, v = out
-            return step, v
-        step, v, stride_j, nxt_j = out
+        step, v, stride_j, nxt_j = jax.lax.cond(
+            refresh_now, refresh_s,
+            lambda v: (cached, v, strides[1], nxt[1]), v,
+        )
         return step, (v, strides.at[1].set(stride_j), nxt.at[1].set(nxt_j))
 
 
@@ -566,6 +551,9 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     Np = _round_up(N, tile)
     dims = (C, K, N)
     stride = max(int(stride or 1), 1)
+    safety = 0.9
+    budget = (1.0 - safety) / 2   # ApproximateCache growth threshold
+    max_stride = 100
 
     @jax.jit
     def run(A, S, Y, W, max_iter):
@@ -594,9 +582,10 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 def refresh(args):
                     sA_o, sS_o, v, stride_c, _ = args
                     sA_, sS_, v = weighted_steps(A, S, v, it)
-                    sA_n, sS_n = 0.9 * sA_, 0.9 * sS_
+                    sA_n, sS_n = safety * sA_, safety * sS_
                     stride_n = utils.grow_stride(
-                        stride_c, (sA_o, sS_o), (sA_n, sS_n), 0.05, 100)
+                        stride_c, (sA_o, sS_o), (sA_n, sS_n), budget,
+                        max_stride)
                     return sA_n, sS_n, v, stride_n, it + stride_n
 
                 sA, sS, v, stride_c, nxt = jax.lax.cond(
@@ -606,7 +595,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             elif stride > 1:
                 def refresh(v):
                     sA_, sS_, v = weighted_steps(A, S, v, it)
-                    return 0.9 * sA_, 0.9 * sS_, v
+                    return safety * sA_, safety * sS_, v
 
                 sA, sS, v = jax.lax.cond(
                     it % stride == 0, refresh, lambda v: (sA, sS, v), v

@@ -278,6 +278,9 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
     return step
 
 
+_STRIDE_SAFETY = 0.9   # strided-refresh shrink; growth budget = (1-s)/2
+
+
 class ShardedNMFState(NamedTuple):
     A: Any
     S: Any
@@ -443,8 +446,8 @@ def nmf_pgm_sharded(
                 else:
                     sA, sS = _unweighted_steps(st.A, st.S, data_axis,
                                                model_axis)
-                steps = (0.9 * jnp.asarray(sA, dt),
-                         0.9 * jnp.asarray(sS, dt))
+                steps = (_STRIDE_SAFETY * jnp.asarray(sA, dt),
+                         _STRIDE_SAFETY * jnp.asarray(sS, dt))
                 if step_adapt:
                     # drift vs the previously-carried (replicated) step
                     # scalars; the zero-initialized steps give a huge
@@ -454,7 +457,7 @@ def nmf_pgm_sharded(
 
                     stride_c = grow_stride(
                         stride_c, (st.step_A, st.step_S), steps,
-                        0.05, 100)
+                        (1.0 - _STRIDE_SAFETY) / 2, 100)
                 st = st._replace(step_A=steps[0], step_S=steps[1])
                 seg_end = st.it + (stride_c if step_adapt
                                    else step_stride)
