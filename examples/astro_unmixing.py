@@ -75,6 +75,9 @@ def main():
 
     runs = [
         ("PGM (weighted)", dict(algorithm="pgm")),
+        # adaptive refresh stride: the weighted Lipschitz bounds refresh
+        # on a self-growing interval (in-carry ApproximateCache policy)
+        ("PGM (adaptive)", dict(algorithm="pgm", step_adapt=True)),
         ("Adam", dict(algorithm="adaprox", scheme="adam",
                       prox_max_iter=100)),
         ("PAdam", dict(algorithm="adaprox", scheme="padam", p=0.45,

@@ -867,3 +867,38 @@ def test_step_adapt_identical_through_callback_loop(rng):
                                np.asarray(r_cb.x[0]), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(r_fused.x[1]),
                                np.asarray(r_cb.x[1]), rtol=0, atol=0)
+
+
+def test_export_nmf_solver_weighted_adaptive(tmp_path, rng):
+    """AOT export with the ADAPTIVE refresh stride baked in round-trips
+    against the live adaptive runner."""
+    from proxmin_tpu.export import (
+        export_nmf_solver, load_exported, save_exported,
+    )
+
+    C, K, N = 4, 3, 256
+    blob = export_nmf_solver(C, K, N, e_rel=0.0, tile_n=128,
+                             weighted=True, step_stride=5,
+                             step_adapt=True)
+    solve = load_exported(save_exported(str(tmp_path / "awnmf.bin"),
+                                        blob))
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1, it, cA, cS, loss = solve(A0, S0, Y, W, 20)
+    assert int(it) == 20
+
+    r = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                             max_iter=20, tile_n=128, step_stride=5,
+                             step_adapt=True)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(r.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)
+
+    # unweighted + step_adapt export is rejected
+    with pytest.raises(ValueError, match="weighted"):
+        export_nmf_solver(C, K, N, step_adapt=True)

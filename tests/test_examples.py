@@ -63,7 +63,7 @@ def test_astro_unmixing_example(argv, capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "weighted (W = 1/sky)" in out
-    assert out.count("weighted loss") == 4  # PGM + 3 adaprox schemes
+    assert out.count("weighted loss") == 5  # 2 PGM + 3 adaprox
 
 
 def test_image_tv_example(argv, capsys):
