@@ -141,6 +141,12 @@ def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
     from .linop import as_linear_operator
     from .solvers.admm import _sdmm_core
 
+    if prox_g is None and L is not None:
+        raise ValueError(
+            "L is only applied inside the g-constraint (g(L x)); with "
+            "prox_g=None the solve is unconstrained and L would be "
+            "silently ignored — pass prox_g or drop L"
+        )
     Lop = as_linear_operator(L)
     proxs_g = (prox_g,) if prox_g is not None else ()
     steps_g = (step_g,) if prox_g is not None else ()

@@ -337,7 +337,7 @@ class WeightedPGMStepper(_WeightedStepperBase):
         if self.adapt:
             stride = utils.grow_stride(
                 stride, cached, steps, (1.0 - self.safety) / 2,
-                self.max_stride,
+                self.max_stride, first=(it == 0),
             )
         return steps, (steps, v_new, stride, it + stride)
 
@@ -386,17 +386,16 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
                 jnp.zeros((2,), jnp.int32))
 
     def _grow(self, stride_j, cached, step_new, it):
-        """Per-block ApproximateCache growth (identity when not
+        """Per-block ApproximateCache growth/shrink (identity when not
         adaptive); suppressed on the first sweep (the carried step
         initializes to 1.0, not a real bound, so first-refresh 'drift'
         would be meaningless)."""
         if not self.adapt:
             return stride_j
-        grown = utils.grow_stride(
+        return utils.grow_stride(
             stride_j, (cached,), (step_new,),
-            (1.0 - self.safety) / 2, self.max_stride,
+            (1.0 - self.safety) / 2, self.max_stride, first=(it == 0),
         )
-        return jnp.where(it > 0, grown, stride_j)
 
     def __call__(self, Xs, j=None, state=None, it=None, cached=None):
         A, S = Xs
@@ -585,7 +584,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                     sA_n, sS_n = safety * sA_, safety * sS_
                     stride_n = utils.grow_stride(
                         stride_c, (sA_o, sS_o), (sA_n, sS_n), budget,
-                        max_stride)
+                        max_stride, first=(it == 0))
                     return sA_n, sS_n, v, stride_n, it + stride_n
 
                 sA, sS, v, stride_c, nxt = jax.lax.cond(

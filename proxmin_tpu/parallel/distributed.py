@@ -66,27 +66,39 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
 
-    try:
-        from jax._src.distributed import global_state as _gs
-        already = getattr(_gs, "client", None) is not None
-    except ImportError:  # private-module layout changed: probe by init
-        already = False
-    if not already:
+    def _client_up():
+        """Structural initialized-probe: a live distributed client."""
+        try:
+            from jax._src.distributed import global_state as _gs
+            return getattr(_gs, "client", None) is not None
+        except ImportError:  # private-module layout changed
+            return False
+
+    if not _client_up():
         try:
             jax.distributed.initialize(**kwargs)
         except (ValueError, RuntimeError) as e:
-            # exactly two benign cases: (a) raced/previously
-            # initialized — proceed; (b) NOTHING is configured in a
-            # single-process run (auto-detect found no coordinator:
-            # "coordinator_address should be defined") — fall back to
-            # the local backend. Everything else re-raises, including
+            # benign cases, checked structurally first: (a) a client
+            # exists NOW — a raced/previous initialize won; proceed.
+            # (b) NOTHING is configured in a single-process run
+            # (auto-detect found no coordinator) — fall back to the
+            # local backend. Everything else re-raises, including
             # bring-up FAILURES on an env-configured cluster
             # (coordinator timeout, unreachable host): swallowing those
             # would silently degrade a pod job to per-host
             # single-process solves with no error anywhere.
+            #
+            # Case (b) has no public structural probe, so it falls back
+            # to matching jax's wording (verified on jax 0.4.35–0.9.0:
+            # "coordinator_address should be defined" from initialize()
+            # auto-detect, "must be called before" when a local backend
+            # already started). A rewording would turn a plain
+            # single-process run into this raise — the test suite pins
+            # the fallback behavior (tests/test_distributed.py).
             msg = str(e).lower()
             benign = (
-                "already initialized" in msg
+                _client_up()
+                or "already initialized" in msg
                 or (not kwargs and "coordinator_address" in msg
                     and "should be defined" in msg)
                 # backend already up (e.g. an environment that imports

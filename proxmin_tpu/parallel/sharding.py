@@ -292,53 +292,15 @@ class ShardedNMFState(NamedTuple):
     loss: Any
 
 
-def nmf_pgm_sharded(
-    Y, A, S, W=None, mesh=None,
-    prox_A=operators.prox_plus, prox_S=operators.prox_plus,
-    e_rel=1e-3, max_iter=1000,
-    data_axis="data", model_axis=None,
-    step_stride=None,
-    step_adapt=False,
-):
-    """Full sharded PGM-NMF solve: the entire while-loop runs inside one
-    jitted ``shard_map`` over the mesh — convergence scalars are psum'd so
-    all shards agree and the loop never leaves the devices.
+def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
+                     data_axis, model_axis, step_stride, step_adapt):
+    """Build the jitted whole-solve ``(A0, S0, Y, W) -> (A, S, it,
+    conv_A, conv_S, loss)`` shard_map for :func:`nmf_pgm_sharded`.
 
-    Semantics match ``proxmin_tpu.nmf.nmf`` with ``algorithm='pgm'``
-    (unweighted or weighted Gaussian model, per-factor fixed-point
-    convergence at ``e_rel``); layout matches :func:`make_nmf_pgm_step`.
-    ``step_stride`` recomputes the Lipschitz bounds only every this many
-    iterations (0.9 safety factor, like ``nmf(step_stride=...)``) — on
-    weighted problems the bounds cost ~50 collective-completed passes
-    per evaluation, so striding them matters even more when each pass
-    also rides ICI. ``step_adapt=True`` grows the refresh interval
-    in-carry (the ApproximateCache rule, ``utils.grow_stride``) — the
-    interval is derived from psum-replicated step scalars, so every
-    shard takes identical segment lengths and the collectives inside
-    the refresh stay collective-safe.
-
-    Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
-    arrays), ``.iterations``, ``.converged``, ``.loss``.
-    """
-    if mesh is None:
-        mesh = make_mesh()
-    weighted = W is not None and getattr(W, "ndim", 0) == 2
-    Y, A0, S0, W_sh = shard_nmf_problem(
-        mesh, Y, A, S, W if weighted else None,
-        data_axis=data_axis, model_axis=model_axis,
-    )
-    if not weighted:
-        # build the all-ones weight shard-by-shard on host: never touches
-        # the default backend (the mesh may live on a different platform)
-        sh = NamedSharding(mesh, P(model_axis, data_axis))
-        np_dt = np.dtype(Y.dtype)
-        W_sh = jax.make_array_from_callback(
-            Y.shape, sh,
-            lambda idx: np.ones(
-                tuple(len(range(*s.indices(d)))
-                      for s, d in zip(idx, Y.shape)), np_dt),
-        )
-
+    Exposed separately so the collective-layout audit
+    (``tests/test_collective_layout.py``) can lower/compile the exact
+    production computation and assert on its optimized-HLO collectives
+    without running a solve."""
     y_spec = P(model_axis, data_axis)
     a_spec = P(model_axis, None)
     s_spec = P(None, data_axis)
@@ -450,14 +412,14 @@ def nmf_pgm_sharded(
                          _STRIDE_SAFETY * jnp.asarray(sS, dt))
                 if step_adapt:
                     # drift vs the previously-carried (replicated) step
-                    # scalars; the zero-initialized steps give a huge
-                    # (>= budget) drift on the first refresh, so no
-                    # spurious growth
+                    # scalars; the first refresh (zero-initialized
+                    # steps) pins the stride via first=
                     from ..utils import grow_stride
 
                     stride_c = grow_stride(
                         stride_c, (st.step_A, st.step_S), steps,
-                        (1.0 - _STRIDE_SAFETY) / 2, 100)
+                        (1.0 - _STRIDE_SAFETY) / 2, 100,
+                        first=(st.it == 0))
                 st = st._replace(step_A=steps[0], step_S=steps[1])
                 seg_end = st.it + (stride_c if step_adapt
                                    else step_stride)
@@ -472,14 +434,68 @@ def nmf_pgm_sharded(
                                              (init, v0, stride0))
         else:
             final = jax.lax.while_loop(cond, make_body(), init)
-        return final.A, final.S, final.it, final.conv_A, final.conv_S, final.loss
+        return (final.A, final.S, final.it, final.conv_A, final.conv_S,
+                final.loss)
 
     smapped = shard_map(
         local_solve, mesh=mesh,
         in_specs=(a_spec, s_spec, y_spec, y_spec),
         out_specs=(a_spec, s_spec, P(), P(), P(), P()),
     )
-    A_f, S_f, it, cA, cS, loss = jax.jit(smapped)(A0, S0, Y, W_sh)
+    return jax.jit(smapped)
+
+
+def nmf_pgm_sharded(
+    Y, A, S, W=None, mesh=None,
+    prox_A=operators.prox_plus, prox_S=operators.prox_plus,
+    e_rel=1e-3, max_iter=1000,
+    data_axis="data", model_axis=None,
+    step_stride=None,
+    step_adapt=False,
+):
+    """Full sharded PGM-NMF solve: the entire while-loop runs inside one
+    jitted ``shard_map`` over the mesh — convergence scalars are psum'd so
+    all shards agree and the loop never leaves the devices.
+
+    Semantics match ``proxmin_tpu.nmf.nmf`` with ``algorithm='pgm'``
+    (unweighted or weighted Gaussian model, per-factor fixed-point
+    convergence at ``e_rel``); layout matches :func:`make_nmf_pgm_step`.
+    ``step_stride`` recomputes the Lipschitz bounds only every this many
+    iterations (0.9 safety factor, like ``nmf(step_stride=...)``) — on
+    weighted problems the bounds cost ~50 collective-completed passes
+    per evaluation, so striding them matters even more when each pass
+    also rides ICI. ``step_adapt=True`` grows the refresh interval
+    in-carry (the ApproximateCache rule, ``utils.grow_stride``) — the
+    interval is derived from psum-replicated step scalars, so every
+    shard takes identical segment lengths and the collectives inside
+    the refresh stay collective-safe.
+
+    Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
+    arrays), ``.iterations``, ``.converged``, ``.loss``.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    weighted = W is not None and getattr(W, "ndim", 0) == 2
+    Y, A0, S0, W_sh = shard_nmf_problem(
+        mesh, Y, A, S, W if weighted else None,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+    if not weighted:
+        # build the all-ones weight shard-by-shard on host: never touches
+        # the default backend (the mesh may live on a different platform)
+        sh = NamedSharding(mesh, P(model_axis, data_axis))
+        np_dt = np.dtype(Y.dtype)
+        W_sh = jax.make_array_from_callback(
+            Y.shape, sh,
+            lambda idx: np.ones(
+                tuple(len(range(*s.indices(d)))
+                      for s, d in zip(idx, Y.shape)), np_dt),
+        )
+
+    solve = _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel,
+                             max_iter, data_axis, model_axis,
+                             step_stride, step_adapt)
+    A_f, S_f, it, cA, cS, loss = solve(A0, S0, Y, W_sh)
 
     converged = (bool(cA), bool(cS))
     from ..solvers.common import writeback

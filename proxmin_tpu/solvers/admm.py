@@ -46,6 +46,12 @@ __all__ = ["admm", "sdmm"]
 
 _RESTART_BUDGET = 8  # total body evaluations allowed: budget * max_iter
 
+# residual-balancing multiplier bounds (adapt_step mode): wide enough to
+# correct any plausible step mis-scaling, tight enough that a stuck
+# imbalance cannot compound into float overflow/underflow
+_ADAPT_SCALE_MIN = 2.0 ** -20
+_ADAPT_SCALE_MAX = 2.0 ** 20
+
 _ADMM_CACHE = DriverCache()
 
 
@@ -225,8 +231,18 @@ def _sdmm_core(
                     lR > mu * lS, 1.0 / tau,
                     jnp.where(lS > mu * lR, tau, 1.0),
                 )
-                step_scale = state.step_scale * ratio
-                u = jax.tree_util.tree_map(lambda ui: ui * ratio, u)
+                # bounded multiplier: a persistently one-sided residual
+                # imbalance would otherwise compound 2x per iteration
+                # into overflow/underflow before max_iter trips (Boyd
+                # implementations bound rho the same way). The dual
+                # rescale uses the EFFECTIVE ratio so the multiplier
+                # y = U / step_g stays continuous even at the clamp.
+                step_scale = jnp.clip(
+                    state.step_scale * ratio,
+                    _ADAPT_SCALE_MIN, _ADAPT_SCALE_MAX,
+                )
+                ratio_eff = step_scale / state.step_scale
+                u = jax.tree_util.tree_map(lambda ui: ui * ratio_eff, u)
             else:
                 step_scale = state.step_scale
 

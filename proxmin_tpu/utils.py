@@ -376,21 +376,30 @@ class BarzilaiBorweinStepper:
         return tuple(np.asarray(s) for s in steps)
 
 
-def grow_stride(stride, old_steps, new_steps, budget, max_stride):
+def grow_stride(stride, old_steps, new_steps, budget, max_stride,
+                first=False):
     """The reference :class:`ApproximateCache`'s stride-growth rule
     (``/root/reference/proxmin/utils.py:176-186``) as a pure function
-    over traced values: when the relative drift of the refreshed steps
-    since the previous refresh is positive but below ``budget``
-    (= slack/2), grow the refresh interval by
-    ``max(1, floor(budget / drift * stride))``, capped at
-    ``max_stride``; otherwise keep it.
+    over traced values, plus a shrink-back branch the reference lacks:
+
+    * drift positive but below ``budget`` (= slack/2): grow the refresh
+      interval by ``max(1, floor(budget / drift * stride))``, capped at
+      ``max_stride``;
+    * drift above ``budget``: HALVE the interval (floor 1) — a solve
+      re-entering a fast-drift phase (restart, backtracking, weight
+      change) recovers a tight refresh cadence instead of running up to
+      ``max_stride`` iterations on a stale bound with only the safety
+      factor as protection (the reference's ApproximateCache shares
+      this flaw and never shrinks);
+    * otherwise keep it.
 
     ``old_steps`` / ``new_steps`` are matching pytrees of step values
     (scalars or arrays); drift is the max relative change over all
-    leaves. The all-zero ``old_steps`` of the first refresh gives a
-    huge drift (|new| over the tiny-clamped zero denominator), which is
-    ``>= budget`` and therefore never grows — reproducing the
-    reference's ``it > 1`` guard by outcome."""
+    leaves. ``first`` (traced bool): callers pass ``it == 0`` (or their
+    first-refresh marker) to pin the stride on the initial refresh —
+    the all-zero ``old_steps`` there produce a meaningless huge drift
+    that must neither grow (the reference's ``it > 1`` guard) nor
+    trip the shrink branch."""
     leaves_old = jax.tree_util.tree_leaves(old_steps)
     leaves_new = jax.tree_util.tree_leaves(new_steps)
     f32 = jnp.float32
@@ -407,7 +416,11 @@ def grow_stride(stride, old_steps, new_steps, budget, max_stride):
         1, jnp.floor(budget / jnp.maximum(drift, jnp.finfo(f32).tiny)
                      * stride.astype(f32))
     ).astype(stride.dtype)
-    return jnp.where(grow, jnp.minimum(max_stride, stride + bump), stride)
+    new = jnp.where(
+        grow, jnp.minimum(max_stride, stride + bump),
+        jnp.where(drift > budget, jnp.maximum(1, stride // 2), stride),
+    )
+    return jnp.where(jnp.asarray(first), stride, new)
 
 
 class StridedStepper:
@@ -475,7 +488,7 @@ class StridedStepper:
             return (new_inner, steps)
         budget = (1.0 - self.safety) / 2
         stride_new = grow_stride(stride, cached_old, steps, budget,
-                                 self.max_stride)
+                                 self.max_stride, first=(it == 0))
         return (new_inner, steps, stride_new, it + stride_new)
 
     def _due(self, state, it):

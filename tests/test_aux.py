@@ -661,7 +661,8 @@ def test_weighted_pgm_stepper_callback_mode(rng):
 def test_grow_stride_policy():
     """utils.grow_stride implements the reference ApproximateCache rule
     (reference utils.py:176-186): grow by max(1, floor(budget/drift *
-    stride)) when 0 < drift < budget, capped at max_stride."""
+    stride)) when 0 < drift < budget, capped at max_stride — plus the
+    shrink-back branch the reference lacks (drift > budget -> halve)."""
     import jax.numpy as jnp
     from proxmin_tpu.utils import grow_stride
 
@@ -675,12 +676,58 @@ def test_grow_stride_policy():
     assert int(grow_stride(s, old, new, 0.05, 25)) == 25
     # zero drift: no growth (reference requires rel_error > 0)
     assert int(grow_stride(s, old, old, 0.05, 100)) == 10
-    # drift above budget: no growth
+    # drift above budget: SHRINK back (halve, floor 1) — a re-entered
+    # fast-drift phase recovers a tight refresh cadence
     big = (jnp.asarray(1.5), jnp.asarray(2.0))
-    assert int(grow_stride(s, old, big, 0.05, 100)) == 10
-    # all-zero old steps (first refresh): drift ~ huge -> no growth
+    assert int(grow_stride(s, old, big, 0.05, 100)) == 5
+    assert int(grow_stride(jnp.int32(1), old, big, 0.05, 100)) == 1
+    # first refresh (all-zero old steps -> meaningless huge drift):
+    # callers pass first=True and the stride is pinned
     zero = (jnp.asarray(0.0), jnp.asarray(0.0))
-    assert int(grow_stride(s, zero, new, 0.05, 100)) == 10
+    assert int(grow_stride(s, zero, new, 0.05, 100, first=True)) == 10
+    # first=True also pins a would-grow refresh
+    assert int(grow_stride(s, old, new, 0.05, 100, first=True)) == 10
+
+
+def test_strided_stepper_shrinks_after_perturbation():
+    """Quality test for the shrink-back branch (VERDICT r3 item 7): an
+    adaptive StridedStepper whose step function settles (stride grows),
+    then is perturbed mid-solve (re-entering a fast-drift phase), must
+    shrink its refresh interval back down so step staleness stays
+    bounded — instead of coasting at the grown stride on stale bounds."""
+    import jax.numpy as jnp
+    from proxmin_tpu.utils import StridedStepper
+
+    t = {"v": 1.0, "drift": 1.0001}
+
+    def step(x, it=None):
+        t["v"] *= t["drift"]
+        return t["v"]
+
+    st = StridedStepper(step, 1, stride=2, safety=0.9, adapt=True,
+                        max_stride=50)
+    x = (jnp.zeros(3),)
+    state = st.init_state(x, None)
+
+    # settle phase: tiny step drift -> stride grows via segment refreshes
+    it = 0
+    while it < 60:
+        _, state = st.segment_refresh(state, x, jnp.int32(it))
+        it += int(st.state_stride(state))
+    grown = int(st.state_stride(state))
+    assert grown > 2
+
+    # perturbation: the step value jumps 2x per refresh (fast drift)
+    t["drift"] = 2.0
+    strides = []
+    for _ in range(8):
+        _, state = st.segment_refresh(state, x, jnp.int32(it))
+        strides.append(int(st.state_stride(state)))
+        it += strides[-1]
+    # first perturbed refresh sees the jump and halves; repeated drift
+    # drives the interval to the floor
+    assert strides[0] <= max(1, grown // 2)
+    assert strides[-1] == 1
 
 
 def test_strided_stepper_adaptive_schedule():
