@@ -36,7 +36,9 @@ from .utils import make_stepper
 __all__ = ["make_pgm_solver", "make_adaprox_solver",
            "make_admm_solver", "make_sdmm_solver", "make_bsdmm_solver",
            "make_differentiable_pgm_solver",
-           "make_differentiable_admm_solver", "make_nmf_solver"]
+           "make_differentiable_admm_solver",
+           "make_differentiable_sdmm_solver",
+           "make_differentiable_bsdmm_solver", "make_nmf_solver"]
 
 
 def make_pgm_solver(grad, step, prox=None, accelerated=False,
@@ -209,19 +211,31 @@ def make_bsdmm_solver(proxs_f, steps_f_cb, proxs_g=None, steps_g=None,
     :func:`make_pgm_solver`. The solver structure (block count, dtype,
     constraint topology) is resolved from the actual blocks at trace
     time, so one factory output works across shapes/dtypes (one compile
-    each, the standard jit contract).
+    each, the standard jit contract). Built on the driver's own
+    ``_build_bsdmm`` body/init builders — same program as the host
+    driver, with the built pieces memoized per (block count, dtype) so
+    repeated traces pay no reconstruction.
     """
-    from .solvers.bsdmm import bsdmm
+    from .solvers.bsdmm import _build_bsdmm
+
+    programs = {}
 
     def solve(*x_blocks):
-        runner = bsdmm(
-            list(x_blocks), proxs_f, steps_f_cb, proxs_g=proxs_g,
-            steps_g=steps_g, Ls=Ls, update_order=update_order,
-            steps_g_update=steps_g_update, max_iter=max_iter,
-            e_rel=e_rel, e_abs=e_abs, steps_f_stride=steps_f_stride,
-            _export_runner=True,
+        dtype = jnp.result_type(*[x.dtype for x in x_blocks])
+        key = (len(x_blocks), jnp.dtype(dtype).name)
+        prog = programs.get(key)
+        if prog is None:
+            prog = programs[key] = _build_bsdmm(
+                len(x_blocks), dtype, proxs_f, steps_f_cb,
+                proxs_g=proxs_g, steps_g=steps_g, Ls=Ls,
+                update_order=update_order,
+                steps_g_update=steps_g_update, e_rel=e_rel, e_abs=e_abs,
+                max_iter=max_iter, steps_f_stride=steps_f_stride,
+            )
+        body, init_zu = prog.make_body(prog.data_leaves)
+        st = jax.lax.while_loop(
+            prog.cond, body, prog.init_state(x_blocks, init_zu=init_zu)
         )
-        st = runner(*x_blocks)
         return st.x, st.it, st.converged
 
     return solve
@@ -419,6 +433,187 @@ def make_differentiable_admm_solver(prox_f, step_f, prox_g, step_g=None,
     def solve(x0, *theta):
         z0, u0 = _utils.initZU(x0, Lop)
         w, converged = inner((x0, z0, u0), *theta)
+        return w[0], converged
+
+    return solve
+
+
+def make_differentiable_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None,
+                                    Ls=None, e_rel=1e-9, max_iter=1000,
+                                    vjp_iters=10000, vjp_rtol=1e-9,
+                                    prox_params=False):
+    """Differentiable SDMM (M simultaneous constraints) via implicit
+    differentiation at the fixed point — extends
+    :func:`make_differentiable_admm_solver` to constraint lists, so the
+    whole solver family is uniformly differentiable (the reference
+    treats all five solvers uniformly,
+    ``/root/reference/proxmin/algorithms.py:426-850``).
+
+    The iteration map is one fixed-step SDMM update over
+    ``w = (x, Z_1..M, U_1..M)`` (:func:`utils.update_variables`'s
+    multi-constraint branch; no slack restart — non-smooth control
+    flow). ``steps_g[i]`` default to the ``step_f * ||L_i||^2 * M``
+    coupling. With ``prox_params=True`` every prox (f and each g_i) is
+    called as ``prox(v, step, *theta)``. Returns
+    ``solve(x0, *theta) -> (x*, converged)``; the convergence caveats of
+    :func:`make_differentiable_admm_solver` apply verbatim (spectral
+    radius of the update map < 1 at the solution; ALWAYS check
+    ``converged``).
+    """
+    from .linop import as_linear_operator
+    from . import utils as _utils
+
+    proxs_g = tuple(proxs_g)
+    M = len(proxs_g)
+    if not hasattr(Ls, "__iter__"):
+        Ls = [Ls] * M
+    Lops = tuple(as_linear_operator(Li) for Li in Ls)
+    if steps_g is None:
+        steps_g = tuple(
+            _utils.get_step_g(step_f, Lops[i].spectral_norm_sq, M=M)
+            for i in range(M)
+        )
+    steps_g = tuple(steps_g)
+    assert len(steps_g) == M
+
+    def T(w, *theta):
+        x, z, u = w
+        if prox_params:
+            pf = lambda v, s: prox_f(v, s, *theta)          # noqa: E731
+            pgs = [
+                (lambda v, s, _p=p: _p(v, s, *theta)) for p in proxs_g
+            ]
+        else:
+            pf, pgs = prox_f, list(proxs_g)
+        x, z, u, _, _, _ = _utils.update_variables(
+            x, list(z), list(u), pf, step_f, pgs, list(steps_g),
+            list(Lops),
+        )
+        return (x, tuple(z), tuple(u))
+
+    inner = _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters,
+                                         vjp_rtol)
+
+    def solve(x0, *theta):
+        z0, u0 = _utils.initZU(x0, list(Lops))
+        w, converged = inner((x0, tuple(z0), tuple(u0)), *theta)
+        return w[0], converged
+
+    return solve
+
+
+def make_differentiable_bsdmm_solver(proxs_f, steps_f, proxs_g=None,
+                                     steps_g=None, Ls=None,
+                                     update_order=None, e_rel=1e-9,
+                                     max_iter=1000, vjp_iters=10000,
+                                     vjp_rtol=1e-9, prox_params=False):
+    """Differentiable block-SDMM via implicit differentiation at the
+    fixed point — completes solver-family uniformity for the
+    differentiable surface (reference treats all five solvers uniformly,
+    ``/root/reference/proxmin/algorithms.py:426-850``).
+
+    The iteration map is one Gauss–Seidel sweep over the N blocks (each
+    block's ``proxs_f`` sees the already-updated earlier blocks, like
+    the host driver), with FIXED per-block steps: ``steps_f`` is a
+    list of N static scalars (the differentiable surface trades the
+    driver's adaptive step machinery for a clean implicit structure,
+    exactly like ``make_differentiable_pgm_solver``'s static step).
+    ``proxs_g[j]`` is an optional list of M_j constraint proxs with
+    ``Ls[j]`` operators; ``steps_g[j][i]`` default to the
+    ``steps_f[j] * ||L_ji||^2 * N * M_j`` coupling.
+
+    ``proxs_f(v, step, *theta, Xs=..., j=...)`` is the block data-term
+    prox (gradient-step closures work: theta can carry Y); with
+    ``prox_params=True`` the constraint proxs are also called as
+    ``prox(v, step, *theta)``. Returns
+    ``solve(x_blocks_tuple, *theta) -> (x_blocks, converged)``.
+    Convergence caveats as in :func:`make_differentiable_admm_solver`;
+    note that bilinear CMF objectives are generically NOT locally
+    strongly convex jointly (gauge freedom), so per-block theta
+    gradients are meaningful only where the fixed point is locally
+    unique.
+    """
+    from .linop import as_linear_operator
+    from . import utils as _utils
+
+    def solve(x0, *theta):
+        N = len(x0)
+        steps = list(steps_f) if hasattr(steps_f, "__iter__") \
+            else [steps_f] * N
+        assert len(steps) == N
+        pg = list(proxs_g) if proxs_g is not None else [None] * N
+        assert len(pg) == N
+        Ls_n = list(Ls) if hasattr(Ls, "__iter__") else [Ls] * N
+        sg_n = list(steps_g) if steps_g is not None else [None] * N
+        order = tuple(update_order) if update_order is not None \
+            else tuple(range(N))
+
+        M = [0] * N
+        Lops = [None] * N
+        sgs = [None] * N
+        for j in range(N):
+            if pg[j] is not None:
+                pj = pg[j] if hasattr(pg[j], "__iter__") else [pg[j]]
+                pg[j] = tuple(pj)
+                M[j] = len(pg[j])
+                Lj = Ls_n[j] if hasattr(Ls_n[j], "__iter__") \
+                    else [Ls_n[j]] * M[j]
+                Lops[j] = tuple(as_linear_operator(Li) for Li in Lj)
+                if sg_n[j] is None:
+                    sgs[j] = tuple(
+                        _utils.get_step_g(
+                            steps[j], Lops[j][i].spectral_norm_sq,
+                            N=N, M=M[j])
+                        for i in range(M[j])
+                    )
+                else:
+                    sgs[j] = tuple(sg_n[j])
+            else:
+                Lops[j] = as_linear_operator(None)
+
+        def T(w, *theta):
+            xs, zs, us = list(w[0]), list(w[1]), list(w[2])
+            for j in order:
+                xs_now = tuple(xs)
+
+                def pf_j(v, s, _j=j, _xs=xs_now):
+                    return proxs_f(v, s, *theta, Xs=_xs, j=_j)
+
+                if M[j] > 0:
+                    if prox_params:
+                        pgs_j = [
+                            (lambda v, s, _p=p: _p(v, s, *theta))
+                            for p in pg[j]
+                        ]
+                    else:
+                        pgs_j = list(pg[j])
+                    xj, zj, uj, _, _, _ = _utils.update_variables(
+                        xs[j], list(zs[j]), list(us[j]), pf_j, steps[j],
+                        pgs_j, list(sgs[j]), list(Lops[j]),
+                    )
+                    zs[j], us[j] = tuple(zj), tuple(uj)
+                else:
+                    xj, zj, uj, _, _, _ = _utils.update_variables(
+                        xs[j], zs[j], us[j], pf_j, steps[j], None, None,
+                        Lops[j],
+                    )
+                    zs[j], us[j] = zj, uj
+                xs[j] = xj
+            return (tuple(xs), tuple(zs), tuple(us))
+
+        inner = _implicit_fixed_point_solver(T, e_rel, max_iter,
+                                             vjp_iters, vjp_rtol)
+
+        z0, u0 = [], []
+        for j in range(N):
+            if M[j] > 0:
+                zj, uj = _utils.initZU(x0[j], list(Lops[j]))
+                z0.append(tuple(zj))
+                u0.append(tuple(uj))
+            else:
+                z0.append(x0[j])
+                u0.append(jnp.zeros_like(x0[j]))
+        w, converged = inner((tuple(x0), tuple(z0), tuple(u0)), *theta)
         return w[0], converged
 
     return solve

@@ -89,10 +89,21 @@ def _stack_errors(errors, multi):
     ])
 
 
+def _resume_state(state):
+    """Extract the warm-restart pytree from a final ADMMState — the
+    fields that continue across a checkpoint/resume boundary (plain dict
+    of arrays: serializes through ``proxmin_tpu.checkpoint`` as-is)."""
+    return {
+        "z": state.z, "u": state.u, "slack": state.slack,
+        "step_scale": state.step_scale, "r_prev": state.r_prev,
+    }
+
+
 def _sdmm_core(
     x0, prox_f, step_f, proxs_g, steps_g, Ls, e_rel, e_abs, max_iter,
     callback, return_errors, trace=False, admm_convention=True,
     cache_key=None, retain_refs=(), return_runner=False, adapt_step=False,
+    resume=None,
 ):
     """Shared driver. ``proxs_g``: tuple of M callables (possibly empty for
     the no-constraint fallback); ``steps_g``: tuple of M (user values or
@@ -283,26 +294,43 @@ def _sdmm_core(
             )
 
         return body, init_zu
-    def init_state(x, init_zu=init_zu):
-        z0, u0 = init_zu(x)
-        if has_g and M == 1:
-            r0 = jnp.zeros_like(z0)
-        elif has_g:
-            r0 = tuple(jnp.zeros_like(zi) for zi in z0)
+    def init_state(x, init_zu=init_zu, resume=None):
+        if resume is None:
+            z0, u0 = init_zu(x)
+            slack0 = jnp.asarray(1.0, x.dtype)
+            scale0 = jnp.asarray(1.0, x.dtype)
+            if has_g and M == 1:
+                r0 = jnp.zeros_like(z0)
+            elif has_g:
+                r0 = tuple(jnp.zeros_like(zi) for zi in z0)
+            else:
+                r0 = jnp.zeros_like(x)
         else:
-            r0 = jnp.zeros_like(x)
+            # warm restart (checkpoint/resume): Z/U, the slack, the
+            # residual-balancing multiplier and the stall-detector
+            # residual all continue; the iteration counters restart, so
+            # the resumed solve runs up to max_iter further iterations
+            # (matching the adaprox M/V/Vhat warm-start convention,
+            # reference algorithms.py:262-264,347-359 — which the
+            # reference's ADMM family lacks: algorithms.py:471 always
+            # re-inits Z, U)
+            z0 = resume["z"]
+            u0 = resume["u"]
+            slack0 = jnp.asarray(resume["slack"], x.dtype)
+            scale0 = jnp.asarray(resume["step_scale"], x.dtype)
+            r0 = resume["r_prev"]
         return ADMMState(
             x=jnp.array(x, copy=True),
             z=jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), z0),
-            u=u0,
+            u=jax.tree_util.tree_map(jnp.asarray, u0),
             it=jnp.int32(0),
             total_it=jnp.int32(0),
-            slack=jnp.asarray(1.0, x.dtype),
+            slack=slack0,
             converged=jnp.asarray(False),
             errors=jnp.zeros((max(M, 1), 4)),
-            r_prev=r0,
+            r_prev=jax.tree_util.tree_map(jnp.asarray, r0),
             history=jnp.zeros((2 * max_iter if trace else 0, max(M, 1), 4)),
-            step_scale=jnp.asarray(1.0, x.dtype),
+            step_scale=scale0,
         )
 
     total_cap = _RESTART_BUDGET * max_iter
@@ -329,9 +357,9 @@ def _sdmm_core(
             # initial state built INSIDE the executable, from the
             # leaves-rebuilt operators (eager construction dispatches
             # several host->device ops per solve; see the pgm driver)
-            def run(x, leaves):
+            def run(x, leaves, resume):
                 body, init_zu_l = make_body(leaves)
-                state = init_state(x, init_zu=init_zu_l)
+                state = init_state(x, init_zu=init_zu_l, resume=resume)
 
                 def cond(s):
                     return jnp.logical_and(
@@ -361,9 +389,9 @@ def _sdmm_core(
         )
 
     if callback is None:
-        state = compiled(x0, data_leaves)
+        state = compiled(x0, data_leaves, resume)
     else:
-        state = init_state(x0)
+        state = init_state(x0, resume=resume)
         while (int(state.it) < max_iter and int(state.total_it) < total_cap
                and not bool(state.converged)):
             try:
@@ -388,6 +416,7 @@ def admm(
     callback=None,
     trace=False,
     adapt_step=False,
+    state=None,
 ):
     """Linearized Alternating Direction Method of Multipliers.
 
@@ -403,9 +432,19 @@ def admm(
     The reference defines this adaptation but never wires it
     (``utils.py:282-292``).
 
+    ``state``: warm-restart state from a previous solve's ``.state``
+    attribute (checkpointable via :mod:`proxmin_tpu.checkpoint`): the
+    Z/U splitting variables, step slack, residual-balancing multiplier
+    and stall-detector residual continue where the previous solve
+    stopped — the ADMM-family analogue of adaprox's M/V/Vhat warm start
+    (the reference always re-inits Z, U: ``algorithms.py:471``). Resume
+    with the previous solve's ``X`` iterate; a resumed solve runs up to
+    ``max_iter`` further iterations.
+
     Returns:
         ``SolverResult`` unpacking as ``(converged, error)`` with
-        attributes ``.x``, ``.iterations``, ``.slack``, ``.errors``.
+        attributes ``.x``, ``.iterations``, ``.slack``, ``.errors``,
+        ``.state`` (warm-restart pytree).
     """
     (x0,), originals, _ = tupleize(X)
     Lop = as_linear_operator(L)
@@ -423,7 +462,7 @@ def admm(
         x0, prox_f, step_f, proxs_g, steps_g, (Lop,) if prox_g is not None else (),
         e_rel, e_abs, max_iter, callback, return_errors=True, trace=trace,
         cache_key=cache_key, retain_refs=(prox_f, step_f, prox_g, L),
-        adapt_step=adapt_step,
+        adapt_step=adapt_step, resume=state,
     )
 
     # one batched device->host fetch (round trips are expensive on
@@ -448,6 +487,7 @@ def admm(
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
         total_iterations=int(tot_h), history=history,
+        state=_resume_state(state),
     )
 
 
@@ -464,6 +504,7 @@ def sdmm(
     callback=None,
     trace=False,
     adapt_step=False,
+    state=None,
 ):
     """Simultaneous-Direction Method of Multipliers (M constraints).
 
@@ -490,7 +531,7 @@ def sdmm(
         return admm(
             X, prox_f, step_f, prox_g=proxs_g, step_g=steps_g, L=Ls,
             e_rel=e_rel, e_abs=e_abs, max_iter=max_iter, callback=callback,
-            trace=trace, adapt_step=adapt_step,
+            trace=trace, adapt_step=adapt_step, state=state,
         )
 
     (x0,), originals, _ = tupleize(X)
@@ -519,7 +560,7 @@ def sdmm(
         admm_convention=False,
         cache_key=cache_key,
         retain_refs=(prox_f, step_f, tuple(proxs_g), tuple(Ls), steps_g),
-        adapt_step=adapt_step,
+        adapt_step=adapt_step, resume=state,
     )
 
     conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(
@@ -544,4 +585,5 @@ def sdmm(
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
         total_iterations=int(tot_h), history=history,
+        state=_resume_state(state),
     )

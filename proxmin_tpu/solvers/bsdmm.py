@@ -65,51 +65,33 @@ class BSDMMState(NamedTuple):
                          # residual norms (trace mode; empty otherwise)
 
 
-def bsdmm(
-    X,
-    proxs_f,
-    steps_f_cb,
-    proxs_g=None,
-    steps_g=None,
-    Ls=None,
-    update_order=None,
-    steps_g_update="steps_f",
-    max_iter=1000,
-    e_rel=1e-6,
-    e_abs=0,
-    callback=None,
-    trace=False,
-    steps_f_stride=None,
-    _export_runner=False,
-):
-    """Block-Simultaneous Method of Multipliers.
+class _BsdmmProgram(NamedTuple):
+    """The pure pieces of a bsdmm solve, shared by the host driver, the
+    AOT exporter and :func:`proxmin_tpu.functional.make_bsdmm_solver`
+    (so the factory cannot drift from the in-process semantics):
+    ``make_body(leaves) -> (body, init_zu)``, ``init_state(xs,
+    init_zu=...) -> BSDMMState``, the partial-bound ``data_leaves`` to
+    pass/bake, and the driver-cache ingredients."""
 
-    Drop-in equivalent of the reference ``proxmin.bsdmm``
-    (``algorithms.py:653-850``). ``proxs_f(X_j, step, Xs=None, j=None)``
-    must be jit-traceable; ``steps_f_cb(Xs, j=None)`` computes the per-block
-    step. ``steps_g_update`` in {'steps_f', 'fixed', 'relative'} selects
-    how per-constraint steps track the block steps
-    (reference ``algorithms.py:739-749``).
+    make_body: Any
+    init_state: Any
+    data_leaves: Any
+    cond: Any
+    stateful_steps: bool
 
-    ``steps_f_stride``: evaluate ``steps_f_cb`` only every this many
-    sweeps, carrying the cached per-block step (shrunk by a 0.9 safety
-    factor) in the solver state between refreshes — the bsdmm analogue
-    of pgm's :class:`~proxmin_tpu.utils.StridedStepper` for expensive
-    (e.g. weighted-Lipschitz) step callables. Only the taken
-    ``lax.cond`` branch executes, so skipped sweeps pay nothing.
 
-    Returns:
-        ``SolverResult`` unpacking as the per-block converged tuple (the
-        reference returns that list) with attributes ``.x``,
-        ``.iterations``, ``.converged``.
-    """
-    x0, originals, _ = tupleize(X)
-    N = len(x0)
-
-    # capture user-level argument identities BEFORE normalization wraps
-    # them (the driver cache must key on stable user objects)
-    _user_structs = (proxs_g, steps_g, Ls)
-
+def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
+                 steps_g=None, Ls=None, update_order=None,
+                 steps_g_update="steps_f", e_rel=1e-6, e_abs=0,
+                 max_iter=1000, steps_f_stride=None, trace=False):
+    """Normalize the nested constraint structure and build the pure
+    pieces of a bsdmm solve (see :class:`_BsdmmProgram`). Shared by the
+    host driver below, the AOT exporter and
+    :func:`proxmin_tpu.functional.make_bsdmm_solver` — one body builder,
+    zero drift. Only the block COUNT and dtype are needed, not the block
+    arrays, so the factory can call this from inside a trace without
+    touching the host driver."""
+    N = n_blocks
     if proxs_g is None:
         proxs_g = [None] * N
     proxs_g = list(proxs_g)
@@ -163,7 +145,6 @@ def bsdmm(
             Ls[j] = as_linear_operator(None)
 
     has_g = tuple(M[j] > 0 for j in range(N))
-    dtype = jnp.result_type(*[x.dtype for x in x0])
 
     def make_init_zu(Ls_):
         def init_zu(x):
@@ -331,20 +312,117 @@ def bsdmm(
             )
 
         return body, init_zu_l
-    def init_state(xs=None, init_zu=init_zu):
-        xs = x0 if xs is None else tuple(xs)
-        z0, u0 = init_zu(xs)
+    def init_state(xs, init_zu=init_zu, resume=None):
+        xs = tuple(xs)
+        if resume is None:
+            z0, u0 = init_zu(xs)
+            steps_f0 = jnp.ones((N,), dtype)
+            steps_g0 = init_steps_g()
+            ss0 = (steps_f_cb.init_bsdmm_state(xs)
+                   if stateful_steps else ())
+        else:
+            # warm restart: per-block Z/U, carried steps and stepper
+            # state continue (the reference has no ADMM-family resume;
+            # see admm._resume_state); the sweep counter restarts
+            z0 = jax.tree_util.tree_map(jnp.asarray, tuple(resume["z"]))
+            u0 = jax.tree_util.tree_map(jnp.asarray, tuple(resume["u"]))
+            steps_f0 = jnp.asarray(resume["steps_f"], dtype)
+            steps_g0 = jax.tree_util.tree_map(
+                jnp.asarray, tuple(resume["steps_g"]))
+            ss0 = jax.tree_util.tree_map(jnp.asarray,
+                                         resume["steps_state"])
         return BSDMMState(
             x=tuple(jnp.array(x, copy=True) for x in xs),
             z=z0, u=u0,
-            steps_f=jnp.ones((N,), dtype),
-            steps_g=init_steps_g(),
-            steps_state=(steps_f_cb.init_bsdmm_state(xs)
-                         if stateful_steps else ()),
+            steps_f=steps_f0,
+            steps_g=steps_g0,
+            steps_state=ss0,
             it=jnp.int32(0),
             converged=jnp.zeros((N,), bool),
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
         )
+
+    def cond(s):
+        return jnp.logical_and(
+            s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
+        )
+
+    return _BsdmmProgram(
+        make_body=make_body, init_state=init_state,
+        data_leaves=data_leaves, cond=cond,
+        stateful_steps=stateful_steps,
+    )
+
+
+def bsdmm(
+    X,
+    proxs_f,
+    steps_f_cb,
+    proxs_g=None,
+    steps_g=None,
+    Ls=None,
+    update_order=None,
+    steps_g_update="steps_f",
+    max_iter=1000,
+    e_rel=1e-6,
+    e_abs=0,
+    callback=None,
+    trace=False,
+    steps_f_stride=None,
+    state=None,
+    _export_runner=False,
+):
+    """Block-Simultaneous Method of Multipliers.
+
+    Drop-in equivalent of the reference ``proxmin.bsdmm``
+    (``algorithms.py:653-850``). ``proxs_f(X_j, step, Xs=None, j=None)``
+    must be jit-traceable; ``steps_f_cb(Xs, j=None)`` computes the per-block
+    step. ``steps_g_update`` in {'steps_f', 'fixed', 'relative'} selects
+    how per-constraint steps track the block steps
+    (reference ``algorithms.py:739-749``).
+
+    ``steps_f_stride``: evaluate ``steps_f_cb`` only every this many
+    sweeps, carrying the cached per-block step (shrunk by a 0.9 safety
+    factor) in the solver state between refreshes — the bsdmm analogue
+    of pgm's :class:`~proxmin_tpu.utils.StridedStepper` for expensive
+    (e.g. weighted-Lipschitz) step callables. Only the taken
+    ``lax.cond`` branch executes, so skipped sweeps pay nothing.
+
+    ``state``: warm-restart state from a previous solve's ``.state``
+    attribute (checkpointable): per-block Z/U, carried step values and
+    stepper state continue where the previous solve stopped; pass the
+    previous solve's ``X`` blocks. A resumed solve runs up to
+    ``max_iter`` further sweeps.
+
+    Returns:
+        ``SolverResult`` unpacking as the per-block converged tuple (the
+        reference returns that list) with attributes ``.x``,
+        ``.iterations``, ``.converged``, ``.state`` (warm-restart
+        pytree).
+    """
+    x0, originals, _ = tupleize(X)
+    N = len(x0)
+
+    # capture user-level argument identities BEFORE normalization wraps
+    # them (the driver cache must key on stable user objects)
+    _user_structs = (proxs_g, steps_g, Ls)
+
+    # normalized copies for the cache key (the builder re-normalizes
+    # idempotently)
+    if update_order is not None:
+        update_order = tuple(int(j) for j in update_order)
+    e_rel = [e_rel] * N if np.isscalar(e_rel) else list(e_rel)
+    e_abs = [e_abs] * N if np.isscalar(e_abs) else list(e_abs)
+    dtype = jnp.result_type(*[x.dtype for x in x0])
+
+    prog = _build_bsdmm(
+        N, dtype, proxs_f, steps_f_cb, proxs_g, steps_g, Ls,
+        update_order, steps_g_update, e_rel, e_abs, max_iter,
+        steps_f_stride, trace,
+    )
+    make_body = prog.make_body
+    init_state = prog.init_state
+    data_leaves = prog.data_leaves
 
     if _export_runner:
         # AOT-export path (export.py): pure ``*x_blocks -> final state``
@@ -377,9 +455,9 @@ def bsdmm(
             # initial state built INSIDE the executable (eager
             # construction dispatches several host->device ops per
             # solve; see the pgm driver)
-            def run(x, leaves):
+            def run(x, leaves, resume):
                 body, init_zu_l = make_body(leaves)
-                state = init_state(x, init_zu=init_zu_l)
+                state = init_state(x, init_zu=init_zu_l, resume=resume)
 
                 def cond(s):
                     return jnp.logical_and(
@@ -402,10 +480,11 @@ def bsdmm(
         # mutable NumPy data in the key: bypass (retrace per call)
         compiled, _ = build()
 
+    resume = state
     if callback is None:
-        state = compiled(tuple(x0), data_leaves)
+        state = compiled(tuple(x0), data_leaves, resume)
     else:
-        state = init_state()
+        state = init_state(x0, resume=resume)
         while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
             try:
                 callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
@@ -428,4 +507,7 @@ def bsdmm(
         converged,
         x=state.x, iterations=iterations, converged=converged,
         history=history,
+        state={"z": state.z, "u": state.u, "steps_f": state.steps_f,
+               "steps_g": state.steps_g,
+               "steps_state": state.steps_state},
     )

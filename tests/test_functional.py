@@ -556,3 +556,121 @@ def test_implicit_diff_admm_learns_regularizer():
     # descends to the landscape's optimum (lam ~ -0.56, mse ~ 0.0078
     # from 0.021 — a 2.7x fit improvement over the unregularized start)
     assert mse1 < 0.5 * mse0
+
+
+def test_implicit_diff_sdmm_gradient_vs_finite_differences():
+    """Differentiable SDMM (VERDICT r3 item 6): d(solution)/d(theta) via
+    the implicit VJP matches central finite differences on a
+    strongly-convex quadratic under TWO simultaneous constraints (a
+    soft-threshold through a difference operator + a non-negativity
+    projection)."""
+    from proxmin_tpu.functional import make_differentiable_sdmm_solver
+    from proxmin_tpu import operators
+
+    n = 12
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.normal(size=n))
+    D = jnp.asarray(np.eye(n)[1:] - np.eye(n)[:-1])
+
+    def prox_f(v, step, theta):
+        # f(x) = 0.5||x - (y + theta)||^2 -> strongly convex
+        return (v + step * (y + theta)) / (1.0 + step)
+
+    def prox_g1(v, step, theta):
+        return operators.prox_soft(v, step, thresh=0.2)
+
+    def prox_g2(v, step, theta):
+        return operators.prox_plus(v, step)
+
+    solve = make_differentiable_sdmm_solver(
+        prox_f, 0.5, (prox_g1, prox_g2), Ls=[D, None],
+        e_rel=1e-12, max_iter=20000, vjp_rtol=1e-12, prox_params=True)
+
+    def loss(theta):
+        x, conv = solve(jnp.zeros(n), theta)
+        return jnp.sum(x ** 3)
+
+    theta0 = jnp.asarray(rng.normal(size=n) * 0.1)
+    x0, conv = solve(jnp.zeros(n), theta0)
+    assert bool(conv)
+
+    g = jax.grad(loss)(theta0)
+    eps = 1e-5
+    for i in (0, 5, n - 1):
+        e = jnp.zeros(n).at[i].set(eps)
+        fd = (float(loss(theta0 + e)) - float(loss(theta0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=2e-4, atol=1e-7)
+
+
+def test_implicit_diff_bsdmm_gradient_vs_finite_differences():
+    """Differentiable bSDMM (VERDICT r3 item 6): two coupled
+    strongly-convex blocks (quadratic with a cross-block coupling, so
+    the joint fixed point is locally unique, unlike bilinear CMF), one
+    block soft-thresholded — the implicit VJP through the Gauss–Seidel
+    sweep matches central finite differences."""
+    from proxmin_tpu.functional import make_differentiable_bsdmm_solver
+    from proxmin_tpu import operators
+
+    n = 10
+    alpha = 0.5
+    rng = np.random.default_rng(11)
+    t1 = jnp.asarray(rng.normal(size=n))
+    t2 = jnp.asarray(rng.normal(size=n))
+
+    # f = 0.5||x1 - (t1+theta)||^2 + 0.5||x2 - t2||^2
+    #     + 0.5*alpha*||x1 - x2||^2  (jointly strongly convex)
+    def proxs_f(v, step, theta, Xs=None, j=None):
+        other = Xs[1 - j]
+        target = (t1 + theta) if j == 0 else t2
+        return (v + step * (target + alpha * other)) / \
+            (1.0 + step * (1.0 + alpha))
+
+    def prox_g(v, step, theta):
+        return operators.prox_soft(v, step, thresh=0.15)
+
+    solve = make_differentiable_bsdmm_solver(
+        proxs_f, 0.4, proxs_g=[[prox_g], None],
+        e_rel=1e-12, max_iter=30000, vjp_rtol=1e-12, prox_params=True)
+
+    def loss(theta):
+        (x1, x2), conv = solve((jnp.zeros(n), jnp.zeros(n)), theta)
+        return jnp.sum(x1 ** 3) + jnp.sum(x1 * x2)
+
+    theta0 = jnp.asarray(rng.normal(size=n) * 0.1)
+    _, conv = solve((jnp.zeros(n), jnp.zeros(n)), theta0)
+    assert bool(conv)
+
+    g = jax.grad(loss)(theta0)
+    eps = 1e-5
+    for i in (0, 4, n - 1):
+        e = jnp.zeros(n).at[i].set(eps)
+        fd = (float(loss(theta0 + e)) - float(loss(theta0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=5e-4, atol=1e-7)
+
+
+def test_differentiable_sdmm_matches_host_sdmm_forward():
+    """The differentiable SDMM forward pass lands on the same fixed
+    point as the host sdmm driver (fixed steps, same constraints)."""
+    from proxmin_tpu.functional import make_differentiable_sdmm_solver
+    from proxmin_tpu import operators
+
+    n = 8
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=n)
+
+    def prox_f(v, step):
+        return (v + step * jnp.asarray(y)) / (1.0 + step)
+
+    proxs_g = [operators.prox_plus,
+               lambda v, s: operators.prox_max(v, s, thresh=1.0)]
+
+    solve = make_differentiable_sdmm_solver(
+        prox_f, 0.5, proxs_g, Ls=[None, None],
+        e_rel=1e-13, max_iter=50000)
+    x_d, conv = solve(jnp.zeros(n))
+    assert bool(conv)
+
+    res = pt.sdmm(jnp.zeros(n), prox_f, 0.5, proxs_g=proxs_g,
+                  Ls=[None, None], e_rel=1e-12, max_iter=50000)
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(res.x),
+                               rtol=1e-6, atol=1e-8)
