@@ -406,12 +406,18 @@ def main():
     t_np_w = bench_numpy_weighted(Y, A0, S0, W)
     log(f"numpy weighted (strided, implicit): {t_np_w * 1e3:.2f} ms/iter")
 
-    t_tpu, engine, gbs, compile_s = bench_tpu(Y, A0, S0)
-    log(f"tpu best ({engine}): {t_tpu * 1e3:.3f} ms/iter")
-    t_ws = bench_tpu_weighted(Y, A0, S0, W)
-    t_tpu_w = min(t_ws.values())
-    t_tpu_a = bench_tpu_adaprox(Y, A0, S0)
-    t_e2e, e2e_iters = bench_e2e(Y, A0, S0)
+    # fixed-iteration timing solves each emit a "did not converge"
+    # WARNING through the production drivers; collapse them to one
+    # summary line so a real regression warning stays visible
+    from proxmin_tpu.utils import summarize_convergence_warnings
+
+    with summarize_convergence_warnings():
+        t_tpu, engine, gbs, compile_s = bench_tpu(Y, A0, S0)
+        log(f"tpu best ({engine}): {t_tpu * 1e3:.3f} ms/iter")
+        t_ws = bench_tpu_weighted(Y, A0, S0, W)
+        t_tpu_w = min(t_ws.values())
+        t_tpu_a = bench_tpu_adaprox(Y, A0, S0)
+        t_e2e, e2e_iters = bench_e2e(Y, A0, S0)
 
     speedup = t_np / t_tpu
     speedup_w = t_np_w / t_tpu_w

@@ -66,6 +66,33 @@ def engines_at(C, K, N):
           f"xla/pallas {t_xla / t_pal:4.2f}x")
 
 
+def weighted_engines_at(C, K, N, stride=10):
+    """Weighted engine comparison at one shape: the XLA driver
+    (warm-started strided WeightedPGMStepper) vs the fused weighted
+    Pallas kernel, both at the same refresh stride (VERDICT r3 item 2 —
+    settle the weighted crossover with data instead of extrapolating
+    from the unweighted study)."""
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.random((C, N)).astype(np.float32))
+    W = jnp.asarray((0.5 + rng.random((C, N))).astype(np.float32))
+    A = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S = jnp.asarray(rng.random((K, N)).astype(np.float32))
+
+    times = {}
+    for name, kw in (("xla", {}), ("pallas", dict(engine="pallas"))):
+        def call(n, _kw=kw):
+            res = pt.nmf.nmf(Y, A, S, W=W, e_rel=0, max_iter=n,
+                             step_stride=stride, **_kw)
+            return np.asarray(res.x[0])
+
+        times[name] = _slope(call)
+    print(f"weighted C={C:4d} K={K:3d} N={N:8d}: "
+          f"xla {times['xla'] * 1e3:7.3f} ms/iter  "
+          f"pallas {times['pallas'] * 1e3:7.3f} ms/iter  "
+          f"xla/pallas {times['xla'] / times['pallas']:4.2f}x")
+    return times
+
+
 def weighted_strided(C=5, K=7, N=1_000_000):
     rng = np.random.default_rng(101)
     Y = jnp.asarray(
@@ -90,9 +117,16 @@ def weighted_strided(C=5, K=7, N=1_000_000):
 
 
 if __name__ == "__main__":
+    from proxmin_tpu.utils import summarize_convergence_warnings
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    engines_at(5, 7, 1_000_000)
-    engines_at(16, 8, 500_000)
-    engines_at(64, 16, 250_000)
-    engines_at(128, 32, 125_000)
-    weighted_strided()
+    with summarize_convergence_warnings():
+        engines_at(5, 7, 1_000_000)
+        engines_at(16, 8, 500_000)
+        engines_at(64, 16, 250_000)
+        engines_at(128, 32, 125_000)
+        weighted_engines_at(5, 7, 1_000_000)
+        weighted_engines_at(16, 8, 500_000)
+        weighted_engines_at(64, 16, 250_000)
+        weighted_engines_at(128, 32, 125_000)
+        weighted_strided()

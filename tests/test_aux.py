@@ -949,3 +949,63 @@ def test_export_nmf_solver_weighted_adaptive(tmp_path, rng):
     # unweighted + step_adapt export is rejected
     with pytest.raises(ValueError, match="weighted"):
         export_nmf_solver(C, K, N, step_adapt=True)
+
+
+def test_summarize_convergence_warnings_collapses_and_passes_through():
+    """Timing harness hygiene (VERDICT r3 item 8): repeated 'did not
+    converge' WARNINGs collapse to one summary line; unrelated warnings
+    pass through; the filter detaches on exit."""
+    import io
+    import logging
+
+    logger = logging.getLogger("proxmin")
+    stream = io.StringIO()
+    handler = logging.StreamHandler(stream)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
+        with utils.summarize_convergence_warnings() as s:
+            for _ in range(7):
+                logger.warning("Solution did not converge")
+            logger.warning("unrelated warning")
+        assert s.count == 7
+        out = stream.getvalue()
+        # the only mention is inside the one summary line
+        assert out.count("Solution did not converge") == 1
+        assert "Suppressed 7x" in out
+        assert "unrelated warning" in out
+        # detached: warnings emit normally again
+        logger.warning("Solution did not converge")
+        assert stream.getvalue().count("did not converge") == 2
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+
+
+def test_summarize_convergence_warnings_through_driver():
+    """The real driver path: fixed-iteration nmf() solves inside the
+    context emit no per-solve warning, one summary on exit."""
+    import io
+    import logging
+
+    rng = np.random.default_rng(3)
+    Y = rng.random((3, 32)).astype(np.float32)
+    A = rng.random((3, 2)).astype(np.float32)
+    S = rng.random((2, 32)).astype(np.float32)
+
+    logger = logging.getLogger("proxmin")
+    stream = io.StringIO()
+    handler = logging.StreamHandler(stream)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
+        with utils.summarize_convergence_warnings() as s:
+            for _ in range(3):
+                pt.nmf.nmf(Y, A.copy(), S.copy(), e_rel=0, max_iter=5)
+        assert s.count == 3
+        assert stream.getvalue().count("Suppressed 3x") == 1
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
