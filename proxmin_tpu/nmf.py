@@ -53,6 +53,7 @@ __all__ = [
     "pgm_nmf_iteration",
     "nmf",
     "nmf_pgm_fused",
+    "nmf_adaprox_fused",
 ]
 
 
@@ -728,6 +729,185 @@ def nmf_pgm_fused(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
+                               dtype, b1, b2, eps, moment_dtype=None):
+    """Build (and cache) the jitted fused proximal-Adam solve for one
+    problem configuration (``scheme='adam'``, separable proxs, the
+    default ``step_adaprox`` mean/10 heuristic).
+
+    Each iteration is ONE streaming pass over the pixel data
+    (:func:`proxmin_tpu.ops.nmf_kernels.fused_nmf_adaprox_step`): the
+    S-block gradient, both Adam moment EMAs, the bias-corrected step and
+    the closed-form separable prox happen in-register per tile — the
+    gradient never materializes in HBM and the moments make exactly one
+    HBM round trip per iteration (the XLA driver materializes gS and
+    re-reads it for each moment EMA). The next iteration's
+    ``step_adaprox`` row means are accumulated in the same pass (the
+    ``SSt_new`` trick of the fused PGM kernel, applied to row sums), so
+    the step recursion stays exact, not lagged.
+
+    ``moment_dtype=jnp.bfloat16`` stores M/V at half the HBM footprint
+    with the casts fused into the kernel pass (in-register, unlike the
+    XLA ``moment_dtype`` path where they are separate VPU passes) —
+    traffic drops from 188 to 132 MB/iter at the flagship shape.
+    """
+    import jax
+    from .ops.nmf_kernels import (
+        _SUBLANE, _adaprox_auto_tile, _round_up, fused_nmf_adaprox_step,
+    )
+
+    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
+    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    mdt = jnp.dtype(moment_dtype or jnp.float32)
+    tile = _adaprox_auto_tile(Cp, Kp, False, tile_n, N,
+                              moment_bytes=mdt.itemsize)
+    Np = _round_up(N, tile)
+    dims = (C, K, N)
+    tiny = float(np.finfo(np.float32).tiny)
+
+    @jax.jit
+    def run(A, S, Y, max_iter):
+        A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
+        S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+
+        def body(carry):
+            (A, S, MS, VS, MA, VA, rowsum, it, _, _, _) = carry
+            t = (it + 1).astype(jnp.float32)
+            b1_t = jnp.asarray(b1, jnp.float32)
+            bc1 = 1.0 / (1.0 - b1_t ** t)
+            bc2 = 1.0 / (1.0 - jnp.asarray(b2, jnp.float32) ** t)
+            scalars = jnp.stack([b1_t, bc1, bc2])
+
+            # step_adaprox (reference nmf.py:91-93): alpha_A =
+            # mean(A, 0)/10 per column, alpha_S = mean(S, 1)/10 per row
+            # — the S row sums come from the previous kernel pass
+            alpha_A = jnp.sum(A, axis=0) / C / 10.0          # (Kp,)
+            alpha_S = rowsum / N / 10.0                      # (Kp, 1)
+
+            gA, S1, MS1, VS1, rowsum1, loss, dS_sq, nS_sq = (
+                fused_nmf_adaprox_step(
+                    A, S, MS, VS, Y_p, alpha_S, scalars,
+                    prox_S=prox_S, b2=b2, eps=eps, tile_n=tile,
+                    dims=dims,
+                )
+            )
+
+            # A block (tiny, plain XLA): same adam phi/psi + separable
+            # closed-form prox as the driver (adaprox.py:261-281)
+            MA1 = (1.0 - b1_t) * gA + b1_t * MA
+            VA1 = (1.0 - b2) * gA ** 2 + b2 * VA
+            PhiA = MA1 * bc1
+            PsiA = jnp.sqrt(VA1 * bc2) + eps
+            PsiA_safe = jnp.maximum(PsiA, tiny)
+            A1 = A - alpha_A[None, :] * PhiA / PsiA_safe
+            if prox_A is not None:
+                A1 = prox_A(A1, alpha_A[None, :] / PsiA_safe)
+            else:
+                A1 = jnp.maximum(A1, 0.0)
+            A1 = A1 * a_mask
+
+            conv_A = (jnp.sum((A1 - A) ** 2)
+                      <= e_rel ** 2 * jnp.sum(A1 ** 2))
+            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            return (A1, S1, MS1, VS1, MA1, VA1, rowsum1, it + 1,
+                    conv_A, conv_S, loss)
+
+        def cond(carry):
+            it, conv_A, conv_S = carry[7], carry[8], carry[9]
+            done = jnp.logical_and(conv_A, conv_S)
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        init = (
+            A_p, S_p,
+            jnp.zeros((Kp, Np), mdt), jnp.zeros((Kp, Np), mdt),
+            jnp.zeros((Cp, Kp), jnp.float32),
+            jnp.zeros((Cp, Kp), jnp.float32),
+            jnp.sum(S_p, axis=1, keepdims=True),
+            jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(jnp.inf, jnp.float32),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        A_f, S_f, it, conv_A, conv_S, loss = (
+            out[0], out[1], out[7], out[8], out[9], out[10]
+        )
+        return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
+                it, conv_A, conv_S, loss)
+
+    return run
+
+
+def nmf_adaprox_fused(
+    Y,
+    A,
+    S,
+    prox_A=operators.prox_plus,
+    prox_S=operators.prox_plus,
+    e_rel=1e-3,
+    max_iter=1000,
+    b1=0.9,
+    b2=0.999,
+    eps=1e-8,
+    tile_n=8192,
+    moment_dtype=None,
+):
+    """AdaProx-NMF (``scheme='adam'``) with the fused single-pass Pallas
+    iteration kernel — grad + moment EMAs + bias correction + separable
+    closed-form prox in one HBM pass over S/M/V/Y per iteration.
+
+    Mathematically identical to
+    ``nmf(algorithm='adaprox', separable_prox='auto')`` with the default
+    ``step_adaprox`` heuristic and a constant ``b1``: same Adam
+    recursion (reference ``algorithms.py:147-160``), same exact scaled
+    prox, same fixed-point convergence test. Restrictions mirror the
+    fused-PGM engine: separable (elementwise / factor-axis-local) proxs
+    only, no callback/trace, no moment warm-start, no b1 schedule.
+
+    ``moment_dtype=jnp.bfloat16`` stores the M/V moment arrays at half
+    HBM footprint with in-kernel (free) casts — unlike the XLA path's
+    ``moment_dtype``, this REDUCES per-iteration HBM traffic (188 → 132
+    MB at the flagship), at bf16 moment precision (~3 decimal digits on
+    the EMAs; iterates and convergence stay f32).
+
+    Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
+    ``.converged``, ``.loss``.
+    """
+    from .solvers.common import SolverResult, writeback
+
+    A_in, S_in = A, S
+    if prox_A is None:
+        prox_A = operators.prox_id
+    if prox_S is None:
+        prox_S = operators.prox_id
+    elif prox_S is operators.prox_plus:
+        prox_S = None  # kernel builtin (skips the padding masks)
+    A = jnp.asarray(A)
+    S = jnp.asarray(S)
+    Y = jnp.asarray(Y)
+    C, K = A.shape
+    N = S.shape[1]
+    run = _make_fused_adaprox_runner(
+        prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+        float(b1), float(b2), float(eps),
+        moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
+    )
+    A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
+
+    converged = (bool(conv_A), bool(conv_S))
+    iterations = int(it)
+    logger.info("Completed %d iterations", iterations)
+    if not all(converged):
+        logger.warning("Solution did not converge")
+    writeback((A_in, S_in), (A_f, S_f))
+    return SolverResult(
+        converged,
+        x=(A_f, S_f), iterations=iterations, converged=converged,
+        loss=float(loss),
+    )
+
+
 def nmf(
     Y,
     A,
@@ -882,11 +1062,58 @@ def nmf(
             pallas_only or np.shape(Y)[0] >= 64)) else "xla"
 
     if engine == "pallas":
+        if (algorithm is getattr(algorithms, "adaprox", None)
+                and step is None and callback is None):
+            # fused proximal-Adam engine: adam scheme, separable proxs,
+            # default step heuristic; steps are cheap row means, so
+            # stride/adapt have nothing to amortize
+            if step_stride is not None or step_adapt:
+                raise ValueError(
+                    "step_stride/step_adapt do not apply to the fused "
+                    "adaprox engine (its mean/10 steps are exact and "
+                    "cheap every iteration)"
+                )
+            if not _is_unweighted(W):
+                raise ValueError(
+                    "the fused adaprox engine is unweighted-only; use "
+                    "engine='xla' for weighted adaprox"
+                )
+            aargs = dict(algorithm_args)
+            scheme = aargs.pop("scheme", "adam")
+            if scheme != "adam":
+                raise ValueError(
+                    "engine='pallas' adaprox supports scheme='adam' "
+                    f"only (got {scheme!r}); use engine='xla'"
+                )
+            sep = aargs.pop("separable_prox", "auto")
+            from .solvers.common import separable_blocks
+
+            prox_pair = (prox_A, prox_S)
+            has = tuple(pj is not None for pj in prox_pair)
+            sep_blocks = separable_blocks(prox_pair, has, sep or "auto")
+            if not all(s or not h for s, h in zip(sep_blocks, has)):
+                raise ValueError(
+                    "the fused adaprox engine needs separable proxs "
+                    "(the in-kernel scaled prox is the closed form); "
+                    "use engine='xla' for sub-iteration proxs"
+                )
+            fused_kw = {k: aargs.pop(k) for k in
+                        ("b1", "b2", "eps", "tile_n", "moment_dtype")
+                        if k in aargs}
+            if aargs:
+                raise ValueError(
+                    f"unsupported fused-adaprox options: {sorted(aargs)}"
+                )
+            return nmf_adaprox_fused(
+                Y, A, S, prox_A=prox_A, prox_S=prox_S, e_rel=e_rel,
+                max_iter=max_iter, **fused_kw,
+            )
         if (algorithm is not algorithms.pgm or step is not None
                 or callback is not None):
             raise ValueError(
-                "engine='pallas' supports algorithm='pgm' with default "
-                "steps and no callback; use engine='xla'"
+                "engine='pallas' supports algorithm='pgm' or "
+                "algorithm='adaprox' with default steps and no "
+                "callback; use engine='xla'"
             )
         W_k = None
         if not _is_unweighted(W):

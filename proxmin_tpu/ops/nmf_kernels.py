@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_nmf_grad", "fused_nmf_pgm_step"]
+__all__ = ["fused_nmf_grad", "fused_nmf_pgm_step", "fused_nmf_adaprox_step"]
 
 _SUBLANE = 8          # float32 sublane tile
 _LANE = 128
@@ -330,6 +330,216 @@ def fused_nmf_pgm_step(A, S, Y, sS, W=None, prox_S=None,
     )(*inputs)
 
     return gA, S_new, SSt, stats[0], stats[1], stats[2]
+
+
+def _adaprox_step_kernel(dims_ref, sc_ref, alpha_ref, A_ref, S_ref, M_ref,
+                         V_ref, Y_ref, *refs, weighted, prox_S, b2, eps,
+                         mask_padding):
+    """One whole AdaProx (proximal-Adam, ``scheme='adam'``) iteration's
+    S-side work in a single pass over the pixel tile:
+
+        R      = A S - Y                      (residual, VMEM only)
+        D      = W R (or R)
+        gS     = A^T D
+        M'     = (1 - b1_t) gS + b1_t M       (EMA moments — reference
+        V'     = (1 - b2) gS^2 + b2 V          algorithms.py:147-160)
+        Phi    = M' / (1 - b1_t^t)
+        Psi    = sqrt(V' / (1 - b2^t)) + eps
+        S1     = prox_S(S - alpha_S Phi/Psi, alpha_S/Psi)   (separable
+                 closed-form scaled prox — exact, adaprox.py:271-281)
+        gA    += D S^T                        (OLD S — Jacobi blocks,
+                                               reference algorithms.py:374)
+        rowsum+= sum_n S1                     (feeds the NEXT iteration's
+                                               step_adaprox mean/10 step)
+        stats += [loss, ||S1 - S||^2, ||S1||^2]
+
+    S, M, V stream through VMEM exactly once per iteration (read+write);
+    the moments never round-trip through HBM between the EMA update and
+    the Psi/prox consumption, unlike the XLA path where gS materializes.
+    M/V refs may be stored bfloat16 (``moment_dtype``): the cast happens
+    in-register inside the same pass, so — unlike the XLA
+    ``moment_dtype`` path, where the casts are separate VPU passes over
+    HBM-resident arrays — reduced-precision storage here strictly
+    reduces HBM traffic.
+    """
+    if weighted:
+        W_ref, gA_ref, Snew_ref, Mnew_ref, Vnew_ref, rowsum_ref, \
+            stats_ref = refs
+    else:
+        gA_ref, Snew_ref, Mnew_ref, Vnew_ref, rowsum_ref, stats_ref = refs
+    j = pl.program_id(0)
+    K_orig = dims_ref[1]
+    N_orig = dims_ref[2]
+    b1_t = sc_ref[0]    # b1 at this iteration (schedule value)
+    bc1 = sc_ref[1]     # 1 / (1 - b1_t^t)
+    bc2 = sc_ref[2]     # 1 / (1 - b2^t)
+
+    A = A_ref[:]
+    S = S_ref[:]
+    Y = Y_ref[:]
+    alpha = alpha_ref[:]                       # (Kp, 1) per-row step
+
+    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
+    D = W_ref[:] * R if weighted else R
+
+    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
+    M1 = (1.0 - b1_t) * gS + b1_t * M_ref[:].astype(jnp.float32)
+    V1 = (1.0 - b2) * (gS * gS) + b2 * V_ref[:].astype(jnp.float32)
+    Phi = M1 * bc1
+    Psi = jnp.sqrt(V1 * bc2) + eps
+    Psi_safe = jnp.maximum(Psi, jnp.finfo(jnp.float32).tiny)
+    S1 = S - alpha * (Phi / Psi_safe)
+    if prox_S is not None:
+        S1 = prox_S(S1, alpha / Psi_safe)
+    else:
+        S1 = jnp.maximum(S1, 0.0)
+
+    if mask_padding:
+        # arbitrary separable proxs may move zeros; keep padding exact
+        Kp, TN = S.shape
+        row_ok = jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 0) < K_orig
+        col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Kp, TN), 1)
+                  + j * TN) < N_orig
+        S1 = jnp.where(jnp.logical_and(row_ok, col_ok), S1, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        gA_ref[:] = jnp.zeros_like(gA_ref)
+        rowsum_ref[:] = jnp.zeros_like(rowsum_ref)
+        stats_ref[0] = jnp.float32(0.0)
+        stats_ref[1] = jnp.float32(0.0)
+        stats_ref[2] = jnp.float32(0.0)
+
+    Snew_ref[:] = S1
+    Mnew_ref[:] = M1.astype(Mnew_ref.dtype)
+    Vnew_ref[:] = V1.astype(Vnew_ref.dtype)
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
+    rowsum_ref[:] += jnp.sum(S1, axis=1, keepdims=True)
+    stats_ref[0] += jnp.sum(D * R) / 2
+    dS = S1 - S
+    stats_ref[1] += jnp.sum(dS * dS)
+    stats_ref[2] += jnp.sum(S1 * S1)
+
+
+def _adaprox_auto_tile(Cp, Kp, weighted, tile_n, N, moment_bytes=4):
+    """VMEM budget model for the adaprox kernel: double-buffered I/O
+    blocks (S in/out, M in/out, V in/out, Y, W?) plus live intermediates
+    (R/D at Cp rows; gS, M1, V1, Phi/Psi, S1 at Kp rows)."""
+    tile_n = min(tile_n, _round_up(N, _LANE))
+    io_cols = 2 * (2 * Kp                       # S in + out, f32
+                   + Cp * (2 if weighted else 1))
+    io_bytes_col = 4 * io_cols + 2 * moment_bytes * 2 * Kp * 2
+    tmp_bytes_col = 4 * (Cp * (2 if weighted else 1) + 6 * Kp)
+    per_col = io_bytes_col + tmp_bytes_col
+    while tile_n > _LANE and tile_n * per_col > _VMEM_BUDGET:
+        tile_n //= 2
+    return max(_round_up(tile_n, _LANE), _LANE)
+
+
+def fused_nmf_adaprox_step(A, S, M, V, Y, alpha_S, scalars, W=None,
+                           prox_S=None, b2=0.999, eps=1e-8,
+                           tile_n=_DEFAULT_TILE_N, dims=None,
+                           interpret=None):
+    """Single fused proximal-Adam NMF iteration (S-side) — one HBM pass.
+
+    Inputs must be pre-padded to tile-aligned shapes; ``dims=(C, K, N)``
+    gives true sizes. ``alpha_S`` is the per-row step ``(Kp, 1)``;
+    ``scalars = (b1_t, 1/(1-b1_t^t), 1/(1-b2^t))`` as a float32 ``(3,)``
+    array (computed by the caller per iteration — cheap host-XLA math,
+    keeping powers-of-traced-scalars out of the kernel). ``M``/``V`` may
+    be bfloat16 (``moment_dtype``): compute is f32 in-register either
+    way. Returns
+    ``(gA, S_new, M_new, V_new, rowsum_S1, loss, dS_sq, nS_sq)``.
+
+    ``prox_S`` must be a separable (elementwise, factor-axis-local)
+    scaled prox — the exact closed form of the adaprox sub-iteration
+    limit (see ``solvers/adaprox.py:271-281``); default non-negativity.
+    """
+    mask_padding = prox_S is not None
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    Cp, Kp = A.shape
+    Np = S.shape[1]
+    assert M.shape == S.shape and V.shape == S.shape
+    assert Cp % _SUBLANE == 0 and Kp % _SUBLANE == 0 and \
+        Np % tile_n == 0, (
+            "fused_nmf_adaprox_step expects pre-padded shapes"
+        )
+    if dims is None:
+        dims = (Cp, Kp, Np)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    sc_arr = jnp.asarray(scalars, jnp.float32)
+    weighted = W is not None
+    mdt = M.dtype
+
+    kernel = functools.partial(
+        _adaprox_step_kernel, weighted=weighted, prox_S=prox_S,
+        b2=float(b2), eps=float(eps), mask_padding=mask_padding,
+    )
+    grid = (Np // tile_n,)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # dims (3,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # scalars (3,)
+        pl.BlockSpec((Kp, 1), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),       # alpha_S
+        pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),       # S
+        pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),       # M
+        pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),       # V
+        pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),       # Y
+    ]
+    inputs = [dims_arr, sc_arr, alpha_S, A, S, M, V, Y]
+    if weighted:
+        in_specs.append(pl.BlockSpec((Cp, tile_n), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(W)
+
+    gA, S_new, M_new, V_new, rowsum, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((Cp, Kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), mdt),
+            jax.ShapeDtypeStruct((Kp, Np), mdt),
+            jax.ShapeDtypeStruct((Kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * Cp * Kp * 3 + 12 * Np * Kp,
+            bytes_accessed=Np * (
+                4 * 2 * Kp                       # S read + write
+                + 2 * mdt.itemsize * 2 * Kp      # M, V read + write
+                + 4 * Cp * (2 if weighted else 1)
+            ),
+            transcendentals=Np * Kp,             # the Psi sqrt
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    return (gA, S_new, M_new, V_new, rowsum,
+            stats[0], stats[1], stats[2])
 
 
 def pad_nmf_problem(A, S, Y, W=None, tile_n=_DEFAULT_TILE_N):

@@ -197,8 +197,10 @@ def test_nmf_engine_pallas(rng):
     np.testing.assert_allclose(np.asarray(r2.x[1]), np.asarray(r1.x[1]),
                                rtol=1e-3, atol=1e-5)
 
+    # adaprox now has its own fused engine (see the fused proximal-Adam
+    # tests below); bsdmm remains xla-only
     with pytest.raises(ValueError):
-        pt.nmf.nmf(Y, A0, S0, engine="pallas", algorithm="adaprox")
+        pt.nmf.nmf(Y, A0, S0, engine="pallas", algorithm="bsdmm")
     with pytest.raises(ValueError):
         pt.nmf.nmf(Y, A0, S0, engine="bogus")
 
@@ -422,3 +424,108 @@ def test_prox_kernels_f64_raises_on_compiled_path(rng):
     assert X.dtype == jnp.float64
     with pytest.raises(TypeError, match="float64"):
         prox_plus_pallas(X, 0.5, interpret=False)
+
+
+# ---------------------------------------------------------------------------
+# fused proximal-Adam (adaprox) engine (VERDICT r3 item 3)
+
+def test_fused_adaprox_matches_xla_driver(rng):
+    """nmf_adaprox_fused == nmf(algorithm='adaprox',
+    separable_prox='auto') at fixed iteration count (f32 noise only)."""
+    C, K, N = 5, 7, 300
+    Y = (rng.random((C, K)) @ rng.random((K, N))
+         + 0.01 * rng.standard_normal((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    ref = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                     e_rel=0, max_iter=30, separable_prox="auto")
+    fus = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(),
+                                   e_rel=0, max_iter=30)
+    assert fus.iterations == 30
+    for r, f in zip(ref.x, fus.x):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   atol=2e-5)
+
+
+def test_nmf_engine_pallas_adaprox_dispatch(rng):
+    """nmf(engine='pallas', algorithm='adaprox') routes to the fused
+    engine and matches the XLA driver; padding-unaligned N."""
+    C, K, N = 4, 3, 257
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                    engine="pallas", e_rel=0, max_iter=20)
+    r2 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                    e_rel=0, max_iter=20, separable_prox="auto")
+    for a, b in zip(r1.x, r2.x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_fused_adaprox_custom_separable_prox(rng):
+    """A non-default separable prox (relative soft threshold) matches
+    the driver's closed-form separable path."""
+    from functools import partial
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    psoft = partial(pt.operators.prox_soft, thresh=0.01)
+
+    r1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                    engine="pallas", prox_S=psoft, e_rel=0, max_iter=15)
+    r2 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                    prox_S=psoft, e_rel=0, max_iter=15,
+                    separable_prox="auto")
+    for a, b in zip(r1.x, r2.x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_fused_adaprox_bf16_moments(rng):
+    """bf16 moment storage runs and stays within EMA-rounding distance
+    of the f32 solve."""
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    f32 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=20)
+    b16 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=20,
+                                   moment_dtype=jnp.bfloat16)
+    assert b16.x[1].dtype == jnp.float32  # iterates stay full precision
+    np.testing.assert_allclose(np.asarray(b16.x[1]),
+                               np.asarray(f32.x[1]), atol=0.05)
+
+
+def test_fused_adaprox_engine_gates(rng):
+    """The pallas adaprox engine rejects what it cannot honor, with
+    actionable messages."""
+    from functools import partial
+
+    C, K, N = 4, 3, 128
+    Y = rng.random((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+
+    with pytest.raises(ValueError, match="scheme='adam'"):
+        pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
+                   scheme="radam", max_iter=3)
+    with pytest.raises(ValueError, match="step_stride"):
+        pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
+                   step_stride=5, max_iter=3)
+    with pytest.raises(ValueError, match="unweighted"):
+        pt.nmf.nmf(Y, A0, S0, W=W, algorithm="adaprox",
+                   engine="pallas", max_iter=3)
+    with pytest.raises(ValueError, match="separable"):
+        pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
+                   prox_S=partial(pt.operators.prox_soft, thresh=0.01,
+                                  type="absolute"),
+                   max_iter=3)
