@@ -320,8 +320,13 @@ def bench_tpu_weighted(Y, A0, S0, W):
 
 
 def bench_tpu_adaprox(Y, A0, S0):
-    """AdaProx flagship with the separable closed-form prox (exact
-    scaled-prox solution replacing the sub-iteration loop)."""
+    """AdaProx flagship, three engines: (a) XLA driver with the
+    separable closed-form prox; (b) the fused single-pass Pallas
+    Adam+prox kernel (f32 moments — naive traffic 188 MB/iter, same as
+    xla's floor, but no gS materialization); (c) the fused kernel with
+    in-kernel bf16 moment storage (132 MB/iter — the only variant whose
+    naive bound beats the 0.19 ms xla measurement). Returns the dict;
+    headline takes the min."""
     import jax.numpy as jnp
     import proxmin_tpu as pt
 
@@ -329,17 +334,26 @@ def bench_tpu_adaprox(Y, A0, S0):
     A = jnp.asarray(A0)
     S = jnp.asarray(S0)
 
-    def call(n):
-        res = pt.nmf.nmf(Y_dev, A, S, algorithm="adaprox", e_rel=0,
-                         max_iter=n, separable_prox="auto")
-        return np.asarray(res.x[0])
+    variants = (
+        ("xla-separable", dict()),
+        ("pallas-fused", dict(engine="pallas")),
+        ("pallas-fused-bf16m", dict(engine="pallas",
+                                    moment_dtype=jnp.bfloat16)),
+    )
+    out = {}
+    for name, kw in variants:
+        def call(n, _kw=kw):
+            res = pt.nmf.nmf(Y_dev, A, S, algorithm="adaprox", e_rel=0,
+                             max_iter=n, separable_prox="auto", **_kw)
+            return np.asarray(res.x[0])
 
-    call(ITERS_LO)
-    t_a, first = _timed(call, ITERS_LO, ITERS_HI)
-    fixed = max(first - ITERS_LO * t_a, 0.0)
-    log(f"tpu/adaprox(separable): {t_a * 1e3:.3f} ms/iter (marginal; "
-        f"~{fixed * 1e3:.0f} ms fixed/call)")
-    return t_a
+        call(ITERS_LO)  # compile
+        t_a, first = _timed(call, ITERS_LO, ITERS_HI)
+        fixed = max(first - ITERS_LO * t_a, 0.0)
+        log(f"tpu/adaprox[{name}]: {t_a * 1e3:.3f} ms/iter (marginal; "
+            f"~{fixed * 1e3:.0f} ms fixed/call)")
+        out[name] = t_a
+    return out
 
 
 E2E_ITERS = 2000
@@ -416,7 +430,11 @@ def main():
         log(f"tpu best ({engine}): {t_tpu * 1e3:.3f} ms/iter")
         t_ws = bench_tpu_weighted(Y, A0, S0, W)
         t_tpu_w = min(t_ws.values())
-        t_tpu_a = bench_tpu_adaprox(Y, A0, S0)
+        t_as = bench_tpu_adaprox(Y, A0, S0)
+        # headline stays the full-precision number; the bf16-moment
+        # fused row is reported alongside, clearly labeled (reduced
+        # moment precision is an opt-in, not a silent default)
+        t_tpu_a = t_as["xla-separable"]
         t_e2e, e2e_iters = bench_e2e(Y, A0, S0)
 
     speedup = t_np / t_tpu
@@ -436,6 +454,10 @@ def main():
         "e2e_speedup_vs_numpy_equiv": round(e2e_speedup, 1),
         "xla_ms_per_iter": round(t_tpu * 1e3, 4),
         "adaprox_separable_ms_per_iter": round(t_tpu_a * 1e3, 4),
+        "adaprox_variants_ms_per_iter": {
+            k: round(v * 1e3, 4) for k, v in t_as.items()
+        },
+        "adaprox_best_ms_per_iter": round(min(t_as.values()) * 1e3, 4),
         "numpy_ms_per_iter": round(t_np * 1e3, 2),
         "achieved_gbs_vs_naive_hbm_bound": round(gbs, 0),
         "hbm_peak_gbs": V5E_PEAK_GBS,

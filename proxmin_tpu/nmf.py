@@ -1057,7 +1057,10 @@ def nmf(
             )
         # measured crossover on v5e (benchmarks/engine_scaling.py):
         # XLA's loop fusion wins for few-channel problems, the fused
-        # kernel from C ~ 64 up; explicit pallas-only kwargs force pallas
+        # kernel from C ~ 64 up — UNWEIGHTED only (the r4 weighted
+        # C-sweep measured no crossover through C=128, so pallas_ok
+        # requiring _is_unweighted is the measured answer, not a gap);
+        # explicit pallas-only kwargs force pallas
         engine = "pallas" if (pallas_ok and (
             pallas_only or np.shape(Y)[0] >= 64)) else "xla"
 
