@@ -731,7 +731,8 @@ def nmf_pgm_fused(
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
-                               dtype, b1, b2, eps, moment_dtype=None):
+                               dtype, b1, b2, eps, moment_dtype=None,
+                               warm=False):
     """Build (and cache) the jitted fused proximal-Adam solve for one
     problem configuration (``scheme='adam'``, separable proxs, the
     default ``step_adaprox`` mean/10 heuristic).
@@ -767,11 +768,26 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     tiny = float(np.finfo(np.float32).tiny)
 
     @jax.jit
-    def run(A, S, Y, max_iter):
+    def run(A, S, Y, max_iter, *moments):
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        if warm:
+            # warm start (reference algorithms.py:347-359 semantics: the
+            # moments carry over, the bias-correction clock restarts)
+            MA_in, VA_in, MS_in, VS_in = moments
+            MA0 = jnp.pad(MA_in.astype(jnp.float32),
+                          ((0, Cp - C), (0, Kp - K)))
+            VA0 = jnp.pad(VA_in.astype(jnp.float32),
+                          ((0, Cp - C), (0, Kp - K)))
+            MS0 = jnp.pad(MS_in.astype(mdt), ((0, Kp - K), (0, Np - N)))
+            VS0 = jnp.pad(VS_in.astype(mdt), ((0, Kp - K), (0, Np - N)))
+        else:
+            MA0 = jnp.zeros((Cp, Kp), jnp.float32)
+            VA0 = jnp.zeros((Cp, Kp), jnp.float32)
+            MS0 = jnp.zeros((Kp, Np), mdt)
+            VS0 = jnp.zeros((Kp, Np), mdt)
 
         def body(carry):
             (A, S, MS, VS, MA, VA, rowsum, it, _, _, _) = carry
@@ -821,20 +837,18 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
         init = (
-            A_p, S_p,
-            jnp.zeros((Kp, Np), mdt), jnp.zeros((Kp, Np), mdt),
-            jnp.zeros((Cp, Kp), jnp.float32),
-            jnp.zeros((Cp, Kp), jnp.float32),
+            A_p, S_p, MS0, VS0, MA0, VA0,
             jnp.sum(S_p, axis=1, keepdims=True),
             jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(jnp.inf, jnp.float32),
         )
         out = jax.lax.while_loop(cond, body, init)
-        A_f, S_f, it, conv_A, conv_S, loss = (
-            out[0], out[1], out[7], out[8], out[9], out[10]
-        )
+        (A_f, S_f, MS_f, VS_f, MA_f, VA_f, _, it, conv_A, conv_S,
+         loss) = out
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
-                it, conv_A, conv_S, loss)
+                it, conv_A, conv_S, loss,
+                MA_f[:C, :K], VA_f[:C, :K],
+                MS_f[:K, :N], VS_f[:K, :N])
 
     return run
 
@@ -852,6 +866,8 @@ def nmf_adaprox_fused(
     eps=1e-8,
     tile_n=8192,
     moment_dtype=None,
+    M=None,
+    V=None,
 ):
     """AdaProx-NMF (``scheme='adam'``) with the fused single-pass Pallas
     iteration kernel — grad + moment EMAs + bias correction + separable
@@ -871,8 +887,14 @@ def nmf_adaprox_fused(
     MB at the flagship), at bf16 moment precision (~3 decimal digits on
     the EMAs; iterates and convergence stay f32).
 
+    ``M`` / ``V`` warm-start the Adam moments from a previous solve's
+    ``.M`` / ``.V`` (each a per-block ``(M_A, M_S)`` tuple — the same
+    shape the XLA adaprox driver accepts/returns); like the reference
+    (``algorithms.py:347-359``) the bias-correction clock restarts.
+
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
-    ``.converged``, ``.loss``.
+    ``.converged``, ``.loss``, and the final moments ``.M`` / ``.V``
+    for continuation/checkpointing.
     """
     from .solvers.common import SolverResult, writeback
 
@@ -888,12 +910,24 @@ def nmf_adaprox_fused(
     Y = jnp.asarray(Y)
     C, K = A.shape
     N = S.shape[1]
+    warm = M is not None or V is not None
+    if warm:
+        assert M is not None and V is not None, \
+            "warm start needs both M and V (a previous solve's .M/.V)"
+        MA, MS = M
+        VA, VS = V
+        assert np.shape(MA) == (C, K) and np.shape(VA) == (C, K)
+        assert np.shape(MS) == (K, N) and np.shape(VS) == (K, N)
     run = _make_fused_adaprox_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
         float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
+        warm=warm,
     )
-    A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
+    margs = ((jnp.asarray(MA), jnp.asarray(VA),
+              jnp.asarray(MS), jnp.asarray(VS)) if warm else ())
+    (A_f, S_f, it, conv_A, conv_S, loss,
+     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, max_iter, *margs)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
@@ -904,7 +938,7 @@ def nmf_adaprox_fused(
     return SolverResult(
         converged,
         x=(A_f, S_f), iterations=iterations, converged=converged,
-        loss=float(loss),
+        loss=float(loss), M=(MA_f, MS_f), V=(VA_f, VS_f),
     )
 
 
@@ -944,10 +978,15 @@ def nmf(
         step: optional custom step callable ``step(*X, it=...)``.
         max_iter, e_rel, callback: forwarded to the solver.
         engine: "xla" (default — XLA-fused solver loop), "pallas" (the
-            single-pass fused iteration kernel, :func:`nmf_pgm_fused`; pgm
-            + unweighted + default steps only), or "auto" (pallas for
-            channel counts >= 64 where it measures faster on v5e, else
-            xla; falls back to xla when pallas preconditions don't hold).
+            single-pass fused iteration kernels: :func:`nmf_pgm_fused`
+            for pgm — unweighted + default steps only — or
+            :func:`nmf_adaprox_fused` for adaprox — adam scheme +
+            separable proxs; add ``moment_dtype=jnp.bfloat16`` for the
+            fastest measured adaprox path, 0.13 vs 0.19 ms/iter at the
+            flagship), or "auto" (pgm-pallas for unweighted channel
+            counts >= 64 where it measures faster on v5e, else xla;
+            weighted problems always run xla — the r4 C-sweep measured
+            no weighted crossover through C=128).
         step_stride: recompute the Lipschitz step sizes only every this
             many iterations, with a 0.9 safety factor (pgm/adaprox: via
             an in-carry :class:`~proxmin_tpu.utils.StridedStepper`;
@@ -1101,7 +1140,8 @@ def nmf(
                     "use engine='xla' for sub-iteration proxs"
                 )
             fused_kw = {k: aargs.pop(k) for k in
-                        ("b1", "b2", "eps", "tile_n", "moment_dtype")
+                        ("b1", "b2", "eps", "tile_n", "moment_dtype",
+                         "M", "V")
                         if k in aargs}
             if aargs:
                 raise ValueError(

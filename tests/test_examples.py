@@ -1,4 +1,4 @@
-"""Smoke tests: ALL eight shipped examples run end-to-end in CI (toy
+"""Smoke tests: ALL nine shipped examples run end-to-end in CI (toy
 sizes, CPU backend / 8-device virtual mesh) and assert their own
 quality metrics (analytic optima, Hungarian component matching, RMSE
 drop, cross-engine agreement)."""
@@ -82,3 +82,13 @@ def test_sharded_unmixing_example(argv, capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "all three paths agree" in out
+
+
+def test_fused_adam_unmixing_example(argv, capsys):
+    argv("fused_adam_unmixing.py", "1024")
+    runpy.run_path("/root/repo/examples/fused_adam_unmixing.py",
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    # the script asserts its own loss drops; the continuation line
+    # proves the M/V warm start improved on the first segment
+    assert "fused adam" in out and "continued" in out

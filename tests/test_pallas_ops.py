@@ -529,3 +529,62 @@ def test_fused_adaprox_engine_gates(rng):
                    prox_S=partial(pt.operators.prox_soft, thresh=0.01,
                                   type="absolute"),
                    max_iter=3)
+
+
+def test_fused_adaprox_warm_start_matches_driver(rng):
+    """M/V warm restart: each engine restarted from its own returned
+    moments continues identically (reference algorithms.py:347-359
+    semantics — moments carry over, bias-correction clock restarts)."""
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    rx1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                     e_rel=0, max_iter=12, separable_prox="auto")
+    rf1 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=12)
+    rx2 = pt.nmf.nmf(Y, np.array(rx1.x[0]), np.array(rx1.x[1]),
+                     algorithm="adaprox", e_rel=0, max_iter=12,
+                     separable_prox="auto", M=rx1.M, V=rx1.V)
+    rf2 = pt.nmf.nmf_adaprox_fused(Y, np.array(rf1.x[0]),
+                                   np.array(rf1.x[1]), e_rel=0,
+                                   max_iter=12, M=rf1.M, V=rf1.V)
+    for a, b in zip(rx2.x, rf2.x):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5)
+    # engine= dispatch passes M/V through to the same path
+    rf2b = pt.nmf.nmf(Y, np.array(rf1.x[0]), np.array(rf1.x[1]),
+                      algorithm="adaprox", engine="pallas", e_rel=0,
+                      max_iter=12, M=rf1.M, V=rf1.V)
+    np.testing.assert_array_equal(np.asarray(rf2b.x[1]),
+                                  np.asarray(rf2.x[1]))
+
+
+def test_fused_adaprox_moments_checkpoint_roundtrip(rng, tmp_path):
+    """The fused engine's returned M/V pytree round-trips through
+    proxmin_tpu.checkpoint and resumes identically."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    C, K, N = 3, 2, 128
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r1 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                  max_iter=8)
+    state = {"x": tuple(np.asarray(v) for v in r1.x),
+             "M": r1.M, "V": r1.V}
+    path = save_checkpoint(str(tmp_path / "fused_adaprox_state"),
+                           use_orbax=False, **state)
+    loaded = load_checkpoint(path, use_orbax=False)
+
+    r2a = pt.nmf.nmf_adaprox_fused(Y, np.array(r1.x[0]),
+                                   np.array(r1.x[1]), e_rel=0,
+                                   max_iter=8, M=r1.M, V=r1.V)
+    r2b = pt.nmf.nmf_adaprox_fused(Y, np.array(loaded["x"][0]),
+                                   np.array(loaded["x"][1]), e_rel=0,
+                                   max_iter=8, M=loaded["M"],
+                                   V=loaded["V"])
+    np.testing.assert_array_equal(np.asarray(r2a.x[1]),
+                                  np.asarray(r2b.x[1]))
