@@ -33,7 +33,6 @@ Prints one JSON line per mesh configuration.
 import argparse
 import json
 import os
-import re
 import sys
 import time
 
@@ -65,26 +64,14 @@ def _parse_args(argv=None):
     return ap.parse_args(argv)
 
 
-_COLLECTIVE = re.compile(
-    r"= ([^=\n]*?)\b"
-    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\("
-)
-_SHAPE = re.compile(r"\w+\[([0-9,]*)\]")
-
-
 def collective_inventory(hlo_text):
-    """{(op, shape-elements-tuple): count} over an optimized HLO dump."""
+    """{"op[sizes]": count} over an optimized HLO dump, built on the
+    package's auditing primitive (proxmin_tpu.parallel.hlo_collectives
+    — one extractor shared with tests/test_collective_layout.py)."""
+    from proxmin_tpu.parallel import hlo_collectives
+
     inv = {}
-    for m in _COLLECTIVE.finditer(hlo_text):
-        shapes, op = m.group(1), m.group(2)
-        sizes = []
-        for dims in _SHAPE.findall(shapes):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            sizes.append(n)
+    for op, sizes in hlo_collectives(hlo_text):
         key = (op, tuple(sorted(sizes)))
         inv[key] = inv.get(key, 0) + 1
     return {f"{op}{list(sz)}": c for (op, sz), c in sorted(inv.items())}

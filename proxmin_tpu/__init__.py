@@ -64,7 +64,11 @@ def clear_caches():
     from .solvers.admm import _ADMM_CACHE
     from .solvers.bsdmm import _BSDMM_CACHE
     from .solvers.common import _ASARRAY_CACHE
-    from .nmf import _make_fused_pgm_runner
+    from .nmf import (
+        _make_fused_adaprox_runner,
+        _make_fused_pgm_runner,
+        _make_fused_weighted_pgm_runner,
+    )
 
     _PGM_CACHE._d.clear()
     _ADAPROX_CACHE._d.clear()
@@ -72,4 +76,6 @@ def clear_caches():
     _BSDMM_CACHE._d.clear()
     _ASARRAY_CACHE._d.clear()
     _make_fused_pgm_runner.cache_clear()
+    _make_fused_weighted_pgm_runner.cache_clear()
+    _make_fused_adaprox_runner.cache_clear()
     _jax.clear_caches()

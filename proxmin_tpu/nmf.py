@@ -461,7 +461,51 @@ def step_adaprox(*X, it=None):
     return (jnp.mean(A, axis=0) / 10, jnp.mean(S, axis=1, keepdims=True) / 10)
 
 
-@functools.lru_cache(maxsize=64)
+
+def _cached_runner(builder):
+    """Structural memoization for the fused-runner builders.
+
+    ``functools.lru_cache`` would key prox callables by identity, so a
+    per-call ``functools.partial(prox_soft, thresh=...)`` (the
+    documented way to bind prox options) would miss every time and pay
+    a full retrace+recompile per solve. Here callables key via
+    :func:`solvers.common.callable_key` (partials key structurally by
+    wrapped function + bound values); a key made uncacheable by mutable
+    bound NumPy data builds fresh — always correct, never stale."""
+    cache = {}
+
+    @functools.wraps(builder)
+    def get(*args, **kw):
+        from .solvers.common import cacheable, callable_key
+
+        parts = [callable_key(a) if callable(a) else a for a in args]
+        for k in sorted(kw):
+            v = kw[k]
+            parts.append((k, callable_key(v) if callable(v) else v))
+        key = tuple(parts)
+        if not cacheable(key):
+            return builder(*args, **kw)
+        if key not in cache:
+            if len(cache) >= 64:
+                cache.clear()
+            cache[key] = builder(*args, **kw)
+        return cache[key]
+
+    get.cache_clear = cache.clear
+    return get
+
+
+def _fused_fp_conv(d_sq, n_sq, e_rel):
+    """Fixed-point test for the fused engines, with the same non-finite
+    hardening as :func:`utils.fixed_point_converged`: a diverging
+    iterate (inf/nan norms) is never "converged" (``inf <= inf`` would
+    otherwise pass for any ``e_rel > 0``)."""
+    ok = d_sq <= e_rel ** 2 * n_sq
+    finite = jnp.logical_and(jnp.isfinite(d_sq), jnp.isfinite(n_sq))
+    return jnp.logical_and(ok, finite)
+
+
+@_cached_runner
 def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                            C, K, N, dtype, store_dtype=None):
     """Build (and cache) the jitted fused-PGM solve for one problem
@@ -506,9 +550,9 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 A, S, Y_p, sS, prox_S=prox_S, tile_n=tile, dims=dims
             )
             A_new = prox_A(A - sA * gA, sA) * a_mask
-            conv_A = (jnp.sum((A_new - A) ** 2)
-                      <= e_rel ** 2 * jnp.sum(A_new ** 2))
-            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            conv_A = _fused_fp_conv(jnp.sum((A_new - A) ** 2),
+                                    jnp.sum(A_new ** 2), e_rel)
+            conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
             return (A_new, S_new, SSt_new, it + 1, conv_A, conv_S, loss)
 
         def cond(carry):
@@ -528,7 +572,7 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     return run
 
 
-@functools.lru_cache(maxsize=64)
+@_cached_runner
 def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                                     C, K, N, dtype, stride, adapt=False):
     """Weighted variant of the fused-PGM runner: the kernel consumes the
@@ -607,9 +651,9 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 dims=dims,
             )
             A_new = prox_A(A - sA * gA, sA) * a_mask
-            conv_A = (jnp.sum((A_new - A) ** 2)
-                      <= e_rel ** 2 * jnp.sum(A_new ** 2))
-            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            conv_A = _fused_fp_conv(jnp.sum((A_new - A) ** 2),
+                                    jnp.sum(A_new ** 2), e_rel)
+            conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
             return (A_new, S_new, sA, sS, v, stride_c, nxt, it + 1,
                     conv_A, conv_S, loss)
 
@@ -729,7 +773,7 @@ def nmf_pgm_fused(
     )
 
 
-@functools.lru_cache(maxsize=64)
+@_cached_runner
 def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                                dtype, b1, b2, eps, moment_dtype=None,
                                warm=False):
@@ -825,9 +869,9 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                 A1 = jnp.maximum(A1, 0.0)
             A1 = A1 * a_mask
 
-            conv_A = (jnp.sum((A1 - A) ** 2)
-                      <= e_rel ** 2 * jnp.sum(A1 ** 2))
-            conv_S = dS_sq <= e_rel ** 2 * nS_sq
+            conv_A = _fused_fp_conv(jnp.sum((A1 - A) ** 2),
+                                    jnp.sum(A1 ** 2), e_rel)
+            conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
             return (A1, S1, MS1, VS1, MA1, VA1, rowsum1, it + 1,
                     conv_A, conv_S, loss)
 
@@ -879,7 +923,7 @@ def nmf_adaprox_fused(
     recursion (reference ``algorithms.py:147-160``), same exact scaled
     prox, same fixed-point convergence test. Restrictions mirror the
     fused-PGM engine: separable (elementwise / factor-axis-local) proxs
-    only, no callback/trace, no moment warm-start, no b1 schedule.
+    only, no callback/trace, no b1 schedule (constant ``b1`` only).
 
     ``moment_dtype=jnp.bfloat16`` stores the M/V moment arrays at half
     HBM footprint with in-kernel (free) casts — unlike the XLA path's
@@ -1055,7 +1099,19 @@ def nmf(
         # ordinary driver — XLA inserts the collectives)
         from .parallel import nmf_pgm_sharded, shard_nmf_problem
 
-        if (algorithm is algorithms.pgm and engine == "xla"
+        if engine == "pallas":
+            # the fused Pallas kernels are single-device programs with
+            # no SPMD partitioning rule — under a mesh they would
+            # gather/replicate the pixel-sharded operands per device
+            # (defeating the sharding, or OOMing at the scales that
+            # need a mesh in the first place)
+            raise ValueError(
+                "engine='pallas' does not compose with mesh= (the fused "
+                "kernels are single-device); use engine='xla' (pgm gets "
+                "the explicit-collective whole-solve shard_map, other "
+                "algorithms auto-SPMD)"
+            )
+        if (algorithm is algorithms.pgm and engine in ("xla", "auto")
                 and step is None and callback is None
                 and not algorithm_args):
             return nmf_pgm_sharded(
@@ -1072,7 +1128,7 @@ def nmf(
         res = nmf(Yd, Ad, Sd, W=Wd if Wd is not None else 1,
                   prox_A=prox_A, prox_S=prox_S, algorithm=algorithm,
                   step=step, max_iter=max_iter, e_rel=e_rel,
-                  callback=callback, engine=engine,
+                  callback=callback, engine="xla",
                   step_stride=step_stride, step_adapt=step_adapt,
                   **algorithm_args)
         from .solvers.common import writeback as _writeback
@@ -1128,11 +1184,21 @@ def nmf(
                     f"only (got {scheme!r}); use engine='xla'"
                 )
             sep = aargs.pop("separable_prox", "auto")
+            if sep is False:
+                # the fused engine always applies the exact closed-form
+                # scaled prox; honoring False would need the XLA
+                # sub-iteration loop
+                raise ValueError(
+                    "separable_prox=False requests the prox "
+                    "sub-iteration loop, which the fused adaprox "
+                    "engine replaces with the closed form; use "
+                    "engine='xla' for sub-iteration semantics"
+                )
             from .solvers.common import separable_blocks
 
             prox_pair = (prox_A, prox_S)
             has = tuple(pj is not None for pj in prox_pair)
-            sep_blocks = separable_blocks(prox_pair, has, sep or "auto")
+            sep_blocks = separable_blocks(prox_pair, has, sep)
             if not all(s or not h for s, h in zip(sep_blocks, has)):
                 raise ValueError(
                     "the fused adaprox engine needs separable proxs "

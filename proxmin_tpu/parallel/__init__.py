@@ -10,6 +10,7 @@ reductions ride ICI via ``psum``.
 """
 
 from .sharding import (  # noqa: F401
+    hlo_collectives,
     make_mesh,
     shard_nmf_problem,
     make_nmf_pgm_step,
@@ -29,4 +30,5 @@ __all__ = [
     "prox_unity_sharded",
     "initialize_distributed",
     "DistributedInfo",
+    "hlo_collectives",
 ]

@@ -45,7 +45,55 @@ __all__ = [
     "make_nmf_pgm_step",
     "nmf_pgm_sharded",
     "prox_unity_sharded",
+    "hlo_collectives",
 ]
+
+_COLLECTIVE_RE = None
+
+
+def hlo_collectives(hlo_text):
+    """Extract every collective op from an optimized-HLO dump.
+
+    Returns ``[(op, [member_element_counts])]`` — one entry per
+    collective instruction (``all-gather`` / ``all-reduce`` /
+    ``reduce-scatter`` / ``collective-permute`` / ``all-to-all``,
+    sync or ``-start`` async forms), with the element count of every
+    member of its (possibly tuple-typed) result shape. XLA may merge
+    several small reductions into one tuple-shaped all-reduce, so a
+    single entry can carry several members.
+
+    This is the auditing primitive behind the collective-layout test
+    suite (``tests/test_collective_layout.py``) and the pod-scaling
+    harness (``benchmarks/pod_scaling.py``): compile your sharded
+    computation with ``jax.jit(fn).lower(*args).compile().as_text()``
+    and assert the pattern you designed for — e.g. for the pixel-
+    sharded NMF solves, nothing but small all-reduces (the (C,K)
+    gradient contraction, Grams, and convergence scalars; reference
+    anchor ``/root/reference/proxmin/nmf.py:39-41``).
+    """
+    global _COLLECTIVE_RE
+    if _COLLECTIVE_RE is None:
+        import re
+
+        _COLLECTIVE_RE = (
+            re.compile(
+                r"= ([^=\n]*?)\b"
+                r"(all-gather|all-reduce|reduce-scatter|"
+                r"collective-permute|all-to-all)"
+                r"(?:-start)?\("
+            ),
+            re.compile(r"\w+\[([0-9,]*)\]"),
+        )
+    op_re, shape_re = _COLLECTIVE_RE
+    out = []
+    for m in op_re.finditer(hlo_text):
+        shapes, op = m.group(1), m.group(2)
+        sizes = [
+            int(np.prod([int(d) for d in dims.split(",")])) if dims else 1
+            for dims in shape_re.findall(shapes)
+        ]
+        out.append((op, sizes if sizes else [1]))
+    return out
 
 
 def make_mesh(shape=None, axis_names=None, devices=None):

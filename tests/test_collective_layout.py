@@ -34,7 +34,6 @@ The per-iteration communication volumes these layouts imply are
 tabulated in ``docs/DESIGN.md`` ("Per-iteration communication volume").
 """
 
-import re
 from functools import partial
 
 import numpy as np
@@ -61,28 +60,15 @@ C, K, N = 6, 3, 1024
 _BIG = K * N // 8
 assert _BIG > 4 * C * K * K
 
-_COLLECTIVE = re.compile(
-    r"= ([^=\n]*?)\b"
-    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\("
-)
-_SHAPE = re.compile(r"\w+\[([0-9,]*)\]")
-
-
 def collective_profile(txt):
-    """[(op, max-elements-across-tuple-members)] for every collective in
-    an optimized HLO dump (XLA may merge several reductions into one
-    tuple-shaped all-reduce; the threshold checks use the max member,
+    """[(op, max-elements-across-tuple-members, sizes)] built on the
+    package's auditing primitive (one extractor for tests and the
+    pod-scaling harness; XLA may merge several reductions into one
+    tuple-shaped all-reduce — the threshold checks use the max member,
     :func:`collective_sizes` exposes every member)."""
-    out = []
-    for m in _COLLECTIVE.finditer(txt):
-        shapes, op = m.group(1), m.group(2)
-        sizes = [
-            int(np.prod([int(d) for d in dims.split(",")])) if dims else 1
-            for dims in _SHAPE.findall(shapes)
-        ]
-        out.append((op, max(sizes) if sizes else 1, sizes))
-    return out
+    from proxmin_tpu.parallel import hlo_collectives
+
+    return [(op, max(sizes), sizes) for op, sizes in hlo_collectives(txt)]
 
 
 def collective_sizes(txt):

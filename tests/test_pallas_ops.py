@@ -588,3 +588,91 @@ def test_fused_adaprox_moments_checkpoint_roundtrip(rng, tmp_path):
                                    V=loaded["V"])
     np.testing.assert_array_equal(np.asarray(r2a.x[1]),
                                   np.asarray(r2b.x[1]))
+
+
+def test_fused_engines_reject_mesh(rng):
+    """engine='pallas' + mesh= raises: the fused kernels are single-
+    device programs with no SPMD partitioning rule, so a mesh would
+    silently gather the pixel-sharded operands (review r4 finding)."""
+    from proxmin_tpu.parallel import make_mesh
+
+    C, K, N = 4, 3, 256
+    Y = rng.random((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    mesh = make_mesh(shape=(8,))
+
+    for alg in ("pgm", "adaprox"):
+        with pytest.raises(ValueError, match="mesh"):
+            pt.nmf.nmf(Y, A0, S0, algorithm=alg, engine="pallas",
+                       mesh=mesh, max_iter=3)
+    # auto + mesh quietly runs the xla paths (pgm: explicit shard_map)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), engine="auto", mesh=mesh,
+                   e_rel=0, max_iter=3)
+    assert r.iterations == 3
+
+
+def test_fused_adaprox_rejects_separable_false(rng):
+    """separable_prox=False asks for the sub-iteration prox loop, which
+    the fused engine cannot honor — must raise, not silently substitute
+    the closed form (review r4 finding)."""
+    C, K, N = 4, 3, 128
+    Y = rng.random((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    with pytest.raises(ValueError, match="sub-iteration"):
+        pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
+                   separable_prox=False, max_iter=3)
+
+
+def test_fused_convergence_test_rejects_nonfinite(rng):
+    """The fused engines' fixed-point test is hardened like
+    utils.fixed_point_converged: inf <= inf is NOT converged (review
+    r4 finding)."""
+    from proxmin_tpu.nmf import _fused_fp_conv
+
+    inf = jnp.asarray(np.inf)
+    assert not bool(_fused_fp_conv(inf, inf, 0.5))
+    assert not bool(_fused_fp_conv(jnp.asarray(np.nan), inf, 0.5))
+    assert bool(_fused_fp_conv(jnp.asarray(0.0), jnp.asarray(1.0), 0.5))
+
+    # end to end: a poisoned problem runs to max_iter, never "converged"
+    C, K, N = 3, 2, 128
+    Y = rng.random((C, N)).astype(np.float32)
+    Y[0, 0] = np.inf
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    r = pt.nmf.nmf_adaprox_fused(Y, A0, S0, e_rel=10.0, max_iter=4)
+    assert r.converged == (False, False)
+    assert r.iterations == 4
+
+
+def test_fused_runner_cache_hits_on_rebuilt_partials(rng):
+    """functools.partial proxs rebuilt per call must hit the runner
+    cache (structural callable_key), not retrace (review r4 finding)."""
+    from functools import partial
+
+    from proxmin_tpu.nmf import _make_fused_adaprox_runner
+
+    C, K, N = 3, 2, 128
+    Y = rng.random((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    def solve():
+        return pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                          engine="pallas",
+                          prox_S=partial(pt.operators.prox_soft,
+                                         thresh=0.01),
+                          e_rel=0, max_iter=3)
+
+    solve()
+    # reach into the memo to confirm the second (fresh-partial) call
+    # does not grow it
+    cache = _make_fused_adaprox_runner.__closure__
+    sizes_before = [len(c.cell_contents) for c in cache
+                    if isinstance(c.cell_contents, dict)]
+    solve()
+    sizes_after = [len(c.cell_contents) for c in cache
+                   if isinstance(c.cell_contents, dict)]
+    assert sizes_before == sizes_after
