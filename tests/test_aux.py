@@ -1009,3 +1009,43 @@ def test_summarize_convergence_warnings_through_driver():
     finally:
         logger.removeHandler(handler)
         logger.setLevel(old_level)
+
+
+def test_export_nmf_adaprox_solver(tmp_path, rng):
+    """AOT export/restore of the fused proximal-Adam solver, cold and
+    warm-start artifacts: exported solves match the live runner, and a
+    warm artifact continues from a cold artifact's returned moments."""
+    from proxmin_tpu.export import (
+        export_nmf_adaprox_solver, load_exported, save_exported,
+    )
+
+    C, K, N = 4, 3, 256
+    blob = export_nmf_adaprox_solver(C, K, N, e_rel=0.0, tile_n=128)
+    p = save_exported(str(tmp_path / "adaprox.bin"), blob)
+    solve = load_exported(p)
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    A1, S1, it, cA, cS, loss, MA, VA, MS, VS = solve(A0, S0, Y, 15)
+    assert int(it) == 15
+    r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                 max_iter=15, tile_n=128)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(r.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)
+
+    # warm artifact continues exactly like the live warm-started runner
+    warm_blob = export_nmf_adaprox_solver(C, K, N, e_rel=0.0,
+                                          tile_n=128, warm_start=True)
+    warm = load_exported(save_exported(str(tmp_path / "warm.bin"),
+                                       warm_blob))
+    A2, S2 = warm(np.asarray(A1), np.asarray(S1), Y, 10,
+                  MA, VA, MS, VS)[:2]
+    r2 = pt.nmf.nmf_adaprox_fused(Y, np.array(r.x[0]), np.array(r.x[1]),
+                                  e_rel=0, max_iter=10, tile_n=128,
+                                  M=r.M, V=r.V)
+    np.testing.assert_allclose(np.asarray(S2), np.asarray(r2.x[1]),
+                               rtol=1e-6)
