@@ -274,14 +274,15 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
                               e_rel=1e-3, tile_n=8192,
                               dtype=jnp.float32, b1=0.9, b2=0.999,
                               eps=1e-8, moment_dtype=None,
-                              warm_start=False):
+                              warm_start=False, weighted=False):
     """Serialize the fused proximal-Adam NMF solver (``scheme='adam'``,
     separable proxs — see :func:`proxmin_tpu.nmf.nmf_adaprox_fused`)
     for a fixed (C, K, N) shape.
 
     Executable signature ``(A, S, Y, max_iter) -> (A', S', it, conv_A,
-    conv_S, loss, M_A, V_A, M_S, V_S)`` — or, with ``warm_start=True``,
-    ``(A, S, Y, max_iter, M_A, V_A, M_S, V_S)`` accepting a previous
+    conv_S, loss, M_A, V_A, M_S, V_S)``; ``weighted=True`` inserts a
+    ``W: (C,N)`` argument after ``max_iter``; ``warm_start=True``
+    appends ``M_A, V_A, M_S, V_S`` accepting a previous
     export's returned moments (continuation across serving processes;
     the bias-correction clock restarts, reference
     ``algorithms.py:347-359`` semantics). ``moment_dtype`` (e.g.
@@ -299,7 +300,7 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
         int(N), jnp.dtype(dtype), float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
-        warm=bool(warm_start),
+        warm=bool(warm_start), weighted=bool(weighted),
     )
     args = [
         jax.ShapeDtypeStruct((C, K), dtype),
@@ -307,6 +308,8 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
         jax.ShapeDtypeStruct((C, N), dtype),
         jax.ShapeDtypeStruct((), jnp.int32),
     ]
+    if weighted:
+        args.append(jax.ShapeDtypeStruct((C, N), dtype))
     if warm_start:
         args += [
             jax.ShapeDtypeStruct((C, K), jnp.float32),

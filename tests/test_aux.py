@@ -1049,3 +1049,22 @@ def test_export_nmf_adaprox_solver(tmp_path, rng):
                                   M=r.M, V=r.V)
     np.testing.assert_allclose(np.asarray(S2), np.asarray(r2.x[1]),
                                rtol=1e-6)
+
+
+def test_export_nmf_adaprox_solver_weighted(tmp_path, rng):
+    """Weighted fused-adaprox artifact matches the live weighted runner."""
+    from proxmin_tpu.export import export_nmf_adaprox_solver, load_solver
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    solve = load_solver(export_nmf_adaprox_solver(
+        C, K, N, e_rel=0.0, tile_n=128, weighted=True))
+    A1, S1 = solve(A0, S0, Y, 12, W)[:2]
+    r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                                 max_iter=12, tile_n=128)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)

@@ -521,9 +521,6 @@ def test_fused_adaprox_engine_gates(rng):
     with pytest.raises(ValueError, match="step_stride"):
         pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
                    step_stride=5, max_iter=3)
-    with pytest.raises(ValueError, match="unweighted"):
-        pt.nmf.nmf(Y, A0, S0, W=W, algorithm="adaprox",
-                   engine="pallas", max_iter=3)
     with pytest.raises(ValueError, match="separable"):
         pt.nmf.nmf(Y, A0, S0, algorithm="adaprox", engine="pallas",
                    prox_S=partial(pt.operators.prox_soft, thresh=0.01,
@@ -676,3 +673,21 @@ def test_fused_runner_cache_hits_on_rebuilt_partials(rng):
     sizes_after = [len(c.cell_contents) for c in cache
                    if isinstance(c.cell_contents, dict)]
     assert sizes_before == sizes_after
+
+
+def test_fused_adaprox_weighted_matches_driver(rng):
+    """Weighted fused adaprox (W consumed in-kernel) matches the
+    weighted XLA driver at fixed iterations."""
+    C, K, N = 4, 3, 300
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    rx = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, algorithm="adaprox",
+                    e_rel=0, max_iter=25, separable_prox="auto")
+    rf = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, algorithm="adaprox",
+                    engine="pallas", e_rel=0, max_iter=25)
+    for a, b in zip(rx.x, rf.x):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5)
