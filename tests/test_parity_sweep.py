@@ -131,3 +131,37 @@ def test_nmf_random_configs(trial):
     np.testing.assert_allclose(A_j, A_r, rtol=1e-8, atol=1e-10,
                                err_msg=f"trial {trial} C={C} K={K} N={N}")
     np.testing.assert_allclose(S_j, S_r, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fused_adaprox_random_configs(trial):
+    """Randomized fused-adaprox engine sweep vs the XLA separable
+    driver: random shapes, weighting, b1/b2/eps, moment dtype, prox —
+    fixed iteration counts, f32-noise agreement."""
+    rng = np.random.default_rng(7000 + trial)
+    C = int(rng.integers(2, 9))
+    K = int(rng.integers(2, 6))
+    N = int(rng.integers(50, 700))
+    weighted = bool(rng.integers(0, 2))
+    b1 = float(rng.uniform(0.7, 0.95))
+    b2 = float(rng.uniform(0.9, 0.9999))
+    eps = float(10.0 ** rng.uniform(-9, -6))
+    iters = int(rng.integers(5, 35))
+    prox_S = [pt.operators.prox_plus, None][int(rng.integers(0, 2))]
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))
+         + 0.01 * rng.standard_normal((C, N))).astype(np.float32)
+    W = ((0.5 + rng.random((C, N))).astype(np.float32)
+         if weighted else 1)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    rx = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, algorithm="adaprox",
+                    prox_S=prox_S, e_rel=0, max_iter=iters,
+                    separable_prox="auto", b1=b1, b2=b2, eps=eps)
+    rf = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, algorithm="adaprox",
+                    engine="pallas", prox_S=prox_S, e_rel=0,
+                    max_iter=iters, b1=b1, b2=b2, eps=eps)
+    for a, b in zip(rx.x, rf.x):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5)
