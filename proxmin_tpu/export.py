@@ -281,7 +281,8 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
 
     Executable signature ``(A, S, Y, max_iter) -> (A', S', it, conv_A,
     conv_S, loss, M_A, V_A, M_S, V_S)``; ``weighted=True`` inserts a
-    ``W: (C,N)`` argument after ``max_iter``; ``warm_start=True``
+    ``W: (C,N)`` argument after ``Y`` (matching
+    :func:`export_nmf_solver`'s weighted ordering); ``warm_start=True``
     appends ``M_A, V_A, M_S, V_S`` accepting a previous
     export's returned moments (continuation across serving processes;
     the bias-correction clock restarts, reference
@@ -289,6 +290,20 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
     ``jnp.bfloat16``) bakes the reduced-precision moment storage into
     the artifact — the fastest measured adaprox engine on v5e.
     """
+    from .solvers.common import separable_blocks
+
+    # same separability gate as the nmf() engine dispatch: the kernel
+    # applies the prox per pixel tile, so a non-separable prox would
+    # silently serialize a wrong solver
+    prox_pair = (prox_A, prox_S)
+    has = tuple(pj is not None for pj in prox_pair)
+    sep = separable_blocks(prox_pair, has, "auto")
+    if not all(s or not h for s, h in zip(sep, has)):
+        raise ValueError(
+            "export_nmf_adaprox_solver needs separable proxs (the "
+            "in-kernel scaled prox is applied per pixel tile); use "
+            "export_adaprox_solver for sub-iteration prox semantics"
+        )
     if prox_A is None:
         prox_A = operators.prox_id
     if prox_S is None:
@@ -306,10 +321,10 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
         jax.ShapeDtypeStruct((C, K), dtype),
         jax.ShapeDtypeStruct((K, N), dtype),
         jax.ShapeDtypeStruct((C, N), dtype),
-        jax.ShapeDtypeStruct((), jnp.int32),
     ]
     if weighted:
         args.append(jax.ShapeDtypeStruct((C, N), dtype))
+    args.append(jax.ShapeDtypeStruct((), jnp.int32))
     if warm_start:
         args += [
             jax.ShapeDtypeStruct((C, K), jnp.float32),

@@ -228,6 +228,21 @@ def _is_unweighted(W):
     return False
 
 
+def _promote_W(W, Y):
+    """Materialize a weight argument as a full (C, N) device array:
+    scalars fill, lower-rank arrays broadcast against Y (the XLA
+    engine's ``W * (A S - Y)`` would broadcast implicitly; the fused
+    kernels and the weighted Lipschitz math need the explicit 2-D
+    form). One shared helper so the engines cannot drift."""
+    Y = jnp.asarray(Y)
+    if np.isscalar(W) or getattr(W, "ndim", None) == 0:
+        return jnp.full(Y.shape, W, Y.dtype)
+    W = jnp.asarray(W)
+    if W.shape != Y.shape:
+        return jnp.broadcast_to(W, Y.shape).astype(Y.dtype)
+    return W
+
+
 def step_pgm(*X, it=None, W=1):
     """Lipschitz PGM step sizes ``(step_A, step_S)`` for the Gaussian model
     (reference ``nmf.py:52-88``). Weighted case uses implicit batched power
@@ -816,16 +831,20 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     tiny = float(np.finfo(np.float32).tiny)
 
     @jax.jit
-    def run(A, S, Y, max_iter, *extra):
+    def run(A, S, Y, *rest):
+        # weighted signature: (A, S, Y, W, max_iter, *moments) — W
+        # directly after the data, matching export_nmf_solver's
+        # weighted artifact ordering; unweighted: (A, S, Y, max_iter,
+        # *moments)
         if weighted:
-            W_in, extra = extra[0], extra[1:]
+            W_in, max_iter, *moments = rest
             # zero weights in the padding: padded pixels/channels
             # contribute exact zeros to D, gradients, loss and norms
             W_p = jnp.pad(W_in.astype(jnp.float32),
                           ((0, Cp - C), (0, Np - N)))
         else:
+            max_iter, *moments = rest
             W_p = None
-        moments = extra
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
@@ -973,10 +992,7 @@ def nmf_adaprox_fused(
     N = S.shape[1]
     weighted = W is not None and not _is_unweighted(W)
     if weighted:
-        if np.isscalar(W) or getattr(W, "ndim", None) == 0:
-            W = jnp.full(Y.shape, W, Y.dtype)
-        else:
-            W = jnp.asarray(W)
+        W = _promote_W(W, Y)
     warm = M is not None or V is not None
     if warm:
         assert M is not None and V is not None, \
@@ -991,11 +1007,11 @@ def nmf_adaprox_fused(
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
         warm=warm, weighted=weighted,
     )
-    extra = ((W,) if weighted else ()) + (
+    extra = ((W,) if weighted else ()) + (max_iter,) + (
         (jnp.asarray(MA), jnp.asarray(VA),
          jnp.asarray(MS), jnp.asarray(VS)) if warm else ())
     (A_f, S_f, it, conv_A, conv_S, loss,
-     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, max_iter, *extra)
+     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
@@ -1246,10 +1262,7 @@ def nmf(
             )
         W_k = None
         if not _is_unweighted(W):
-            if np.isscalar(W) or getattr(W, "ndim", None) == 0:
-                W_k = jnp.full(np.shape(Y), W, jnp.asarray(Y).dtype)
-            else:
-                W_k = W
+            W_k = _promote_W(W, Y)
         if step_adapt and W_k is None:
             raise ValueError(
                 "step_adapt applies to the weighted Lipschitz refresh; "
@@ -1273,10 +1286,11 @@ def nmf(
     Y = asarray_cached(Y)
     if _is_unweighted(W):
         W = 1
-    elif np.isscalar(W) or getattr(W, "ndim", None) == 0:
-        # scalar weight != 1: materialize so the weighted Lipschitz math
-        # (which needs W's 2-D structure) works; the reference crashes here
-        W = jnp.full(Y.shape, W, Y.dtype)
+    elif np.isscalar(W) or np.shape(W) != np.shape(Y):
+        # scalar or broadcastable weight: materialize the full (C, N)
+        # form so the weighted Lipschitz math (which needs W's 2-D
+        # structure) works; the reference crashes here
+        W = _promote_W(W, Y)
     else:
         W = asarray_cached(W)
 

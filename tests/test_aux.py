@@ -1063,7 +1063,9 @@ def test_export_nmf_adaprox_solver_weighted(tmp_path, rng):
 
     solve = load_solver(export_nmf_adaprox_solver(
         C, K, N, e_rel=0.0, tile_n=128, weighted=True))
-    A1, S1 = solve(A0, S0, Y, 12, W)[:2]
+    # weighted artifact signature (A, S, Y, W, max_iter) matches
+    # export_nmf_solver's weighted ordering
+    A1, S1 = solve(A0, S0, Y, W, 12)[:2]
     r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
                                  max_iter=12, tile_n=128)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),

@@ -691,3 +691,39 @@ def test_fused_adaprox_weighted_matches_driver(rng):
     for a, b in zip(rx.x, rf.x):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5)
+
+
+def test_fused_adaprox_broadcastable_W(rng):
+    """Lower-rank W (e.g. per-pixel (N,) or per-channel (C,1)) is
+    broadcast to (C,N) like the XLA engine's implicit W*(AS-Y), not a
+    pad-rank crash (review r4 finding)."""
+    C, K, N = 3, 2, 128
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    for W in (0.7 * np.ones(N, np.float32),
+              (0.5 + rng.random((C, 1))).astype(np.float32)):
+        rx = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W,
+                        algorithm="adaprox", e_rel=0, max_iter=10,
+                        separable_prox="auto")
+        rf = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W,
+                        algorithm="adaprox", engine="pallas", e_rel=0,
+                        max_iter=10)
+        for a, b in zip(rx.x, rf.x):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5)
+
+
+def test_export_nmf_adaprox_rejects_nonseparable_prox():
+    """The export gate mirrors the engine gate: a non-separable prox
+    must not serialize a silently-wrong artifact (review r4 finding)."""
+    from functools import partial
+
+    from proxmin_tpu.export import export_nmf_adaprox_solver
+
+    with pytest.raises(ValueError, match="separable"):
+        export_nmf_adaprox_solver(
+            3, 2, 128,
+            prox_S=partial(pt.operators.prox_soft, thresh=0.1,
+                           type="absolute"))
