@@ -1067,10 +1067,15 @@ def nmf(
             :func:`nmf_adaprox_fused` for adaprox — adam scheme +
             separable proxs; add ``moment_dtype=jnp.bfloat16`` for the
             fastest measured adaprox path, 0.13 vs 0.19 ms/iter at the
-            flagship), or "auto" (pgm-pallas for unweighted channel
-            counts >= 64 where it measures faster on v5e, else xla;
-            weighted problems always run xla — the r4 C-sweep measured
-            no weighted crossover through C=128).
+            flagship), or "auto": pgm routes to pallas for unweighted
+            channel counts >= 64 where it measures faster on v5e
+            (weighted pgm always runs xla — the r4 C-sweep measured no
+            weighted crossover through C=128); adaprox with a
+            reduced-precision ``moment_dtype`` (e.g. ``jnp.bfloat16``)
+            and fused-compatible options routes to the fused kernel,
+            the fastest measured engine for that request (the XLA
+            ``moment_dtype`` path's separate cast passes are 2x
+            slower), while f32 adaprox stays on xla where it wins.
         step_stride: recompute the Lipschitz step sizes only every this
             many iterations, with a 0.9 safety factor (pgm/adaprox: via
             an in-carry :class:`~proxmin_tpu.utils.StridedStepper`;
@@ -1177,27 +1182,66 @@ def nmf(
         return res
 
     if engine == "auto":
-        pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}
-        pallas_ok = (
-            algorithm is algorithms.pgm and step is None
-            and _is_unweighted(W) and callback is None
-            and step_stride is None and not step_adapt
-            and set(algorithm_args) <= {"tile_n", "store_dtype"}
-        )
-        if pallas_only and not pallas_ok:
-            raise ValueError(
-                f"{sorted(pallas_only)} are pallas-engine options but the "
-                "call is not pallas-compatible (needs algorithm='pgm', "
-                "default steps, unweighted W, no callback/step_stride)"
+        adaprox_alg = getattr(algorithms, "adaprox", None)
+        fused_adaprox_ok = False
+        if (algorithm is adaprox_alg and step is None
+                and callback is None and step_stride is None
+                and not step_adapt
+                and algorithm_args.get("scheme", "adam") == "adam"
+                and set(algorithm_args) <= {
+                    "b1", "b2", "eps", "tile_n", "moment_dtype",
+                    "M", "V", "scheme", "separable_prox"}):
+            from .solvers.common import separable_blocks
+
+            prox_pair = (prox_A, prox_S)
+            has = tuple(pj is not None for pj in prox_pair)
+            try:
+                sep_blocks = separable_blocks(
+                    prox_pair, has,
+                    algorithm_args.get("separable_prox", "auto"))
+            except ValueError:
+                sep_blocks = (False,) * len(prox_pair)
+            fused_adaprox_ok = all(
+                s or not h for s, h in zip(sep_blocks, has))
+        mdt = algorithm_args.get("moment_dtype")
+        reduced_moments = (mdt is not None
+                           and jnp.dtype(mdt).itemsize < 4)
+        if fused_adaprox_ok and (reduced_moments
+                                 or "tile_n" in algorithm_args):
+            # measured on v5e (benchmarks/results_r4.json): the fused
+            # proximal-Adam kernel with reduced-precision moment
+            # storage is the fastest adaprox engine everywhere tested
+            # — 0.13 vs 0.26 ms/iter for the XLA moment_dtype path
+            # (whose separate cast passes make the same idea slower)
+            # and 0.19 for XLA f32, weighted 0.19 vs 0.24 — while f32
+            # fused LOSES (0.34+, stream-count bound), so plain
+            # adaprox stays on xla; explicit tile_n forces the kernel
+            engine = "pallas"
+        else:
+            pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}
+            pallas_ok = (
+                algorithm is algorithms.pgm and step is None
+                and _is_unweighted(W) and callback is None
+                and step_stride is None and not step_adapt
+                and set(algorithm_args) <= {"tile_n", "store_dtype"}
             )
-        # measured crossover on v5e (benchmarks/engine_scaling.py):
-        # XLA's loop fusion wins for few-channel problems, the fused
-        # kernel from C ~ 64 up — UNWEIGHTED only (the r4 weighted
-        # C-sweep measured no crossover through C=128, so pallas_ok
-        # requiring _is_unweighted is the measured answer, not a gap);
-        # explicit pallas-only kwargs force pallas
-        engine = "pallas" if (pallas_ok and (
-            pallas_only or np.shape(Y)[0] >= 64)) else "xla"
+            if pallas_only and not pallas_ok:
+                raise ValueError(
+                    f"{sorted(pallas_only)} are pallas-engine options "
+                    "but the call is not pallas-compatible (pgm needs "
+                    "default steps, unweighted W, no callback/"
+                    "step_stride; adaprox needs the adam scheme and "
+                    "separable proxs)"
+                )
+            # measured crossover on v5e (benchmarks/engine_scaling.py):
+            # XLA's loop fusion wins for few-channel problems, the
+            # fused kernel from C ~ 64 up — UNWEIGHTED only (the r4
+            # weighted C-sweep measured no crossover through C=128, so
+            # pallas_ok requiring _is_unweighted is the measured
+            # answer, not a gap); explicit pallas-only kwargs force
+            # pallas
+            engine = "pallas" if (pallas_ok and (
+                pallas_only or np.shape(Y)[0] >= 64)) else "xla"
 
     if engine == "pallas":
         if (algorithm is getattr(algorithms, "adaprox", None)

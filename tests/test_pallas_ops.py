@@ -299,9 +299,61 @@ def test_nmf_auto_with_pallas_kwargs(rng):
                    engine="auto", tile_n=128)   # C < 64 but tile_n -> pallas
     assert np.isfinite(np.asarray(r.x[1])).all()
 
+    # adaprox + tile_n with a NON-separable prox cannot run the fused
+    # kernel, so the pallas-only kwarg must raise, not silently drop
+    from functools import partial as _partial
+
     with pytest.raises(ValueError):
         pt.nmf.nmf(Y, A0, S0, engine="auto", tile_n=128,
-                   algorithm="adaprox")
+                   algorithm="adaprox",
+                   prox_S=_partial(pt.operators.prox_soft, thresh=0.1,
+                                   type="absolute"))
+
+
+def test_nmf_auto_routes_reduced_moment_adaprox(rng, monkeypatch):
+    """engine='auto' routes adaprox to the fused kernel exactly in the
+    measured win region: reduced-precision moment_dtype (or explicit
+    tile_n); f32 stays on xla; non-separable proxs fall back to xla."""
+    from functools import partial
+
+    import proxmin_tpu as pt
+    from proxmin_tpu import nmf as nmf_mod
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    calls = []
+    orig = nmf_mod.nmf_adaprox_fused
+    monkeypatch.setattr(
+        nmf_mod, "nmf_adaprox_fused",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    # bf16 moments -> fused (the measured winner for this request)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                   engine="auto", moment_dtype=jnp.bfloat16,
+                   e_rel=0, max_iter=5)
+    assert calls == [1] and np.isfinite(np.asarray(r.x[1])).all()
+
+    # f32 moments (default) -> xla (fused f32 measured slower)
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+               engine="auto", e_rel=0, max_iter=5)
+    assert calls == [1]
+
+    # explicit tile_n -> fused even without reduced moments
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+               engine="auto", tile_n=128, e_rel=0, max_iter=5)
+    assert calls == [1, 1]
+
+    # non-separable prox: silently falls back to the xla driver (which
+    # honors moment_dtype as the capacity option)
+    r4 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                    engine="auto", moment_dtype=jnp.bfloat16,
+                    prox_S=partial(pt.operators.prox_soft, thresh=0.1,
+                                   type="absolute"),
+                    e_rel=0, max_iter=5)
+    assert calls == [1, 1] and np.isfinite(np.asarray(r4.x[1])).all()
 
 
 def test_nmf_scalar_weights(rng):
