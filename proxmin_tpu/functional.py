@@ -36,6 +36,7 @@ from .utils import make_stepper
 __all__ = ["make_pgm_solver", "make_adaprox_solver",
            "make_admm_solver", "make_sdmm_solver", "make_bsdmm_solver",
            "make_differentiable_pgm_solver",
+           "make_differentiable_adaprox_solver",
            "make_differentiable_admm_solver",
            "make_differentiable_sdmm_solver",
            "make_differentiable_bsdmm_solver", "make_nmf_solver"]
@@ -299,11 +300,16 @@ def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
                                         vjp_rtol)
 
 
-def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol):
+def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol,
+                                 forward=None):
     """The shared IFT scaffolding: a custom-vjp ``solve(w0, *theta) ->
     (w*, converged)`` for an arbitrary (locally contractive) iteration
     map ``T(w, *theta)`` over a pytree state ``w``. Forward: plain
-    fixed-point iteration to the relative tolerance. Backward: the
+    fixed-point iteration to the relative tolerance — or an arbitrary
+    ``forward(w0, *theta) -> (w*, converged)`` override whose solution
+    satisfies ``T(w*) = w*`` (e.g. an accelerated or adaptive solver
+    for the same problem; the backward pass only ever sees ``T`` at the
+    solution, so the forward trajectory is free). Backward: the
     adjoint fixed point ``v = (d_w T)^T v + cotangent`` run to
     ``vjp_rtol``, then pushed through ``d_theta T`` — O(1) memory in
     the iteration count, no unrolling. See
@@ -320,6 +326,9 @@ def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol):
 
     @jax.custom_vjp
     def solve(x0, *theta):
+        if forward is not None:
+            return forward(x0, *theta)
+
         def cond(c):
             x, x_prev, it = c
             return jnp.logical_and(
@@ -375,6 +384,97 @@ def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol):
 
     solve.defvjp(fwd, bwd)
     return solve
+
+
+def make_differentiable_adaprox_solver(grad, step, prox=None, b1=0.9,
+                                       b2=0.999, eps=1e-8, e_rel=1e-9,
+                                       max_iter=1000, vjp_iters=10000,
+                                       vjp_rtol=1e-9, prox_params=False):
+    """Build a proximal-Adam (AdaProx, ``scheme='adam'``) solve
+    differentiable w.r.t. problem parameters — completing the
+    differentiable surface across all five solver families (the
+    reference treats them uniformly, ``algorithms.py:248-423``).
+
+    Forward pass: bias-corrected proximal-Adam iterations
+    ``x <- prox(x - step * Phi/Psi, step/Psi)`` run to the fixed-point
+    tolerance (the separable closed-form scaled prox — the prox must
+    accept elementwise step arrays, true of every separable operator in
+    :mod:`proxmin_tpu.operators`). Backward pass: implicit
+    differentiation of the PGM optimality condition
+    ``x = prox(x - step * grad(x))`` at the solution. This is valid
+    because Adam's ``1/Psi`` preconditioner is a positive diagonal
+    metric: for any such metric the scaled proximal fixed points are
+    exactly the stationary points of ``f + g``, i.e. the SAME solution
+    set as the unscaled PGM map — so the (smooth, contractive near a
+    strongly-convex solution) PGM map is the right characterization to
+    differentiate, regardless of the trajectory Adam took to get there.
+    ``step`` must therefore satisfy the usual backward-pass contraction
+    requirement (static scalar < 2/L) even though the forward pass is
+    adaptive.
+
+    Returns ``solve(x0, *theta) -> (x*, converged)`` usable inside
+    ``jax.grad`` / ``jax.jit`` / ``jax.vmap``. ALWAYS check
+    ``converged`` — Adam can stall in an oscillatory limit cycle short
+    of the tolerance, and the backward pass is only meaningful at a
+    fixed point. All spectral-radius / strong-convexity caveats of
+    :func:`make_differentiable_pgm_solver` apply verbatim.
+    """
+    tree = jax.tree_util
+
+    def tree_l2sq(t):
+        return sum(jnp.sum(l * l) for l in tree.tree_leaves(t))
+
+    def tree_sub(a, b):
+        return tree.tree_map(lambda x, y: x - y, a, b)
+
+    def _prox(z, s, *theta):
+        if prox is None:
+            return z
+        return prox(z, s, *theta) if prox_params else prox(z, s)
+
+    def T(x, *theta):
+        z = tree.tree_map(lambda xi, gi: xi - step * gi, x,
+                          grad(x, *theta))
+        return _prox(z, step, *theta)
+
+    def forward(x0, *theta):
+        zeros = tree.tree_map(jnp.zeros_like, x0)
+
+        def body(c):
+            x, _, m, v, it = c
+            g = grad(x, *theta)
+            t = (it + 1).astype(jnp.float32)
+            m1 = tree.tree_map(
+                lambda mi, gi: b1 * mi + (1.0 - b1) * gi, m, g)
+            v1 = tree.tree_map(
+                lambda vi, gi: b2 * vi + (1.0 - b2) * gi * gi, v, g)
+            bc1 = 1.0 - b1 ** t
+            bc2 = 1.0 - b2 ** t
+            psi = tree.tree_map(
+                lambda vi: jnp.sqrt(vi / bc2) + eps, v1)
+            z = tree.tree_map(
+                lambda xi, mi, pi: xi - step * (mi / bc1) / pi,
+                x, m1, psi)
+            s_arr = tree.tree_map(lambda pi: step / pi, psi)
+            x1 = _prox(z, s_arr, *theta)
+            return x1, x, m1, v1, it + 1
+
+        def cond(c):
+            x, x_prev, _, _, it = c
+            return jnp.logical_and(
+                it < max_iter,
+                tree_l2sq(tree_sub(x, x_prev))
+                > (e_rel ** 2) * tree_l2sq(x),
+            )
+
+        c0 = body((x0, x0, zeros, zeros, jnp.int32(0)))
+        x, x_prev, _, _, _ = jax.lax.while_loop(cond, body, c0)
+        converged = tree_l2sq(tree_sub(x, x_prev)) \
+            <= (e_rel ** 2) * tree_l2sq(x)
+        return x, converged
+
+    return _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters,
+                                        vjp_rtol, forward=forward)
 
 
 def make_differentiable_admm_solver(prox_f, step_f, prox_g, step_g=None,

@@ -674,3 +674,80 @@ def test_differentiable_sdmm_matches_host_sdmm_forward():
                   Ls=[None, None], e_rel=1e-12, max_iter=50000)
     np.testing.assert_allclose(np.asarray(x_d), np.asarray(res.x),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_implicit_diff_adaprox_gradient_vs_finite_differences():
+    """Differentiable AdaProx: Adam forward trajectory, PGM-condition
+    backward — d(solution)/d(theta) matches central finite differences
+    on a strongly-convex quadratic with a soft-threshold prox."""
+    from proxmin_tpu.functional import make_differentiable_adaprox_solver
+    from proxmin_tpu import operators
+
+    n = 10
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.normal(size=n))
+
+    def grad(x, theta):
+        return x - (y + theta)          # f = 0.5||x - (y+theta)||^2
+
+    def prox(z, step):
+        return operators.prox_soft(z, step, thresh=0.25)
+
+    solve = make_differentiable_adaprox_solver(
+        grad, 0.5, prox=prox, e_rel=1e-12, max_iter=50000,
+        vjp_rtol=1e-12)
+
+    def loss(theta):
+        x, conv = solve(jnp.zeros(n), theta)
+        return jnp.sum(x ** 3)
+
+    theta0 = jnp.asarray(rng.normal(size=n) * 0.1)
+    x0, conv = solve(jnp.zeros(n), theta0)
+    assert bool(conv)
+
+    g = jax.grad(loss)(theta0)
+    eps = 1e-5
+    for i in (0, 4, n - 1):
+        e = jnp.zeros(n).at[i].set(eps)
+        fd = (float(loss(theta0 + e)) - float(loss(theta0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=2e-4, atol=1e-7)
+
+
+def test_differentiable_adaprox_matches_pgm_solution():
+    """The Adam forward pass lands on the same fixed point the PGM
+    forward pass does (shared solution set of the scaled/unscaled
+    proximal maps), including through a prox_params constraint."""
+    from proxmin_tpu.functional import (
+        make_differentiable_adaprox_solver, make_differentiable_pgm_solver,
+    )
+    from proxmin_tpu import operators
+
+    n = 8
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(size=n))
+
+    def grad(x, theta):
+        return 2.0 * (x - y) + theta    # L = 2
+
+    def prox(z, step, theta):
+        return operators.prox_plus(z, step)
+
+    s_ada = make_differentiable_adaprox_solver(
+        grad, 0.4, prox=prox, e_rel=1e-12, max_iter=50000,
+        prox_params=True)
+    s_pgm = make_differentiable_pgm_solver(
+        grad, 0.4, prox=prox, e_rel=1e-12, max_iter=50000,
+        prox_params=True)
+
+    theta0 = jnp.asarray(rng.normal(size=n) * 0.3)
+    xa, ca = s_ada(jnp.zeros(n), theta0)
+    xp, cp = s_pgm(jnp.zeros(n), theta0)
+    assert bool(ca) and bool(cp)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xp),
+                               rtol=1e-7, atol=1e-9)
+
+    # and both gradients agree (same solution map)
+    ga = jax.grad(lambda t: jnp.sum(s_ada(jnp.zeros(n), t)[0] ** 2))(theta0)
+    gp = jax.grad(lambda t: jnp.sum(s_pgm(jnp.zeros(n), t)[0] ** 2))(theta0)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gp),
+                               rtol=1e-5, atol=1e-8)
