@@ -72,6 +72,12 @@ class PGMState(NamedTuple):
     history: Any           # (max_iter, N) per-block relative residuals
                            # (device-side trace buffer; empty when trace off)
     diverged: Any          # bool — a non-finite iterate was produced
+    it0: Any               # global iteration offset (warm restart): the
+                           # stepper and it-dependent user step functions
+                           # see it + it0, so e.g. Barzilai–Borwein's
+                           # it==0 init branch and it<=3 stabilization
+                           # window don't re-fire on resume; history
+                           # indexing and max_iter use the local it
 
 
 def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
@@ -81,6 +87,7 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
 
     def body(state: PGMState) -> PGMState:
         it = state.it
+        it_g = it + state.it0  # global clock (differs after warm restart)
 
         # Nesterov extrapolation (omega == 0 at it == 0 since t starts at 1)
         if accelerated:
@@ -96,7 +103,7 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
         x_old = state.x  # the reference's X_ copy (algorithms.py:102)
 
         G = utils._as_tuple(grad(*x_ex))
-        S, stepper_state = stepper(state.stepper_state, x_ex, it, G)
+        S, stepper_state = stepper(state.stepper_state, x_ex, it_g, G)
         S = tuple(jnp.asarray(s) for s in S)
 
         def prox_step(j, Tj):
@@ -108,7 +115,8 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
         if backtracking:
             # Beck & Teboulle eq. 3.2 (g dropped from F and Q: it cancels)
             f_prev = jax.lax.cond(
-                it == 0, lambda: jnp.asarray(f(*x_old)), lambda: state.f_prev
+                it_g == 0, lambda: jnp.asarray(f(*x_old)),
+                lambda: state.f_prev
             )
 
             def bt_cond(carry):
@@ -179,12 +187,14 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
             converged=converged,
             history=history,
             diverged=jnp.logical_or(state.diverged, jnp.logical_not(finite)),
+            it0=state.it0,
         )
 
     return body
 
 
-def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated):
+def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated,
+                resume=None):
     dtype = jnp.result_type(*[x.dtype for x in x0], jnp.float32)
     G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
     stepper_state0 = stepper.init_state(x0, G0)
@@ -194,21 +204,52 @@ def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated):
         ),
         stepper_state0, x0, G0,
     )
+    if resume is not None:
+        # warm restart (checkpoint/resume, mirroring the ADMM family's
+        # `state=`): the Nesterov momentum clock + previous iterate, the
+        # backtracking scales, and the stepper state continue; the
+        # iteration counter restarts (a resumed solve runs up to
+        # max_iter further iterations). The reference has no analogue —
+        # it restarts FISTA momentum from scratch (algorithms.py:80-87).
+        xp = tuple(resume.get("x_prev", ()))
+        x_prev = (tuple(jnp.array(x, copy=True)
+                        for x in (xp if len(xp) else x0))
+                  if accelerated else ())
+        t0 = jnp.asarray(resume["t"], dtype)
+        T0 = jnp.asarray(resume["T"], dtype)
+        f_prev0 = jnp.asarray(resume["f_prev"], dtype)
+        it0 = jnp.asarray(resume.get("it", 0), jnp.int32)
+        sst0 = resume.get("stepper_state", stepper_state0)
+        if jax.tree_util.tree_structure(sst0) != \
+                jax.tree_util.tree_structure(stepper_state0):
+            raise ValueError(
+                "state= was produced under a different step "
+                "configuration (stepper state structure mismatch); "
+                "resume with the same step arguments"
+            )
+    else:
+        x_prev = (tuple(jnp.array(x, copy=True) for x in x0)
+                  if accelerated else ())
+        t0 = jnp.asarray(1.0, dtype)
+        T0 = jnp.ones((n,), dtype)
+        f_prev0 = jnp.asarray(jnp.inf, dtype)
+        sst0 = stepper_state0
+        it0 = jnp.int32(0)
     # fresh buffers: the initial state must not alias user-provided arrays
     # (device conversion below is a copy for NumPy inputs and an explicit
     # copy for jax inputs)
     return PGMState(
         x=tuple(jnp.array(x, copy=True) for x in x0),
-        x_prev=(tuple(jnp.array(x, copy=True) for x in x0)
-                if accelerated else ()),
-        t=jnp.asarray(1.0, dtype),
-        T=jnp.ones((n,), dtype),
-        f_prev=jnp.asarray(jnp.inf, dtype),
+        x_prev=x_prev,
+        t=t0,
+        T=T0,
+        f_prev=f_prev0,
         S=tuple(S0),
-        stepper_state=stepper_state0,
+        stepper_state=sst0,
         it=jnp.int32(0),
         converged=jnp.zeros((n,), bool),
         history=jnp.zeros((max_iter if trace else 0, n), dtype),
+        it0=it0,
         diverged=jnp.asarray(False),
     )
 
@@ -313,7 +354,8 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
             )
         else:
             x_ex = st.x
-        steps, sst = stepper.segment_refresh(st.stepper_state, x_ex, st.it)
+        steps, sst = stepper.segment_refresh(st.stepper_state, x_ex,
+                                             st.it + st.it0)
         steps = tuple(jnp.asarray(s) for s in steps)
         st = st._replace(S=steps, stepper_state=sst)
         body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
@@ -354,6 +396,7 @@ def pgm(
     max_iter=1000,
     callback=None,
     trace=False,
+    state=None,
 ):
     """Proximal Gradient Method (ISTA; FISTA when ``accelerated=True``).
 
@@ -387,11 +430,23 @@ def pgm(
             device-side buffer, returned as ``result.history`` (shape
             ``(iterations, n_blocks)``) — the fused-mode replacement for
             the reference's host-side ``Traceback``.
+        state: warm-restart state from a previous solve's ``.state``
+            (pairs with passing the previous solve's ``X`` iterate, like
+            the ADMM family's ``state=``): the Nesterov momentum clock +
+            previous iterate, backtracking scales and stepper state
+            (e.g. Barzilai–Borwein history, strided-refresh intervals)
+            continue, so a killed accelerated solve resumed from a
+            checkpoint reproduces the uninterrupted trajectory exactly.
+            The iteration counter restarts (up to ``max_iter`` further
+            iterations). Round-trips through
+            :mod:`proxmin_tpu.checkpoint`. No reference analogue (a
+            reference re-call restarts FISTA momentum from scratch).
 
     Returns:
         ``SolverResult`` unpacking as ``(converged, G, S)`` like the
         reference, with attributes ``.x`` (solution blocks),
-        ``.iterations``, ``.converged``.
+        ``.iterations``, ``.converged``, ``.state`` (warm-restart
+        pytree).
     """
     x0, originals, was_single = tupleize(X)
     n = len(x0)
@@ -467,9 +522,10 @@ def pgm(
             # it eagerly dispatches ~a dozen host->device ops per solve
             # (~150 ms fixed cost per call on a remote-dispatch backend)
             @jax.jit
-            def run(x, leaves):
+            def run(x, leaves, resume):
                 g, st, ff, pr = _rebuild(leaves)
-                s = _init_state(x, g, st, n, max_iter, trace, accelerated)
+                s = _init_state(x, g, st, n, max_iter, trace, accelerated,
+                                resume=resume)
                 if use_segmented:
                     s = _run_segmented(s, g, st, pr, e_rel, accelerated,
                                        backtracking, ff, trace, max_iter,
@@ -504,10 +560,10 @@ def pgm(
     # iteration (~2x the whole flagship iteration). Iterates are
     # bit-identical to the reference; only this diagnostic differs.
     if callback is None:
-        state, G_fin = run(tuple(x0), data_leaves)
+        state, G_fin = run(tuple(x0), data_leaves, state)
     else:
         state = _init_state(x0, grad, cached_stepper, n, max_iter, trace,
-                            accelerated)
+                            accelerated, resume=state)
         for it in range(max_iter):
             try:
                 callback(*[np.asarray(x) for x in state.x], it=it)
@@ -541,8 +597,16 @@ def pgm(
     G = G_fin[0] if was_single else G_fin
     S = state.S[0] if was_single else state.S
     history = np.asarray(state.history[:iterations]) if trace else None
+    # warm-restart pytree (plain dict of device arrays like the ADMM
+    # family's `.state`): everything a continuation needs beyond the
+    # iterate itself
+    resume_state = {
+        "x_prev": state.x_prev, "t": state.t, "T": state.T,
+        "f_prev": state.f_prev, "stepper_state": state.stepper_state,
+        "it": state.it + state.it0,
+    }
     return SolverResult(
         (converged, G, S),
         x=x_out, iterations=iterations, converged=converged, G=G, S=S,
-        history=history, status=status,
+        history=history, status=status, state=resume_state,
     )

@@ -163,3 +163,98 @@ def test_bsdmm_resume_through_checkpoint(tmp_path, rng):
                   state=ckpt["solver_state"])
     _assert_same(resumed.x[0], full.x[0])
     _assert_same(resumed.x[1], full.x[1])
+
+
+# ---------------------------------------------------------------------------
+# PGM/FISTA warm restart (round 4): the Nesterov momentum clock, previous
+# iterate, backtracking scales, and stepper state continue across the
+# resume boundary. The reference has no analogue — re-calling
+# algorithms.pgm restarts FISTA momentum from scratch (algorithms.py:80).
+# ---------------------------------------------------------------------------
+
+H_ILL = np.diag([1.0, 0.02])
+C_ILL = np.array([1.0, 1.0])
+
+
+def _grad_ill(x):
+    return jnp.asarray(H_ILL) @ (x - jnp.asarray(C_ILL))
+
+
+def _f_ill(x):
+    d = x - jnp.asarray(C_ILL)
+    return 0.5 * d @ (jnp.asarray(H_ILL) @ d)
+
+
+def test_pgm_fista_resume_matches_uninterrupted():
+    """An accelerated solve split in half equals the uninterrupted one —
+    a fresh re-call (momentum clock reset, reference behavior) would
+    not."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(accelerated=True, e_rel=0.0)
+
+    full = pt.pgm(x0, _grad_ill, 1.0, max_iter=40, **kw)
+    half = pt.pgm(x0, _grad_ill, 1.0, max_iter=20, **kw)
+    resumed = pt.pgm(half.x, _grad_ill, 1.0, max_iter=20,
+                     state=half.state, **kw)
+    _assert_same(resumed.x, full.x)
+    _assert_same(resumed.state["t"], full.state["t"])
+    _assert_same(resumed.state["x_prev"][0], full.state["x_prev"][0])
+
+    # a naive re-call (no state) walks a different trajectory
+    naive = pt.pgm(half.x, _grad_ill, 1.0, max_iter=20, **kw)
+    assert not np.allclose(np.asarray(naive.x), np.asarray(full.x),
+                           rtol=1e-12, atol=1e-14)
+
+
+def test_pgm_backtracking_resume_keeps_scales():
+    """The per-block backtracking scale T and last objective survive the
+    boundary: with a 50x-too-large step, the first half pays the
+    halving sweeps and the resumed half must not re-pay them."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(backtracking=True, f=_f_ill, e_rel=0.0)
+
+    full = pt.pgm(x0, _grad_ill, 50.0, max_iter=30, **kw)
+    half = pt.pgm(x0, _grad_ill, 50.0, max_iter=15, **kw)
+    assert float(half.state["T"][0]) < 1.0  # scales were actually halved
+    resumed = pt.pgm(half.x, _grad_ill, 50.0, max_iter=15,
+                     state=half.state, **kw)
+    _assert_same(resumed.x, full.x)
+    _assert_same(resumed.state["T"], full.state["T"])
+
+
+def test_pgm_bb_stepper_resume_keeps_history():
+    """Barzilai–Borwein stepper state (previous iterate/gradient pair)
+    continues across the boundary."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    stepper = pt.utils.BarzilaiBorweinStepper(type=1, init_r=0.1)
+
+    full = pt.pgm(x0, _grad_ill, stepper, e_rel=0.0, max_iter=24)
+    half = pt.pgm(x0, _grad_ill, stepper, e_rel=0.0, max_iter=12)
+    resumed = pt.pgm(half.x, _grad_ill, stepper, e_rel=0.0, max_iter=12,
+                     state=half.state)
+    _assert_same(resumed.x, full.x)
+
+
+def test_pgm_resume_through_checkpoint(tmp_path):
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(accelerated=True, e_rel=0.0)
+    full = pt.pgm(x0, _grad_ill, 1.0, max_iter=40, **kw)
+    half = pt.pgm(x0, _grad_ill, 1.0, max_iter=20, **kw)
+
+    path = save_checkpoint(str(tmp_path / "pgm_ckpt"),
+                           x=half.x, solver_state=half.state,
+                           use_orbax=False)
+    ckpt = load_checkpoint(path, use_orbax=False)
+    resumed = pt.pgm(jnp.asarray(ckpt["x"]), _grad_ill, 1.0, max_iter=20,
+                     state=ckpt["solver_state"], **kw)
+    _assert_same(resumed.x, full.x)
+
+
+def test_pgm_resume_rejects_mismatched_stepper_state():
+    x0 = jnp.asarray([-1.0, -1.0])
+    half = pt.pgm(x0, _grad_ill, pt.utils.BarzilaiBorweinStepper(type=1),
+                  e_rel=0.0, max_iter=10)
+    with pytest.raises(ValueError, match="stepper state structure"):
+        pt.pgm(half.x, _grad_ill, 1.0, max_iter=10, state=half.state)
