@@ -54,8 +54,13 @@ __all__ = ["adaprox", "SCHEMES"]
 
 # ---------------------------------------------------------------------------
 # Φ/Ψ schemes. Uniform signature:
-#   (it, G, M, V, Vhat, b1, b2, eps, p) -> (Phi, Psi, M', V', Vhat')
-# b1 is the per-iteration schedule array; all return values are jnp arrays.
+#   (it, G, M, V, Vhat, b1, b2, eps, p, it0=0) -> (Phi, Psi, M', V', Vhat')
+# b1 is the per-iteration schedule array (indexed by the LOCAL iteration
+# ``it`` — on a warm restart the caller supplies the continuation slice);
+# ``it0`` is the global iteration offset (warm restart), entering only the
+# bias-correction clock t = it + it0 + 1 so a resumed solve continues the
+# Adam bias-correction schedule instead of re-firing the t=1 transient.
+# All return values are jnp arrays.
 
 def _moments(it, G, M, V, b1, b2):
     M_new = (1 - b1[it]) * G + b1[it] * M
@@ -63,23 +68,23 @@ def _moments(it, G, M, V, b1, b2):
     return M_new, V_new
 
 
-def _adam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _adam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     M, V = _moments(it, G, M, V, b1, b2)
-    t = it + 1
+    t = it + it0 + 1
     Phi = M / (1 - b1[it] ** t)
     Psi = jnp.sqrt(V / (1 - b2 ** t)) + eps
     return Phi, Psi, M, V, Vhat
 
 
-def _nadam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _nadam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     M, V = _moments(it, G, M, V, b1, b2)
-    t = it + 1
+    t = it + it0 + 1
     Phi = (b1[it] * M + (1 - b1[it]) * G) / (1 - b1[it] ** t)
     Psi = jnp.sqrt(V / (1 - b2 ** t)) + eps
     return Phi, Psi, M, V, Vhat
 
 
-def _amsgrad_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _amsgrad_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     M, V = _moments(it, G, M, V, b1, b2)
     Vhat = jnp.maximum(Vhat, V)
     # eps clamps the *returned* Psi only, not the stored Vhat
@@ -88,14 +93,14 @@ def _amsgrad_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
     return M, Psi, M, V, Vhat
 
 
-def _padam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _padam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     M, V = _moments(it, G, M, V, b1, b2)
     Vhat = jnp.maximum(Vhat, V)
     Psi = (jnp.maximum(Vhat, eps) if eps > 0 else Vhat) ** p
     return M, Psi, M, V, Vhat
 
 
-def _adamx_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _adamx_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     M, V = _moments(it, G, M, V, b1, b2)
     # factor irrelevant at it == 0 when Vhat starts at 0 (max picks V);
     # clamp the index so the schedule isn't read out of bounds
@@ -106,10 +111,10 @@ def _adamx_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
     return M, Psi, M, V, Vhat
 
 
-def _radam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p):
+def _radam_phi_psi(it, G, M, V, Vhat, b1, b2, eps, p, it0=0):
     rho_inf = 2 / (1 - b2) - 1
     M, V = _moments(it, G, M, V, b1, b2)
-    t = it + 1
+    t = it + it0 + 1
     Phi = M / (1 - b1[it] ** t)
     rho = rho_inf - 2 * t * b2 ** t / (1 - b2 ** t)
 
@@ -168,15 +173,29 @@ def make_adaprox_cond(check_convergence, max_iter):
 
 
 def init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n, max_iter,
-                       trace):
-    """Initial carry construction — shared with the AOT export path."""
+                       trace, it0=None, stepper_state=None):
+    """Initial carry construction — shared with the AOT export path.
+
+    ``it0``/``stepper_state`` warm-restart the global iteration clock and
+    the stepper (e.g. strided-refresh intervals) from a previous solve's
+    ``.state`` (see :func:`adaprox`'s ``state=``)."""
     G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
+    fresh_sst = stepper.init_state(x0, G0)
+    if stepper_state is None:
+        stepper_state = fresh_sst
+    elif jax.tree_util.tree_structure(stepper_state) != \
+            jax.tree_util.tree_structure(fresh_sst):
+        raise ValueError(
+            "state= was produced under a different step configuration "
+            "(stepper state structure mismatch); resume with the same "
+            "step arguments"
+        )
     return AdaProxState(
         x=tuple(jnp.array(x, copy=True) for x in x0),
         M=M0,
         V=V0,
         Vhat=Vhat0,
-        stepper_state=stepper.init_state(x0, G0),
+        stepper_state=stepper_state,
         it=jnp.int32(0),
         converged=jnp.zeros((n,), bool),
         sub_iters=jnp.zeros((n,), jnp.int32),
@@ -185,6 +204,7 @@ def init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n, max_iter,
             jnp.result_type(*[x.dtype for x in x0], jnp.float32),
         ),
         diverged=jnp.asarray(False),
+        it0=(jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)),
     )
 
 
@@ -199,6 +219,10 @@ class AdaProxState(NamedTuple):
     sub_iters: Any       # (N,) int32, cumulative prox sub-iterations
     history: Any         # (max_iter, N) relative residuals (trace mode)
     diverged: Any        # bool — a non-finite iterate was produced
+    it0: Any             # global iteration offset (warm restart): the
+                         # Adam bias-correction clock and the stepper see
+                         # it + it0; b1 schedule indexing, history and
+                         # max_iter use the local it
 
 
 def _prox_subloop(prox_j, x_j, alpha_j, Psi, e_rel_j, prox_max_iter):
@@ -237,8 +261,9 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
 
     def body(state: AdaProxState) -> AdaProxState:
         it = state.it
+        it_g = it + state.it0  # global clock (differs after warm restart)
         G = utils._as_tuple(grad(*state.x))
-        Alpha, stepper_state = stepper(state.stepper_state, state.x, it, G)
+        Alpha, stepper_state = stepper(state.stepper_state, state.x, it_g, G)
         Alpha = tuple(jnp.asarray(a) for a in Alpha)
 
         x_new, M_new, V_new, Vhat_new = [], [], [], []
@@ -260,7 +285,8 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             )
             Phi, Psi, Mj, Vj, Vhatj = phi_psi(
                 it, G[j], Mj_in, Vj_in, Vhatj_in,
-                b1.astype(dt), jnp.asarray(b2, dt), eps, p
+                b1.astype(dt), jnp.asarray(b2, dt), eps, p,
+                it0=state.it0,
             )
             if moment_dtype is not None:
                 Mj = Mj.astype(moment_dtype)
@@ -322,6 +348,7 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             sub_iters=sub_iters,
             history=history,
             diverged=jnp.logical_or(state.diverged, jnp.logical_not(finite)),
+            it0=state.it0,
         )
 
     return body
@@ -349,6 +376,7 @@ def adaprox(
     f=None,
     separable_prox=False,
     moment_dtype=None,
+    state=None,
 ):
     """Adaptive Proximal Gradient Method (proximal Adam family).
 
@@ -360,7 +388,19 @@ def adaprox(
 
     Setting ``M``, ``V``, ``Vhat`` warm-starts from a previous run's
     moments (returned by this function), e.g. to continue a slightly
-    changed problem.
+    changed problem — the reference's warm-start surface
+    (``algorithms.py:347-359``), which resets the bias-correction clock.
+
+    ``state``: EXACT warm restart from a previous solve's ``.state``
+    (pairs with passing the previous ``X``, like the other four solver
+    families): moments, the global Adam bias-correction clock ``t``, and
+    stepper state (strided-refresh intervals, BB history) all continue,
+    so a killed-and-resumed solve reproduces the uninterrupted
+    trajectory exactly — unlike ``M=/V=/Vhat=``, which re-fires the
+    ``t=1`` bias-correction transient. Mutually exclusive with
+    ``M=/V=/Vhat=``. With a scheduled (non-scalar) ``b1``, pass the
+    continuation slice of the schedule. Round-trips through
+    :mod:`proxmin_tpu.checkpoint`. No reference analogue.
 
     ``grad=None`` with ``f=<smooth function>`` differentiates ``f`` via
     ``jax.grad`` (the TPU-native successor of the reference's autograd
@@ -451,6 +491,16 @@ def adaprox(
             for g, x in zip(given, xs)
         )
 
+    if state is not None:
+        assert M is None and V is None and Vhat is None, \
+            "state= (exact resume) and M=/V=/Vhat= (moment warm start) " \
+            "are mutually exclusive"
+        M, V, Vhat = state["M"], state["V"], state["Vhat"]
+        resume = {"stepper_state": state["stepper_state"],
+                  "it": jnp.asarray(state["it"], jnp.int32)}
+    else:
+        resume = None
+
     M0 = init_moments(M)
     V0 = init_moments(V)
     Vhat0 = init_moments(Vhat)
@@ -493,13 +543,17 @@ def adaprox(
             # the initial state (incl. cold-start zero moments) is built
             # INSIDE the executable — eager construction dispatches ~a
             # dozen host->device ops per solve (see the pgm driver)
-            def run(x, moments, leaves):
+            def run(x, moments, leaves, resume):
                 body, g, st = make_parts(leaves)
                 M0_ = moments_as_arrays(moments[0], x)
                 V0_ = moments_as_arrays(moments[1], x)
                 Vhat0_ = moments_as_arrays(moments[2], x)
-                state = init_adaprox_state(x, M0_, V0_, Vhat0_, st, g, n,
-                                           max_iter, trace)
+                state = init_adaprox_state(
+                    x, M0_, V0_, Vhat0_, st, g, n, max_iter, trace,
+                    it0=None if resume is None else resume["it"],
+                    stepper_state=(None if resume is None
+                                   else resume["stepper_state"]),
+                )
                 cond = make_adaprox_cond(check_convergence, max_iter)
                 return jax.lax.while_loop(cond, body, state)
 
@@ -520,10 +574,13 @@ def adaprox(
             x0, moments_as_arrays(M0, x0), moments_as_arrays(V0, x0),
             moments_as_arrays(Vhat0, x0), cached_stepper, grad,
             n, max_iter, trace,
+            it0=None if resume is None else resume["it"],
+            stepper_state=(None if resume is None
+                           else resume["stepper_state"]),
         )
 
     if callback is None:
-        state = compiled(tuple(x0), (M0, V0, Vhat0), data_leaves)
+        state = compiled(tuple(x0), (M0, V0, Vhat0), data_leaves, resume)
     else:
         step_fn = compiled
         state = init_state()
@@ -566,10 +623,17 @@ def adaprox(
     writeback(originals, state.x)
     x_out = state.x[0] if was_single else state.x
     history = np.asarray(state.history[:iterations]) if trace else None
+    # exact warm-restart pytree (see `state=`): moments + the global
+    # bias-correction clock + stepper state
+    resume_state = {
+        "M": state.M, "V": state.V, "Vhat": state.Vhat,
+        "stepper_state": state.stepper_state,
+        "it": state.it + state.it0,
+    }
     return SolverResult(
         (converged, state.M, state.V, state.Vhat),
         x=x_out, iterations=iterations, converged=converged,
         sub_iterations=sub_iterations,
         M=state.M, V=state.V, Vhat=state.Vhat, history=history,
-        status=status,
+        status=status, state=resume_state,
     )

@@ -258,3 +258,81 @@ def test_pgm_resume_rejects_mismatched_stepper_state():
                   e_rel=0.0, max_iter=10)
     with pytest.raises(ValueError, match="stepper state structure"):
         pt.pgm(half.x, _grad_ill, 1.0, max_iter=10, state=half.state)
+
+
+# ---------------------------------------------------------------------------
+# AdaProx exact warm restart (round 4): unlike the reference-style
+# M=/V=/Vhat= moment warm start (which re-fires the t=1 bias-correction
+# transient), state= continues the global Adam clock and the stepper
+# state, so split == uninterrupted exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scheme", ["adam", "radam", "amsgrad", "nadam"])
+def test_adaprox_resume_matches_uninterrupted(scheme):
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(scheme=scheme, prox=operators.prox_plus,
+              check_convergence=False, e_rel=1e-14)
+
+    full = pt.adaprox(x0, _grad_ill, 0.1, max_iter=40, **kw)
+    half = pt.adaprox(x0, _grad_ill, 0.1, max_iter=20, **kw)
+    resumed = pt.adaprox(half.x, _grad_ill, 0.1, max_iter=20,
+                         state=half.state, **kw)
+    _assert_same(resumed.x, full.x)
+    _assert_same(resumed.state["M"][0], full.state["M"][0])
+    _assert_same(resumed.state["V"][0], full.state["V"][0])
+    assert int(resumed.state["it"]) == int(full.state["it"]) == 40
+
+
+def test_adaprox_moment_warmstart_differs_from_exact_resume():
+    """M=/V=/Vhat= (reference semantics) resets the bias-correction
+    clock; state= does not — on a t-sensitive scheme the two must
+    differ, and only state= reproduces the uninterrupted run."""
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(scheme="adam", check_convergence=False)
+
+    full = pt.adaprox(x0, _grad_ill, 0.1, max_iter=30, **kw)
+    half = pt.adaprox(x0, _grad_ill, 0.1, max_iter=15, **kw)
+    exact = pt.adaprox(half.x, _grad_ill, 0.1, max_iter=15,
+                       state=half.state, **kw)
+    warm = pt.adaprox(half.x, _grad_ill, 0.1, max_iter=15,
+                      M=half.M, V=half.V, Vhat=half.Vhat, **kw)
+    _assert_same(exact.x, full.x)
+    assert not np.allclose(np.asarray(warm.x), np.asarray(full.x),
+                           rtol=1e-12, atol=1e-14)
+
+
+def test_adaprox_resume_through_checkpoint(tmp_path):
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    x0 = jnp.asarray([-1.0, -1.0])
+    kw = dict(scheme="adam", prox=operators.prox_plus,
+              check_convergence=False)
+    full = pt.adaprox(x0, _grad_ill, 0.1, max_iter=30, **kw)
+    half = pt.adaprox(x0, _grad_ill, 0.1, max_iter=15, **kw)
+    path = save_checkpoint(str(tmp_path / "adaprox_ckpt"),
+                           x=half.x, solver_state=half.state,
+                           use_orbax=False)
+    ckpt = load_checkpoint(path, use_orbax=False)
+    resumed = pt.adaprox(jnp.asarray(ckpt["x"]), _grad_ill, 0.1,
+                         max_iter=15, state=ckpt["solver_state"], **kw)
+    _assert_same(resumed.x, full.x)
+
+
+def test_adaprox_state_and_moments_mutually_exclusive():
+    x0 = jnp.asarray([-1.0, -1.0])
+    half = pt.adaprox(x0, _grad_ill, 0.1, max_iter=5,
+                      check_convergence=False)
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        pt.adaprox(half.x, _grad_ill, 0.1, max_iter=5, M=half.M,
+                   state=half.state, check_convergence=False)
+
+
+def test_adaprox_resume_rejects_mismatched_stepper_state():
+    x0 = jnp.asarray([-1.0, -1.0])
+    half = pt.adaprox(x0, _grad_ill,
+                      pt.utils.BarzilaiBorweinStepper(type=1),
+                      max_iter=5, check_convergence=False)
+    with pytest.raises(ValueError, match="stepper state structure"):
+        pt.adaprox(half.x, _grad_ill, 0.1, max_iter=5, state=half.state,
+                   check_convergence=False)
