@@ -361,6 +361,21 @@ class WeightedPGMStepper(_WeightedStepperBase):
         """Segmented-mode hook: current refresh interval in the carry."""
         return state[2]
 
+    def state_steps(self, state):
+        """Segmented-mode hook: the cached steps held in the carry."""
+        return state[0]
+
+    def segment_due(self, state, it):
+        """Segmented-mode hook: is a refresh due at global iteration
+        ``it``? (A warm restart may land mid-segment, where the cached
+        steps serve until the carried next-refresh clock.)"""
+        return it >= state[3]
+
+    def segment_end(self, state, it):
+        """Segmented-mode hook: the global iteration of the next refresh
+        (the end of the segment starting at ``it``)."""
+        return state[3]
+
     def __call__(self, state, X, it, G):
         state = jax.lax.cond(
             it >= state[3],
@@ -831,11 +846,12 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     tiny = float(np.finfo(np.float32).tiny)
 
     @jax.jit
-    def run(A, S, Y, *rest):
+    def run(A, S, Y, *rest, it0=0):
         # weighted signature: (A, S, Y, W, max_iter, *moments) — W
         # directly after the data, matching export_nmf_solver's
         # weighted artifact ordering; unweighted: (A, S, Y, max_iter,
-        # *moments)
+        # *moments). ``it0`` (traced) continues the global Adam
+        # bias-correction clock on exact warm restart (``state=``).
         if weighted:
             W_in, max_iter, *moments = rest
             # zero weights in the padding: padded pixels/channels
@@ -845,6 +861,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
         else:
             max_iter, *moments = rest
             W_p = None
+        it0 = jnp.asarray(it0, jnp.int32)
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
@@ -867,7 +884,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
 
         def body(carry):
             (A, S, MS, VS, MA, VA, rowsum, it, _, _, _) = carry
-            t = (it + 1).astype(jnp.float32)
+            t = (it + it0 + 1).astype(jnp.float32)
             b1_t = jnp.asarray(b1, jnp.float32)
             bc1 = 1.0 / (1.0 - b1_t ** t)
             bc2 = 1.0 / (1.0 - jnp.asarray(b2, jnp.float32) ** t)
@@ -945,6 +962,7 @@ def nmf_adaprox_fused(
     moment_dtype=None,
     M=None,
     V=None,
+    state=None,
 ):
     """AdaProx-NMF (``scheme='adam'``) with the fused single-pass Pallas
     iteration kernel — grad + moment EMAs + bias correction + separable
@@ -972,9 +990,19 @@ def nmf_adaprox_fused(
     shape the XLA adaprox driver accepts/returns); like the reference
     (``algorithms.py:347-359``) the bias-correction clock restarts.
 
+    ``state=`` is the EXACT warm restart (mutually exclusive with
+    ``M=``/``V=``): moments AND the global bias-correction clock
+    continue, so a preempted solve resumes on the uninterrupted
+    trajectory. Accepts this engine's own ``.state`` or an XLA adaprox
+    ``.state`` from a default-step ``scheme='adam'`` solve (the adam
+    scheme carries no Vhat and the default step heuristic is
+    stateless, so the two engines' states are interchangeable); the
+    returned ``.state`` likewise round-trips into
+    ``nmf(algorithm='adaprox', engine='xla', state=...)``.
+
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
-    ``.converged``, ``.loss``, and the final moments ``.M`` / ``.V``
-    for continuation/checkpointing.
+    ``.converged``, ``.loss``, the final moments ``.M`` / ``.V``, and
+    the exact-resume pytree ``.state``.
     """
     from .solvers.common import SolverResult, writeback
 
@@ -993,6 +1021,25 @@ def nmf_adaprox_fused(
     weighted = W is not None and not _is_unweighted(W)
     if weighted:
         W = _promote_W(W, Y)
+    it0 = 0
+    if state is not None:
+        assert M is None and V is None, \
+            "state= (exact resume) and M=/V= (moment warm start) are " \
+            "mutually exclusive"
+        sst = state.get("stepper_state", ()) \
+            if hasattr(state, "get") else ()
+        if jax.tree_util.tree_leaves(sst):
+            # e.g. a strided-stepper XLA solve: its cached-step state
+            # has no fused counterpart (fused steps are exact every
+            # iteration), so resuming here would silently change the
+            # step trajectory mid-solve
+            raise ValueError(
+                "state= carries stepper state (a strided/stateful-step "
+                "solve); the fused adaprox engine computes exact steps "
+                "every iteration — resume with engine='xla'"
+            )
+        M, V = state["M"], state["V"]
+        it0 = int(state["it"])
     warm = M is not None or V is not None
     if warm:
         assert M is not None and V is not None, \
@@ -1011,7 +1058,7 @@ def nmf_adaprox_fused(
         (jnp.asarray(MA), jnp.asarray(VA),
          jnp.asarray(MS), jnp.asarray(VS)) if warm else ())
     (A_f, S_f, it, conv_A, conv_S, loss,
-     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra)
+     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra, it0=it0)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
@@ -1019,10 +1066,20 @@ def nmf_adaprox_fused(
     if not all(converged):
         logger.warning("Solution did not converge")
     writeback((A_in, S_in), (A_f, S_f))
+    # exact-resume pytree, interchangeable with the XLA adaprox driver's
+    # (adam carries no Vhat — it stays zeros there — and the default
+    # step heuristic is stateless, so those keys are trivial)
+    resume_state = {
+        "M": (MA_f, MS_f), "V": (VA_f, VS_f),
+        "Vhat": (jnp.zeros_like(MA_f), jnp.zeros_like(MS_f)),
+        "stepper_state": (),
+        "it": jnp.int32(it0 + iterations),
+    }
     return SolverResult(
         converged,
         x=(A_f, S_f), iterations=iterations, converged=converged,
         loss=float(loss), M=(MA_f, MS_f), V=(VA_f, VS_f),
+        state=resume_state,
     )
 
 
@@ -1110,11 +1167,34 @@ def nmf(
         algorithm_args: extra solver kwargs (e.g. ``accelerated=True``;
             for adaprox, ``separable_prox="auto"`` enables the exact
             closed-form scaled prox — 3.2x at the flagship with the
-            default non-negativity constraints).
+            default non-negativity constraints; ``state=`` for exact
+            warm restart, below).
 
     Returns:
         The solver's :class:`~proxmin_tpu.solvers.common.SolverResult`;
         ``result.x == (A, S)``.
+
+    Preemption / warm restart: ``state=result.state`` forwards to the
+    solver's exact-resume path (pgm/adaprox/bsdmm alike), so a killed
+    long solve continues from its checkpoint on the same trajectory as
+    an uninterrupted run — including the Nesterov momentum clock, the
+    Adam moments + global bias-correction clock, and the adaptive-stride
+    stepper state (cached weighted-Lipschitz steps, grown refresh
+    interval, next-refresh clock, warm power iterate)::
+
+        half = nmf(Y, A, S, W=W, step_adapt=True, max_iter=k)
+        save_checkpoint(path, x=list(half.x), solver_state=half.state)
+        ...
+        ckpt = load_checkpoint(path)
+        nmf(Y, ckpt["x"][0], ckpt["x"][1], W=W, step_adapt=True,
+            max_iter=n - k, state=ckpt["solver_state"])
+
+    Resume with the same data/weights/step configuration (a structure
+    mismatch raises). The reference has no analogue — its ``nmf`` always
+    restarts momentum, moments, and step caches from scratch
+    (``nmf.py:96-203``). Supported on ``engine="xla"`` and the fused
+    adaprox engine; under ``mesh=`` the resumed solve takes the
+    auto-SPMD path.
 
     Note on repeat-solve caching: the compiled driver is reused across
     calls when the data arguments key identically. NumPy ``Y``/``W`` up
@@ -1190,7 +1270,7 @@ def nmf(
                 and algorithm_args.get("scheme", "adam") == "adam"
                 and set(algorithm_args) <= {
                     "b1", "b2", "eps", "tile_n", "moment_dtype",
-                    "M", "V", "scheme", "separable_prox"}):
+                    "M", "V", "state", "scheme", "separable_prox"}):
             from .solvers.common import separable_blocks
 
             prox_pair = (prox_A, prox_S)
@@ -1286,7 +1366,7 @@ def nmf(
                 )
             fused_kw = {k: aargs.pop(k) for k in
                         ("b1", "b2", "eps", "tile_n", "moment_dtype",
-                         "M", "V")
+                         "M", "V", "state")
                         if k in aargs}
             if aargs:
                 raise ValueError(
@@ -1303,6 +1383,18 @@ def nmf(
                 "engine='pallas' supports algorithm='pgm' or "
                 "algorithm='adaprox' with default steps and no "
                 "callback; use engine='xla'"
+            )
+        if "state" in algorithm_args:
+            # the fused PGM loop carries no cross-iteration solver state
+            # (plain PGM, exact per-iteration steps): continuation is
+            # just re-calling with the previous result's iterates, and a
+            # momentum/stepper state from an XLA solve has no
+            # counterpart here
+            raise ValueError(
+                "the fused PGM engine has no resumable solver state "
+                "(plain PGM with exact per-iteration steps) — continue "
+                "by re-calling with the previous iterates, or resume "
+                "accelerated/strided solves with engine='xla'"
             )
         W_k = None
         if not _is_unweighted(W):

@@ -320,7 +320,7 @@ class _FrozenStepper:
 
 
 def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
-                   backtracking, f, trace, max_iter, n, stride):
+                   backtracking, f, trace, max_iter, n):
     """Strided-stepper execution as nested loops: the outer loop refreshes
     the steps once per ``stride`` via ``stepper.segment_refresh``, the
     inner while-loop runs the iterations with frozen steps.
@@ -336,10 +336,9 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
 
     Adaptive steppers (``stepper.adapt``) carry a DYNAMIC refresh
     interval in their state (the reference ``ApproximateCache`` growth
-    policy, ``utils.grow_stride``); the segment length then comes from
-    the post-refresh state instead of the static ``stride``."""
-
-    adaptive = bool(getattr(stepper, "adapt", False))
+    policy, ``utils.grow_stride``); segment boundaries always come from
+    the stepper's ``segment_due`` / ``segment_end`` hooks on the global
+    iteration clock, so warm restarts resume mid-segment exactly."""
 
     def go(st):
         return _keep_going(st, max_iter)
@@ -354,14 +353,26 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
             )
         else:
             x_ex = st.x
-        steps, sst = stepper.segment_refresh(st.stepper_state, x_ex,
-                                             st.it + st.it0)
+        it_g = st.it + st.it0
+        # honor the refresh clock carried in the stepper state: a warm
+        # restart (`state=`) may land MID-segment, where the cached
+        # steps must serve until the carried next-refresh iteration —
+        # refreshing unconditionally here would walk a different
+        # trajectory than the uninterrupted solve. Fresh solves are
+        # always due at it 0, so this cond is taken exactly as before.
+        steps, sst = jax.lax.cond(
+            stepper.segment_due(st.stepper_state, it_g),
+            lambda s: stepper.segment_refresh(s, x_ex, it_g),
+            lambda s: (stepper.state_steps(s), s),
+            st.stepper_state,
+        )
         steps = tuple(jnp.asarray(s) for s in steps)
         st = st._replace(S=steps, stepper_state=sst)
         body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
                               accelerated, backtracking, f, trace=trace)
-        seg_len = stepper.state_stride(sst) if adaptive else stride
-        seg_end = st.it + seg_len
+        # segment end on the GLOBAL clock (the stepper's next-refresh
+        # iteration), mapped back to the local counter
+        seg_end = stepper.segment_end(sst, it_g) - st.it0
 
         # the stepper state (e.g. WeightedPGMStepper's 28 MB warm-start
         # iterate) is loop-invariant inside the segment — keep it OUT of
@@ -529,7 +540,7 @@ def pgm(
                 if use_segmented:
                     s = _run_segmented(s, g, st, pr, e_rel, accelerated,
                                        backtracking, ff, trace, max_iter,
-                                       n, int(stepper.stride))
+                                       n)
                 else:
                     body = _make_pgm_body(g, st, pr, e_rel, accelerated,
                                           backtracking, ff, trace=trace)

@@ -535,6 +535,24 @@ class StridedStepper:
         assert self.adapt
         return state[2]
 
+    def state_steps(self, state):
+        """Segmented-mode hook: the cached steps held in the carry."""
+        return state[1]
+
+    def segment_due(self, state, it):
+        """Segmented-mode hook: is a refresh due at global iteration
+        ``it``? Fixed stride keys on the global phase (so a warm
+        restart refreshes at the same iterations as the uninterrupted
+        solve); adaptive mode keys on the carried next-refresh clock."""
+        return self._due(state, it)
+
+    def segment_end(self, state, it):
+        """Segmented-mode hook: the global iteration of the next
+        refresh after ``it`` (the end of the segment starting there)."""
+        if self.adapt:
+            return state[3]
+        return (it // self.stride + 1) * self.stride
+
 
 def make_stepper(step, n_blocks):
     """Coerce a float / tuple / callable / Stepper into the stepper

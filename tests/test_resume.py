@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 import proxmin_tpu as pt
 from proxmin_tpu import operators
+from proxmin_tpu.nmf import nmf
 
 
 @pytest.fixture
@@ -336,3 +337,233 @@ def test_adaprox_resume_rejects_mismatched_stepper_state():
     with pytest.raises(ValueError, match="stepper state structure"):
         pt.adaprox(half.x, _grad_ill, 0.1, max_iter=5, state=half.state,
                    check_convergence=False)
+
+
+# ---------------------------------------------------------------------------
+# nmf()-level resume (round 4): the application driver forwards state=
+# to the underlying solver, so a preempted factorization resumes exactly
+# — including the stepper state of the weighted adaptive-stride path
+# (the capacity-scale configuration where preemption actually bites).
+# ---------------------------------------------------------------------------
+
+
+def _nmf_problem(rng, C=4, K=3, N=32):
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float64)
+    A0 = rng.random((C, K))
+    S0 = rng.random((K, N))
+    return Y, A0, S0
+
+
+def test_nmf_pgm_resume_matches_uninterrupted(rng):
+    # short runs: joint-block Nesterov on this nonconvex problem
+    # legitimately collapses the factors to zero past ~15 iterations
+    # (overshoot + prox_plus), after which 1/lambda_max steps blow up —
+    # the resume contract is exercised in the pre-collapse regime
+    Y, A0, S0 = _nmf_problem(rng)
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s),
+                      algorithm="pgm", accelerated=True, e_rel=0.0,
+                      max_iter=n_iter,
+                      **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 10)
+    half = run(A0, S0, 5)
+    resumed = run(half.x[0], half.x[1], 5, state=half.state)
+    _assert_same(resumed.x[0], full.x[0])
+    _assert_same(resumed.x[1], full.x[1])
+
+    # a naive re-call (reference behavior: momentum clock resets) differs
+    naive = run(half.x[0], half.x[1], 5)
+    assert not np.allclose(np.asarray(naive.x[1]), np.asarray(full.x[1]),
+                           rtol=1e-12, atol=1e-14)
+
+
+def test_nmf_pgm_weighted_step_adapt_resume(rng):
+    """The weighted adaptive-stride stepper state (cached steps, grown
+    refresh interval, next-refresh clock, warm power iterate) continues
+    across the boundary: the resumed half must neither re-pay the cold
+    48-pass refresh nor walk a different stale-step trajectory."""
+    Y, A0, S0 = _nmf_problem(rng)
+    W = rng.random(Y.shape) + 0.5
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), W=W,
+                      algorithm="pgm", e_rel=0.0, step_adapt=True,
+                      max_iter=n_iter,
+                      **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 40)
+    half = run(A0, S0, 20)
+    # the adaptive interval actually grew (otherwise this tests nothing)
+    assert int(half.state["stepper_state"][2]) > 1
+    resumed = run(half.x[0], half.x[1], 20, state=half.state)
+    _assert_same(resumed.x[0], full.x[0])
+    _assert_same(resumed.x[1], full.x[1])
+    _assert_same(resumed.state["stepper_state"][2],
+                 full.state["stepper_state"][2])
+
+
+def test_nmf_adaprox_resume_matches_uninterrupted(rng):
+    Y, A0, S0 = _nmf_problem(rng)
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s),
+                      algorithm="adaprox", e_rel=1e-14, max_iter=n_iter,
+                      check_convergence=False,
+                      **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 30)
+    half = run(A0, S0, 15)
+    resumed = run(half.x[0], half.x[1], 15, state=half.state)
+    _assert_same(resumed.x[0], full.x[0])
+    _assert_same(resumed.x[1], full.x[1])
+    assert int(resumed.state["it"]) == 30  # global Adam clock continued
+
+
+def test_nmf_bsdmm_resume_matches_uninterrupted(rng):
+    Y, A0, S0 = _nmf_problem(rng)
+    W = rng.random(Y.shape) + 0.5
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), W=W,
+                      algorithm="bsdmm", e_rel=0.0, max_iter=n_iter,
+                      **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 30)
+    half = run(A0, S0, 15)
+    resumed = run(half.x[0], half.x[1], 15, state=half.state)
+    _assert_same(resumed.x[0], full.x[0])
+    _assert_same(resumed.x[1], full.x[1])
+
+
+def test_nmf_resume_through_checkpoint(tmp_path, rng):
+    """Preemption drill at the application level: checkpoint the weighted
+    adaptive solve mid-flight, reload, resume — equals uninterrupted."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    Y, A0, S0 = _nmf_problem(rng)
+    W = rng.random(Y.shape) + 0.5
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), W=W,
+                      algorithm="pgm", e_rel=0.0, step_adapt=True,
+                      max_iter=n_iter,
+                      **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 40)
+    half = run(A0, S0, 20)
+    path = save_checkpoint(str(tmp_path / "nmf_ckpt"),
+                           x=list(half.x), solver_state=half.state,
+                           use_orbax=False)
+    ckpt = load_checkpoint(path, use_orbax=False)
+    resumed = run(ckpt["x"][0], ckpt["x"][1], 20,
+                  state=ckpt["solver_state"])
+    _assert_same(resumed.x[0], full.x[0])
+    _assert_same(resumed.x[1], full.x[1])
+
+
+# ---------------------------------------------------------------------------
+# Fused-adaprox engine exact resume: the single-pass Pallas engine carries
+# its real state (Adam moments + the global bias-correction clock) through
+# `state=`, interchangeably with the XLA driver's state for default-step
+# scheme='adam' solves.
+# ---------------------------------------------------------------------------
+
+
+def _nmf_problem32(rng, C=4, K=3, N=32):
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    return Y, A0, S0
+
+
+def test_nmf_adaprox_fused_resume_matches_uninterrupted(rng):
+    Y, A0, S0 = _nmf_problem32(rng)
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s),
+                   algorithm="adaprox", engine="pallas", e_rel=0.0,
+                   max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 20)
+    half = run(A0, S0, 10)
+    assert int(half.state["it"]) == 10
+    resumed = run(half.x[0], half.x[1], 10, state=half.state)
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+    assert int(resumed.state["it"]) == 20
+
+
+def test_nmf_adaprox_fused_state_vs_moment_warmstart(rng):
+    """M=/V= (reference semantics) re-fires the t=1 bias-correction
+    transient; state= continues the clock — the two must differ and only
+    state= reproduces the uninterrupted run."""
+    from proxmin_tpu.nmf import nmf_adaprox_fused
+
+    Y, A0, S0 = _nmf_problem32(rng)
+    kw = dict(e_rel=0.0)
+    full = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=20, **kw)
+    half = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=10, **kw)
+    exact = nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
+                              jnp.asarray(half.x[1]),
+                              max_iter=10, state=half.state, **kw)
+    warm = nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
+                             jnp.asarray(half.x[1]),
+                             max_iter=10, M=half.M, V=half.V, **kw)
+    np.testing.assert_array_equal(np.asarray(exact.x[1]),
+                                  np.asarray(full.x[1]))
+    assert not np.array_equal(np.asarray(warm.x[1]),
+                              np.asarray(full.x[1]))
+
+
+def test_nmf_adaprox_fused_cross_engine_state(rng):
+    """XLA-half -> fused-resume lands on the XLA-full trajectory (and a
+    fused state round-trips into the XLA driver): the two engines'
+    states are interchangeable for default-step adam solves."""
+    Y, A0, S0 = _nmf_problem32(rng)
+
+    def xla(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s),
+                   algorithm="adaprox", engine="xla", e_rel=0.0,
+                   check_convergence=False, separable_prox="auto",
+                   max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    def fused(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s),
+                   algorithm="adaprox", engine="pallas", e_rel=0.0,
+                   max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    full = xla(A0, S0, 20)
+    half = xla(A0, S0, 10)
+    cross = fused(half.x[0], half.x[1], 10, state=half.state)
+    np.testing.assert_allclose(np.asarray(cross.x[1]),
+                               np.asarray(full.x[1]), atol=5e-5)
+
+    back = xla(cross.x[0], cross.x[1], 5, state=cross.state)
+    ref = xla(half.x[0], half.x[1], 15, state=half.state)
+    np.testing.assert_allclose(np.asarray(back.x[1]),
+                               np.asarray(ref.x[1]), atol=5e-5)
+
+
+def test_nmf_adaprox_fused_rejects_strided_state(rng):
+    """A strided-stepper XLA state has no fused counterpart — resuming
+    it on the fused engine must fail loudly, not silently change the
+    step trajectory."""
+    from proxmin_tpu.nmf import nmf_adaprox_fused
+
+    Y, A0, S0 = _nmf_problem32(rng)
+    half = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), algorithm="adaprox",
+               e_rel=0.0, check_convergence=False, step_stride=5,
+               max_iter=10)
+    with pytest.raises(ValueError, match="stepper state"):
+        nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
+                          jnp.asarray(half.x[1]), max_iter=10,
+                          state=half.state)
