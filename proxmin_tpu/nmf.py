@@ -1193,8 +1193,12 @@ def nmf(
     mismatch raises). The reference has no analogue — its ``nmf`` always
     restarts momentum, moments, and step caches from scratch
     (``nmf.py:96-203``). Supported on ``engine="xla"`` and the fused
-    adaprox engine; under ``mesh=`` the resumed solve takes the
-    auto-SPMD path.
+    adaprox engine. Under ``mesh=``, a state produced by the
+    explicit-collective sharded pgm solve (``kind ==
+    'nmf_pgm_sharded'``) resumes that path exactly — iteration clock,
+    frozen step scalars, refresh interval, segment boundary, and the
+    sharded power iterate all carry through — while single-device
+    solver states resume via the auto-SPMD path.
 
     Note on repeat-solve caching: the compiled driver is reused across
     calls when the data arguments key identically. NumPy ``Y``/``W`` up
@@ -1236,15 +1240,31 @@ def nmf(
                 "the explicit-collective whole-solve shard_map, other "
                 "algorithms auto-SPMD)"
             )
+        _st = algorithm_args.get("state")
+        _sharded_state = (hasattr(_st, "get")
+                          and _st.get("kind") == "nmf_pgm_sharded")
         if (algorithm is algorithms.pgm and engine in ("xla", "auto")
                 and step is None and callback is None
-                and not algorithm_args):
+                and (not algorithm_args
+                     or (set(algorithm_args) == {"state"}
+                         and _sharded_state))):
             return nmf_pgm_sharded(
                 Y, A, S, W=None if _is_unweighted(W) else W, mesh=mesh,
                 prox_A=prox_A if prox_A is not None else operators.prox_id,
                 prox_S=prox_S if prox_S is not None else operators.prox_id,
                 e_rel=e_rel, max_iter=max_iter, model_axis=model_axis,
                 step_stride=step_stride, step_adapt=step_adapt,
+                state=_st,
+            )
+        if _sharded_state:
+            # a sharded-solve state only resumes the explicit path — the
+            # ordinary drivers would mis-read its keys (or silently
+            # ignore the carried segment boundary)
+            raise ValueError(
+                "state= is an nmf_pgm_sharded resume state but this "
+                "call does not route to the explicit sharded solve "
+                "(algorithm='pgm' with default steps, no callback, and "
+                "no extra algorithm kwargs required)"
             )
         Yd, Ad, Sd, Wd = shard_nmf_problem(
             mesh, Y, A, S, None if _is_unweighted(W) else W,

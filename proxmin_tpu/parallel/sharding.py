@@ -341,9 +341,18 @@ class ShardedNMFState(NamedTuple):
 
 
 def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
-                     data_axis, model_axis, step_stride, step_adapt):
+                     data_axis, model_axis, step_stride, step_adapt,
+                     resume=False):
     """Build the jitted whole-solve ``(A0, S0, Y, W) -> (A, S, it,
     conv_A, conv_S, loss)`` shard_map for :func:`nmf_pgm_sharded`.
+
+    ``resume=True`` builds the exact-warm-restart variant: the solve
+    additionally takes the carried iteration clock (and, in segmented
+    strided mode, the frozen step scalars, the refresh interval, the
+    segment boundary, and — weighted — the sharded power iterate), first
+    finishes the interrupted segment with the carried steps, then
+    re-enters the normal refresh loop; in strided mode those carries are
+    also returned so the next continuation resumes exactly too.
 
     Exposed separately so the collective-layout audit
     (``tests/test_collective_layout.py``) can lower/compile the exact
@@ -352,6 +361,7 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
     y_spec = P(model_axis, data_axis)
     a_spec = P(model_axis, None)
     s_spec = P(None, data_axis)
+    strided = (step_stride is not None and step_stride > 1) or step_adapt
 
     def all_sum(v, *axes):
         for ax in axes:
@@ -359,8 +369,20 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
                 v = jax.lax.psum(v, ax)
         return v
 
-    def local_solve(A, S, Y, W):
+    def local_solve(A, S, Y, W, *rargs):
         dt = jnp.result_type(A, S)
+        if resume:
+            if strided and weighted:
+                it0, sA0, sS0, stride_r, seg_end0, v0r = rargs
+            elif strided:
+                it0, sA0, sS0, stride_r, seg_end0 = rargs
+            else:
+                (it0,) = rargs
+            it0 = jnp.asarray(it0, jnp.int32)
+            it_lim = it0 + max_iter
+        else:
+            it0 = jnp.int32(0)
+            it_lim = max_iter
 
         def compute_steps(A, S):
             if weighted:
@@ -414,18 +436,21 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
 
         def cond(state):
             done = jnp.logical_and(state.conv_A, state.conv_S)
-            return jnp.logical_and(state.it < max_iter,
+            return jnp.logical_and(state.it < it_lim,
                                    jnp.logical_not(done))
 
         init = ShardedNMFState(
             A=A, S=S,
-            step_A=jnp.zeros((), dt), step_S=jnp.zeros((), dt),
-            it=jnp.int32(0),
+            step_A=(jnp.asarray(sA0, dt) if resume and strided
+                    else jnp.zeros((), dt)),
+            step_S=(jnp.asarray(sS0, dt) if resume and strided
+                    else jnp.zeros((), dt)),
+            it=it0,
             conv_A=jnp.asarray(False), conv_S=jnp.asarray(False),
             loss=jnp.asarray(jnp.inf, dt),
         )
 
-        if (step_stride is not None and step_stride > 1) or step_adapt:
+        if strided:
             # segmented strided mode (same architecture as the pgm
             # driver's _run_segmented): refresh the steps once per
             # stride OUTSIDE the hot inner loop, with the weighted power
@@ -438,14 +463,26 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
             # the warm-start iterate exists only on weighted solves (an
             # unweighted carry would thread a dead (N_local, K) array
             # through every segment boundary)
-            v0 = _weighted_steps_v0(A, S, dt) if weighted else ()
-            stride0 = jnp.int32(step_stride if step_stride else 1)
+            if resume:
+                v0 = v0r if weighted else ()
+                stride0 = jnp.asarray(stride_r, jnp.int32)
+                seg0 = jnp.asarray(seg_end0, jnp.int32)
+                # finish the interrupted segment with the carried frozen
+                # steps before any refresh — the continuation walks the
+                # exact iterations the uninterrupted solve would have
+                init = jax.lax.while_loop(
+                    lambda s2: jnp.logical_and(cond(s2), s2.it < seg0),
+                    make_body((init.step_A, init.step_S)), init)
+            else:
+                v0 = _weighted_steps_v0(A, S, dt) if weighted else ()
+                stride0 = jnp.int32(step_stride if step_stride else 1)
+                seg0 = it0
 
             def outer_cond(carry):
                 return cond(carry[0])
 
             def outer_body(carry):
-                st, v, stride_c = carry
+                st, v, stride_c, _ = carry
                 if weighted:
                     # dynamic trip count, not a cond over two fori_loops
                     # (the cond branches compile poorly-fused)
@@ -476,19 +513,32 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
                     return jnp.logical_and(cond(s2), s2.it < seg_end)
 
                 st = jax.lax.while_loop(inner_cond, make_body(steps), st)
-                return st, v, stride_c
+                return st, v, stride_c, seg_end
 
-            final, _, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                             (init, v0, stride0))
+            final, v_f, stride_f, seg_f = jax.lax.while_loop(
+                outer_cond, outer_body, (init, v0, stride0, seg0))
+            outs = (final.A, final.S, final.it, final.conv_A,
+                    final.conv_S, final.loss, final.step_A, final.step_S,
+                    stride_f, seg_f) + ((v_f,) if weighted else ())
         else:
             final = jax.lax.while_loop(cond, make_body(), init)
-        return (final.A, final.S, final.it, final.conv_A, final.conv_S,
-                final.loss)
+            outs = (final.A, final.S, final.it, final.conv_A,
+                    final.conv_S, final.loss)
+        return outs
 
+    in_specs = (a_spec, s_spec, y_spec, y_spec)
+    out_specs = (a_spec, s_spec, P(), P(), P(), P())
+    if resume:
+        in_specs += (P(),) + ((P(), P(), P(), P()) if strided else ())
+        if strided and weighted:
+            in_specs += (P(data_axis, None),)
+    if strided:
+        out_specs += (P(), P(), P(), P())
+        if weighted:
+            out_specs += (P(data_axis, None),)
     smapped = shard_map(
         local_solve, mesh=mesh,
-        in_specs=(a_spec, s_spec, y_spec, y_spec),
-        out_specs=(a_spec, s_spec, P(), P(), P(), P()),
+        in_specs=in_specs, out_specs=out_specs,
     )
     return jax.jit(smapped)
 
@@ -500,6 +550,7 @@ def nmf_pgm_sharded(
     data_axis="data", model_axis=None,
     step_stride=None,
     step_adapt=False,
+    state=None,
 ):
     """Full sharded PGM-NMF solve: the entire while-loop runs inside one
     jitted ``shard_map`` over the mesh — convergence scalars are psum'd so
@@ -518,12 +569,43 @@ def nmf_pgm_sharded(
     shard takes identical segment lengths and the collectives inside
     the refresh stay collective-safe.
 
+    ``state=`` is the exact warm restart for preempted pod solves:
+    pass a previous call's ``.state`` (same weighting / stride
+    configuration) together with its final iterates and the
+    continuation reproduces the uninterrupted trajectory exactly —
+    the iteration clock, and in strided mode the frozen step scalars,
+    the refresh interval, the segment boundary, and the sharded
+    power-iteration warm start all carry through (and round-trip
+    through ``proxmin_tpu.checkpoint``). ``max_iter`` counts the
+    additional iterations of this call.
+
     Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
-    arrays), ``.iterations``, ``.converged``, ``.loss``.
+    arrays), ``.iterations``, ``.converged``, ``.loss``, ``.state``.
     """
     if mesh is None:
         mesh = make_mesh()
     weighted = W is not None and getattr(W, "ndim", 0) == 2
+    strided = (step_stride is not None and step_stride > 1) or step_adapt
+    if state is not None:
+        if not (hasattr(state, "get")
+                and state.get("kind") == "nmf_pgm_sharded"):
+            raise ValueError(
+                "state= must be a previous nmf_pgm_sharded .state dict "
+                "(single-device solver states do not resume the "
+                "explicit-collective path)"
+            )
+        if bool(state["strided"]) != strided:
+            raise ValueError(
+                "state= was produced under a different stride "
+                "configuration (strided={} vs this call's {}); resume "
+                "with the same step_stride/step_adapt settings".format(
+                    bool(state["strided"]), strided)
+            )
+        if bool(state["weighted"]) != weighted:
+            raise ValueError(
+                "state= was produced under a different weighting (the "
+                "carried step scalars and power iterate would be wrong)"
+            )
     Y, A0, S0, W_sh = shard_nmf_problem(
         mesh, Y, A, S, W if weighted else None,
         data_axis=data_axis, model_axis=model_axis,
@@ -542,14 +624,36 @@ def nmf_pgm_sharded(
 
     solve = _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel,
                              max_iter, data_axis, model_axis,
-                             step_stride, step_adapt)
-    A_f, S_f, it, cA, cS, loss = solve(A0, S0, Y, W_sh)
+                             step_stride, step_adapt,
+                             resume=state is not None)
+    rargs = ()
+    if state is not None:
+        rargs = (jnp.int32(state["it"]),)
+        if strided:
+            rargs += (state["step_A"], state["step_S"],
+                      jnp.int32(state["stride"]),
+                      jnp.int32(state["seg_end"]))
+            if weighted:
+                rargs += (jnp.asarray(state["v"]),)
+    outs = solve(A0, S0, Y, W_sh, *rargs)
+    A_f, S_f, it, cA, cS, loss = outs[:6]
+    resume_state = {
+        "kind": "nmf_pgm_sharded", "strided": strided,
+        "weighted": weighted, "it": it,
+    }
+    if strided:
+        resume_state.update(
+            step_A=outs[6], step_S=outs[7], stride=outs[8],
+            seg_end=outs[9])
+        if weighted:
+            resume_state["v"] = outs[10]
 
+    it0 = int(state["it"]) if state is not None else 0
     converged = (bool(cA), bool(cS))
     from ..solvers.common import writeback
     writeback((A, S), (A_f, S_f))
     return SolverResult(
         converged,
-        x=(A_f, S_f), iterations=int(it), converged=converged,
-        loss=float(loss),
+        x=(A_f, S_f), iterations=int(it) - it0, converged=converged,
+        loss=float(loss), state=resume_state,
     )

@@ -269,3 +269,25 @@ def test_sdmm_auto_spmd(problem):
 
     txt = compile_hlo(full, x0, B)
     assert_layout(txt)
+
+
+def test_pgm_explicit_weighted_adaptive_resume(problem):
+    """The resume variant (state= continuation) keeps the same pinned
+    layout: the carried segment pre-loop and the resumed refresh loop
+    add no pixel-axis collectives — preempted pod solves restart with
+    the identical communication pattern."""
+    Y, A0, S0, W = problem
+    mesh = make_mesh()
+    Ys, As, Ss, Wsh = _sharded(mesh, Y, A0, S0, W)
+    solve = _build_pgm_solve(mesh, True, operators.prox_plus,
+                             operators.prox_plus, 1e-3, 100,
+                             "data", None, 10, True, resume=True)
+    sharding = NamedSharding(mesh, P("data", None))
+    v0 = jax.device_put(np.ones((N, K), np.float32), sharding)
+    txt = compile_hlo(solve, As, Ss, Ys, Wsh,
+                      jnp.int32(19), jnp.float32(0.01), jnp.float32(0.01),
+                      jnp.int32(12), jnp.int32(24), v0)
+    assert_layout(txt)
+    sizes = collective_sizes(txt)
+    assert C * K in sizes           # grad_A psum
+    assert C * K * K in sizes       # weighted-refresh Gram psum

@@ -567,3 +567,140 @@ def test_nmf_adaprox_fused_rejects_strided_state(rng):
         nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
                           jnp.asarray(half.x[1]), max_iter=10,
                           state=half.state)
+
+
+# ---------------------------------------------------------------------------
+# Explicit-collective sharded solve resume: the shard_map whole-solve
+# (parallel/sharding.py) carries its full strided-segment state through
+# `state=` — the preemptible-pod continuation keeps the pinned collective
+# layout instead of falling back to auto-SPMD.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def sharded_problem(rng):
+    C, K, N = 6, 3, 64
+    Y = rng.random((C, K)) @ rng.random((K, N)) \
+        + 0.01 * rng.standard_normal((C, N))
+    A0 = rng.random((C, K))
+    S0 = rng.random((K, N))
+    W = rng.random((C, N)) + 0.5
+    return Y, A0, S0, W
+
+
+def test_sharded_pgm_resume_matches_uninterrupted(rng, sharded_problem):
+    from proxmin_tpu.parallel import make_mesh
+
+    Y, A0, S0, _ = sharded_problem
+    mesh = make_mesh()
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), mesh=mesh,
+                   e_rel=0.0, max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 30)
+    half = run(A0, S0, 15)
+    assert half.state["kind"] == "nmf_pgm_sharded"
+    resumed = run(half.x[0], half.x[1], 15, state=half.state)
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+    assert int(resumed.state["it"]) == 30
+    assert resumed.iterations == 15
+
+
+def test_sharded_weighted_adaptive_resume_mid_segment(rng, sharded_problem):
+    """Interrupt the adaptive-stride solve mid-segment: the carried
+    frozen steps, refresh interval, segment boundary, and power iterate
+    reproduce the uninterrupted trajectory exactly."""
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    mesh = make_mesh()
+    kw = dict(W=W, mesh=mesh, e_rel=0.0, step_adapt=True)
+
+    full = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=40, **kw)
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=19, **kw)
+    # 19 is not a refresh boundary: seg_end must lie beyond the clock
+    assert int(half.state["seg_end"]) > int(half.state["it"])
+    resumed = nmf_pgm_sharded(Y, half.x[0], half.x[1], max_iter=21,
+                              state=half.state, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_sharded_2d_mesh_strided_resume(rng, sharded_problem):
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    mesh = make_mesh(shape=(4, 2))
+    kw = dict(W=W, mesh=mesh, e_rel=0.0, step_stride=7,
+              model_axis="model")
+
+    full = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=30, **kw)
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=17, **kw)
+    resumed = nmf_pgm_sharded(Y, half.x[0], half.x[1], max_iter=13,
+                              state=half.state, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_sharded_resume_through_checkpoint(tmp_path, rng, sharded_problem):
+    """Pod preemption drill: the sharded strided state round-trips
+    through proxmin_tpu.checkpoint (host NumPy) and resumes exactly on a
+    fresh mesh."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    mesh = make_mesh()
+    kw = dict(W=W, e_rel=0.0, step_adapt=True)
+
+    full = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                           max_iter=40, **kw)
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                           max_iter=19, **kw)
+    path = save_checkpoint(str(tmp_path / "pod_ckpt"),
+                           x=[np.asarray(half.x[0]), np.asarray(half.x[1])],
+                           solver_state=half.state, use_orbax=False)
+    ckpt = load_checkpoint(path, use_orbax=False)
+    mesh2 = make_mesh()  # "new pod": rebuild the mesh from scratch
+    resumed = nmf_pgm_sharded(Y, jnp.asarray(ckpt["x"][0]),
+                              jnp.asarray(ckpt["x"][1]), mesh=mesh2,
+                              max_iter=21, state=ckpt["solver_state"],
+                              **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_sharded_resume_config_mismatch_rejected(rng, sharded_problem):
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    mesh = make_mesh()
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                           e_rel=0.0, max_iter=10, step_adapt=True)
+    with pytest.raises(ValueError, match="stride"):
+        nmf_pgm_sharded(Y, half.x[0], half.x[1], W=W, mesh=mesh,
+                        max_iter=5, state=half.state)
+    with pytest.raises(ValueError, match="weighting"):
+        nmf_pgm_sharded(Y, half.x[0], half.x[1], mesh=mesh,
+                        max_iter=5, step_adapt=True, state=half.state)
+    # a sharded state never resumes the ordinary drivers
+    with pytest.raises(ValueError, match="nmf_pgm_sharded"):
+        nmf(Y, half.x[0], half.x[1], mesh=mesh, algorithm="adaprox",
+            max_iter=5, state=half.state)
+    # and a single-device state never resumes the explicit path
+    single = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), e_rel=0.0,
+                 max_iter=10)
+    with pytest.raises(ValueError, match="nmf_pgm_sharded"):
+        nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh, max_iter=5,
+                        state=single.state)
