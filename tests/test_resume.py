@@ -704,3 +704,23 @@ def test_sharded_resume_config_mismatch_rejected(rng, sharded_problem):
     with pytest.raises(ValueError, match="nmf_pgm_sharded"):
         nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh, max_iter=5,
                         state=single.state)
+
+
+def test_single_device_state_resumes_under_mesh_auto_spmd(rng,
+                                                          sharded_problem):
+    """The documented fallback: a single-device solver state under
+    ``mesh=`` resumes via the auto-SPMD path (XLA reshards the carried
+    state; tolerance covers sharded reduction order)."""
+    from proxmin_tpu.parallel import make_mesh
+
+    Y, A0, S0, _ = sharded_problem
+    mesh = make_mesh()
+    kw = dict(algorithm="adaprox", e_rel=0.0)
+
+    full = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), max_iter=30, **kw)
+    half = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), max_iter=15, **kw)
+    resumed = nmf(Y, half.x[0], half.x[1], mesh=mesh, max_iter=15,
+                  state=half.state, **kw)
+    np.testing.assert_allclose(np.asarray(resumed.x[1]),
+                               np.asarray(full.x[1]),
+                               rtol=1e-10, atol=1e-12)
