@@ -170,22 +170,38 @@ def bench_numpy_weighted(Y, A0, S0, W):
 # --------------------------------------------------------------------------
 # TPU timing
 
-def _timed(call, n_lo, n_hi, reps=2):
+def _timed(call, n_lo, n_hi, reps=2, max_reps=6, budget_s=20.0):
     """Marginal per-iteration time between two iteration counts.
 
     Device-side contention shows up as slow outliers, so the least-
     contended estimate of each call is taken independently (min over
     reps) before forming the slope — min-of-paired-slopes would instead
     amplify mismatched pairs (slow lo + fast hi) into impossibly low
-    marginals."""
+    marginals.
+
+    The shared pool's stall mode is BIMODAL (identical compiled calls
+    100x slower for stretches), so after the base ``reps`` the loop
+    keeps sampling — up to ``max_reps`` within ``budget_s`` — as long
+    as the latest rep still improved a minimum by >10% (i.e. the fast
+    mode is still being found). In an uncontended run this adds zero
+    extra reps."""
     t_los, t_his = [], []
-    for _ in range(reps):
+    t_start = time.perf_counter()
+    for r in range(max_reps):
+        prev = (min(t_los), min(t_his)) if t_los else None
         t0 = time.perf_counter()
         call(n_lo)
         t_los.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         call(n_hi)
         t_his.append(time.perf_counter() - t0)
+        if r + 1 >= reps:
+            improving = prev is not None and (
+                min(t_los) < 0.9 * prev[0] or min(t_his) < 0.9 * prev[1])
+            if not improving:
+                break
+            if time.perf_counter() - t_start > budget_s:
+                break
     marginal = (min(t_his) - min(t_los)) / (n_hi - n_lo)
     return marginal, min(t_los)
 

@@ -365,12 +365,6 @@ class WeightedPGMStepper(_WeightedStepperBase):
         """Segmented-mode hook: the cached steps held in the carry."""
         return state[0]
 
-    def segment_due(self, state, it):
-        """Segmented-mode hook: is a refresh due at global iteration
-        ``it``? (A warm restart may land mid-segment, where the cached
-        steps serve until the carried next-refresh clock.)"""
-        return it >= state[3]
-
     def segment_end(self, state, it):
         """Segmented-mode hook: the global iteration of the next refresh
         (the end of the segment starting at ``it``)."""

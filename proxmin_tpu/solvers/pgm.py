@@ -320,7 +320,7 @@ class _FrozenStepper:
 
 
 def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
-                   backtracking, f, trace, max_iter, n):
+                   backtracking, f, trace, max_iter, n, resuming=False):
     """Strided-stepper execution as nested loops: the outer loop refreshes
     the steps once per ``stride`` via ``stepper.segment_refresh``, the
     inner while-loop runs the iterations with frozen steps.
@@ -336,12 +336,46 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
 
     Adaptive steppers (``stepper.adapt``) carry a DYNAMIC refresh
     interval in their state (the reference ``ApproximateCache`` growth
-    policy, ``utils.grow_stride``); segment boundaries always come from
-    the stepper's ``segment_due`` / ``segment_end`` hooks on the global
-    iteration clock, so warm restarts resume mid-segment exactly."""
+    policy, ``utils.grow_stride``); segment boundaries come from the
+    stepper's ``segment_end`` hook on the global iteration clock.
+
+    ``resuming=True`` (a ``state=`` warm restart, static at trace time)
+    first finishes the interrupted segment: the carried cached steps
+    serve until the carried next-refresh clock, then the normal refresh
+    loop takes over — so the continuation walks the same iterations as
+    the uninterrupted solve. Fresh solves compile WITHOUT the pre-loop
+    and with the refresh unconditional: wrapping the refresh in a
+    ``lax.cond`` instead (the obvious alternative) threads the big
+    stepper state through a conditional and re-creates the
+    staged-copies regression described below (measured +0.12 ms/iter
+    at the weighted flagship — the whole point of segmented mode)."""
 
     def go(st):
         return _keep_going(st, max_iter)
+
+    def seg_inner(st, steps, sst, seg_end):
+        """Run iterations [st.it, seg_end) with frozen ``steps``.
+
+        The stepper state (e.g. WeightedPGMStepper's 28 MB warm-start
+        iterate) is loop-invariant inside the segment — keep it OUT of
+        the inner carry: with it in, XLA's memory-space assignment
+        overflows VMEM and staged the S iterate HBM<->VMEM with two
+        full-size copies per iteration (measured +0.1 ms/iter at the
+        weighted flagship)."""
+        body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
+                              accelerated, backtracking, f, trace=trace)
+
+        def strip(s2):
+            return s2._replace(stepper_state=())
+
+        def body_stripped(s2):
+            return strip(body(s2._replace(stepper_state=sst)))
+
+        def inner_cond(s2):
+            return jnp.logical_and(go(s2), s2.it < seg_end)
+
+        st = jax.lax.while_loop(inner_cond, body_stripped, strip(st))
+        return st._replace(stepper_state=sst)
 
     def outer_body(st):
         # the extrapolated iterate exactly as the body would compute it
@@ -354,43 +388,25 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
         else:
             x_ex = st.x
         it_g = st.it + st.it0
-        # honor the refresh clock carried in the stepper state: a warm
-        # restart (`state=`) may land MID-segment, where the cached
-        # steps must serve until the carried next-refresh iteration —
-        # refreshing unconditionally here would walk a different
-        # trajectory than the uninterrupted solve. Fresh solves are
-        # always due at it 0, so this cond is taken exactly as before.
-        steps, sst = jax.lax.cond(
-            stepper.segment_due(st.stepper_state, it_g),
-            lambda s: stepper.segment_refresh(s, x_ex, it_g),
-            lambda s: (stepper.state_steps(s), s),
-            st.stepper_state,
-        )
+        steps, sst = stepper.segment_refresh(st.stepper_state, x_ex, it_g)
         steps = tuple(jnp.asarray(s) for s in steps)
         st = st._replace(S=steps, stepper_state=sst)
-        body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
-                              accelerated, backtracking, f, trace=trace)
         # segment end on the GLOBAL clock (the stepper's next-refresh
         # iteration), mapped back to the local counter
         seg_end = stepper.segment_end(sst, it_g) - st.it0
+        return seg_inner(st, steps, sst, seg_end)
 
-        # the stepper state (e.g. WeightedPGMStepper's 28 MB warm-start
-        # iterate) is loop-invariant inside the segment — keep it OUT of
-        # the inner carry: with it in, XLA's memory-space assignment
-        # overflows VMEM and staged the S iterate HBM<->VMEM with two
-        # full-size copies per iteration (measured +0.1 ms/iter at the
-        # weighted flagship)
-        def strip(s2):
-            return s2._replace(stepper_state=())
-
-        def body_stripped(s2):
-            return strip(body(s2._replace(stepper_state=sst)))
-
-        def inner_cond(s2):
-            return jnp.logical_and(go(s2), s2.it < seg_end)
-
-        st = jax.lax.while_loop(inner_cond, body_stripped, strip(st))
-        return st._replace(stepper_state=sst)
+    if resuming:
+        # finish the interrupted segment with the carried cached steps
+        # (zero iterations when the kill landed exactly on a refresh
+        # boundary); the outer refresh then fires exactly on schedule
+        sst0 = state.stepper_state
+        steps0 = tuple(jnp.asarray(s)
+                       for s in stepper.state_steps(sst0))
+        seg_end0 = (stepper.segment_end(sst0, state.it + state.it0)
+                    - state.it0)
+        state = seg_inner(state._replace(S=steps0), steps0, sst0,
+                          seg_end0)
 
     return jax.lax.while_loop(go, outer_body, state)
 
@@ -540,7 +556,7 @@ def pgm(
                 if use_segmented:
                     s = _run_segmented(s, g, st, pr, e_rel, accelerated,
                                        backtracking, ff, trace, max_iter,
-                                       n)
+                                       n, resuming=resume is not None)
                 else:
                     body = _make_pgm_body(g, st, pr, e_rel, accelerated,
                                           backtracking, ff, trace=trace)

@@ -539,13 +539,6 @@ class StridedStepper:
         """Segmented-mode hook: the cached steps held in the carry."""
         return state[1]
 
-    def segment_due(self, state, it):
-        """Segmented-mode hook: is a refresh due at global iteration
-        ``it``? Fixed stride keys on the global phase (so a warm
-        restart refreshes at the same iterations as the uninterrupted
-        solve); adaptive mode keys on the carried next-refresh clock."""
-        return self._due(state, it)
-
     def segment_end(self, state, it):
         """Segmented-mode hook: the global iteration of the next
         refresh after ``it`` (the end of the segment starting there)."""

@@ -1,4 +1,4 @@
-"""Smoke tests: ALL nine shipped examples run end-to-end in CI (toy
+"""Smoke tests: ALL ten shipped examples run end-to-end in CI (toy
 sizes, CPU backend / 8-device virtual mesh) and assert their own
 quality metrics (analytic optima, Hungarian component matching, RMSE
 drop, cross-engine agreement)."""
@@ -92,3 +92,14 @@ def test_fused_adam_unmixing_example(argv, capsys):
     # the script asserts its own loss drops; the continuation line
     # proves the M/V warm start improved on the first segment
     assert "fused adam" in out and "continued" in out
+
+
+def test_preemptible_resume_example(argv, capsys):
+    """Checkpoint / kill / resume drill on the virtual mesh: every
+    preemption lands mid-stride and the script asserts the resumed
+    trajectory equals the uninterrupted one exactly."""
+    argv("preemptible_resume.py", "40", "17", "--cpu")
+    runpy.run_path("/root/repo/examples/preemptible_resume.py",
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "preempted trajectory == uninterrupted trajectory" in out
