@@ -3,15 +3,26 @@
 The reference's only continuation mechanism is AdaProx warm start via the
 ``M``/``V``/``Vhat`` moment arrays plus the caller's own ``X``
 (``algorithms.py:262-264,347-359``) — no serialization anywhere. Here every
-solver's resumable state is a pytree of arrays, so checkpointing is generic:
+solver's resumable state is a pytree, so checkpointing is generic:
 
-* :func:`save_checkpoint` / :func:`load_checkpoint` persist any pytree of
-  arrays. Orbax is used when available (async, multi-host-safe, the
-  TPU-native choice); otherwise a pickle fallback (``.pkl``) keeps the
-  feature dependency-free.
+* :func:`save_checkpoint` / :func:`load_checkpoint` persist any pytree.
+  Orbax is used when available (async, multi-host-safe, the TPU-native
+  choice); otherwise a pickle fallback (``.pkl``) keeps the feature
+  dependency-free.
+* Solver ``.state`` pytrees are NOT plain dicts of arrays: they carry
+  string/bool metadata (e.g. the sharded solve's ``kind``) and nested
+  tuple structure that resume validation checks exactly
+  (``tree_structure`` comparisons in the pgm/adaprox drivers). Both
+  stores therefore persist the ARRAY leaves as a flat ``leaf_i`` dict
+  (orbax/tensorstore cannot store string leaves at all) and the
+  treedef + non-array leaves in a pickled metadata sidecar, so a
+  round-trip restores the exact original structure — tuples stay
+  tuples, not orbax's lists.
 * For AdaProx, ``save_checkpoint(path, x=res.x, M=res.M, V=res.V,
   Vhat=res.Vhat)`` then ``adaprox(ckpt["x"], ..., M=ckpt["M"], ...)``
-  resumes exactly like the reference's warm start.
+  resumes exactly like the reference's warm start; exact resume is
+  ``save_checkpoint(path, x=res.x, solver_state=res.state)`` then
+  ``state=ckpt["solver_state"]``.
 """
 
 import os
@@ -20,6 +31,8 @@ import numpy as np
 import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint"]
+
+_V2 = "__proxmin_ckpt_v2__"
 
 
 def _try_orbax():
@@ -30,20 +43,49 @@ def _try_orbax():
         return None
 
 
+def _split(state):
+    """Flatten a pytree into (flat array dict, static-leaf dict, treedef,
+    n_leaves). Array-able leaves go to the array store; string/object
+    leaves (which tensorstore rejects) ride with the structure metadata."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays, statics = {}, {}
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        if a.dtype.kind in "USO":
+            statics[i] = leaf
+        else:
+            arrays[f"leaf_{i}"] = a
+    return arrays, statics, treedef, len(leaves)
+
+
+def _merge(arrays, statics, treedef, n):
+    leaves = [statics[i] if i in statics else arrays[f"leaf_{i}"]
+              for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _meta_path(path):
+    return os.path.abspath(path).rstrip("/") + ".meta.pkl"
+
+
 def save_checkpoint(path, tree=None, *, use_orbax=None, **named):
-    """Persist a pytree (or keyword arrays) of solver state.
+    """Persist a pytree (or keyword entries) of solver state.
 
     ``path``: directory (orbax) or file path (pickle fallback; ``.pkl``
     appended if missing). Pass either a single ``tree`` or keyword
     entries; they merge into one dict pytree. Returns the path actually
-    written.
+    written (orbax additionally writes a ``<path>.meta.pkl`` structure
+    sidecar next to the directory).
     """
+    import pickle
+
     state = dict(named)
     if tree is not None:
         state["__tree__"] = tree
     if use_orbax is None:
         use_orbax = _try_orbax() is not None
-    state = jax.tree_util.tree_map(np.asarray, state)
+    arrays, statics, treedef, n = _split(state)
+    meta = {"statics": statics, "treedef": treedef, "n": n}
 
     if use_orbax:
         ocp = _try_orbax()
@@ -51,39 +93,59 @@ def save_checkpoint(path, tree=None, *, use_orbax=None, **named):
             raise RuntimeError("orbax requested but not importable")
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, arrays, force=True)
         ckptr.wait_until_finished()
+        with open(_meta_path(path), "wb") as fh:
+            pickle.dump(meta, fh)
         return path
 
-    import pickle
     if not path.endswith(".pkl"):
         path = path + ".pkl"
     with open(path, "wb") as fh:
-        pickle.dump(state, fh)
+        pickle.dump({_V2: True, "arrays": arrays, "meta": meta}, fh)
     return path
 
 
 def load_checkpoint(path, like=None, *, use_orbax=None):
     """Load a checkpoint saved by :func:`save_checkpoint`.
 
-    For orbax checkpoints of nontrivial pytrees, pass ``like=`` an example
-    pytree (shapes/dtypes) when restoring across processes.
-    Returns the dict pytree; a bare ``tree`` argument round-trips under the
-    ``"__tree__"`` key.
+    Returns the dict pytree with its exact original structure (tuples,
+    strings, nested solver states); a bare ``tree`` argument round-trips
+    under the ``"__tree__"`` key. ``like=`` optionally supplies an
+    example pytree for orbax cross-process restores (its array leaves
+    are used as the restore target shapes).
     """
+    import pickle
+
     if use_orbax is None:
         use_orbax = _try_orbax() is not None and os.path.isdir(path)
 
     if use_orbax:
         ocp = _try_orbax()
         ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(path)
+        target = None
+        if like is not None:
+            target, _, _, _ = _split(like)
+        if os.path.exists(_meta_path(path)):
+            with open(_meta_path(path), "rb") as fh:
+                meta = pickle.load(fh)
+            restored = (ckptr.restore(path, target) if target is not None
+                        else ckptr.restore(path))
+            return _merge(restored, meta["statics"], meta["treedef"],
+                          meta["n"])
+        # legacy layout (pre-v2): the pytree was stored directly
         if like is not None:
             like = jax.tree_util.tree_map(np.asarray, like)
-            return ckptr.restore(os.path.abspath(path), like)
-        return ckptr.restore(os.path.abspath(path))
+            return ckptr.restore(path, like)
+        return ckptr.restore(path)
 
-    import pickle
     if not path.endswith(".pkl"):
         path = path + ".pkl"
     with open(path, "rb") as fh:
-        return pickle.load(fh)
+        payload = pickle.load(fh)
+    if isinstance(payload, dict) and payload.get(_V2):
+        meta = payload["meta"]
+        return _merge(payload["arrays"], meta["statics"],
+                      meta["treedef"], meta["n"])
+    return payload  # legacy pickle: the pytree itself

@@ -1215,6 +1215,23 @@ def nmf(
     if isinstance(algorithm, str):
         algorithm = getattr(algorithms, algorithm.lower())
 
+    if algorithm_args.get("state", True) is None:
+        # explicit state=None means "no resume": treat exactly like an
+        # absent kwarg so `state=maybe_state` first-slice patterns don't
+        # silently change engine routing (e.g. off the explicit sharded
+        # path)
+        del algorithm_args["state"]
+    _st = algorithm_args.get("state")
+    _sharded_state = (hasattr(_st, "get")
+                      and _st.get("kind") == "nmf_pgm_sharded")
+    if _sharded_state and mesh is None:
+        raise ValueError(
+            "state= is an nmf_pgm_sharded resume state, which resumes "
+            "the explicit-collective sharded solve only — pass the "
+            "mesh= this solve runs on (single-device continuation is "
+            "not what this state encodes)"
+        )
+
     if mesh is not None:
         # one-call scale-out: pgm routes to the explicit-collective
         # whole-solve shard_map (weighted + step_stride supported); the
@@ -1234,9 +1251,6 @@ def nmf(
                 "the explicit-collective whole-solve shard_map, other "
                 "algorithms auto-SPMD)"
             )
-        _st = algorithm_args.get("state")
-        _sharded_state = (hasattr(_st, "get")
-                          and _st.get("kind") == "nmf_pgm_sharded")
         if (algorithm is algorithms.pgm and engine in ("xla", "auto")
                 and step is None and callback is None
                 and (not algorithm_args

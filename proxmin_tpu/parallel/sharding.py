@@ -586,6 +586,8 @@ def nmf_pgm_sharded(
         mesh = make_mesh()
     weighted = W is not None and getattr(W, "ndim", 0) == 2
     strided = (step_stride is not None and step_stride > 1) or step_adapt
+    stride_cfg = (0 if step_stride is None else int(step_stride),
+                  bool(step_adapt))
     if state is not None:
         if not (hasattr(state, "get")
                 and state.get("kind") == "nmf_pgm_sharded"):
@@ -594,12 +596,17 @@ def nmf_pgm_sharded(
                 "(single-device solver states do not resume the "
                 "explicit-collective path)"
             )
-        if bool(state["strided"]) != strided:
+        st_cfg = tuple(state.get("stride_config", stride_cfg))
+        if (bool(state["strided"]) != strided
+                or (int(st_cfg[0]), bool(st_cfg[1])) != stride_cfg):
             raise ValueError(
                 "state= was produced under a different stride "
-                "configuration (strided={} vs this call's {}); resume "
-                "with the same step_stride/step_adapt settings".format(
-                    bool(state["strided"]), strided)
+                "configuration (step_stride={}, step_adapt={} vs this "
+                "call's step_stride={}, step_adapt={}); resume with "
+                "the same settings — the carried segment boundaries "
+                "and refresh schedule are only exact under them".format(
+                    st_cfg[0] or None, bool(st_cfg[1]),
+                    step_stride, step_adapt)
             )
         if bool(state["weighted"]) != weighted:
             raise ValueError(
@@ -640,6 +647,7 @@ def nmf_pgm_sharded(
     resume_state = {
         "kind": "nmf_pgm_sharded", "strided": strided,
         "weighted": weighted, "it": it,
+        "stride_config": stride_cfg,
     }
     if strided:
         resume_state.update(

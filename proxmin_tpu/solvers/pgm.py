@@ -212,8 +212,17 @@ def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated,
         # max_iter further iterations). The reference has no analogue —
         # it restarts FISTA momentum from scratch (algorithms.py:80-87).
         xp = tuple(resume.get("x_prev", ()))
-        x_prev = (tuple(jnp.array(x, copy=True)
-                        for x in (xp if len(xp) else x0))
+        if accelerated != bool(len(xp)):
+            # an accelerated state carries the previous iterate; a plain
+            # one carries () — continuing across that mismatch would
+            # silently restart (or drop) the Nesterov momentum instead
+            # of resuming anything
+            raise ValueError(
+                "state= was produced under accelerated="
+                f"{bool(len(xp))} but this solve has accelerated="
+                f"{accelerated}; resume with the same setting"
+            )
+        x_prev = (tuple(jnp.array(x, copy=True) for x in xp)
                   if accelerated else ())
         t0 = jnp.asarray(resume["t"], dtype)
         T0 = jnp.asarray(resume["T"], dtype)

@@ -470,11 +470,14 @@ class StridedStepper:
             inner0, X, G,
         )
         cached = tuple(jnp.zeros(s.shape, s.dtype) for s in shapes)
-        # (stride, next_refresh) ride in the carry only when adaptive;
-        # the fixed-stride state keeps its original structure
+        # both modes carry the next-refresh clock (last slot) so warm
+        # restarts resume mid-segment exactly — including a kill landing
+        # ON a refresh boundary, where the carried clock says "due now"
+        # (a phase formula could not distinguish that from "just
+        # refreshed"); adaptive mode additionally carries the stride
         if self.adapt:
             return (inner0, cached, jnp.int32(self.stride), jnp.int32(0))
-        return (inner0, cached)
+        return (inner0, cached, jnp.int32(0))
 
     def _refresh(self, state, X, it, G):
         """Shared refresh math for both call modes: evaluate the inner
@@ -487,16 +490,14 @@ class StridedStepper:
         steps, new_inner = self.inner(inner_state, X, it, G)
         steps = tuple(jnp.asarray(s) * self.safety for s in steps)
         if not self.adapt:
-            return (new_inner, steps)
+            return (new_inner, steps, it + self.stride)
         budget = (1.0 - self.safety) / 2
         stride_new = grow_stride(stride, cached_old, steps, budget,
                                  self.max_stride, first=(it == 0))
         return (new_inner, steps, stride_new, it + stride_new)
 
     def _due(self, state, it):
-        if self.adapt:
-            return it >= state[3]
-        return it % self.stride == 0
+        return it >= state[-1]
 
     def __call__(self, state, X, it, G):
         state = jax.lax.cond(
@@ -540,11 +541,13 @@ class StridedStepper:
         return state[1]
 
     def segment_end(self, state, it):
-        """Segmented-mode hook: the global iteration of the next
-        refresh after ``it`` (the end of the segment starting there)."""
-        if self.adapt:
-            return state[3]
-        return (it // self.stride + 1) * self.stride
+        """Segmented-mode hook: the carried next-refresh clock (the end
+        of the current segment). After ``segment_refresh`` at ``it``
+        this is ``it + stride``; on a warm restart it is wherever the
+        interrupted solve's schedule says the next refresh falls —
+        including "due immediately" when the kill landed on a refresh
+        boundary."""
+        return state[-1]
 
 
 def make_stepper(step, n_blocks):

@@ -724,3 +724,126 @@ def test_single_device_state_resumes_under_mesh_auto_spmd(rng,
     np.testing.assert_allclose(np.asarray(resumed.x[1]),
                                np.asarray(full.x[1]),
                                rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions (r4): boundary-kill resume, config-mismatch
+# guards, and checkpoint round-trips through the DEFAULT (orbax) store.
+# ---------------------------------------------------------------------------
+
+
+def test_stride_boundary_kill_resume_exact(rng, sharded_problem):
+    """Kill landing exactly ON a refresh boundary (checkpoint interval a
+    multiple of the stride — the natural choice) must refresh on resume,
+    not serve a full segment of stale steps: the carried next-refresh
+    clock, not a phase formula, decides."""
+    Y, A0, S0, _ = sharded_problem
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), e_rel=0.0,
+                   step_stride=5, max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 20)
+    half = run(A0, S0, 10)  # 10 is a stride multiple: refresh due at 10
+    resumed = run(half.x[0], half.x[1], 10, state=half.state)
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_sharded_resume_stride_value_mismatch_rejected(rng,
+                                                       sharded_problem):
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    mesh = make_mesh()
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                           e_rel=0.0, max_iter=17, step_stride=7)
+    with pytest.raises(ValueError, match="stride"):
+        nmf_pgm_sharded(Y, half.x[0], half.x[1], W=W, mesh=mesh,
+                        e_rel=0.0, max_iter=5, step_stride=10,
+                        state=half.state)
+    with pytest.raises(ValueError, match="stride"):
+        nmf_pgm_sharded(Y, half.x[0], half.x[1], W=W, mesh=mesh,
+                        e_rel=0.0, max_iter=5, step_adapt=True,
+                        state=half.state)
+
+
+def test_sharded_state_without_mesh_rejected(rng, sharded_problem):
+    """Forgetting mesh= on the resume call gets a clear ValueError, not
+    a jit internals TypeError."""
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W,
+                           mesh=make_mesh(), e_rel=0.0, max_iter=10)
+    with pytest.raises(ValueError, match="mesh"):
+        nmf(Y, half.x[0], half.x[1], W=W, max_iter=5, state=half.state)
+
+
+def test_state_none_keeps_explicit_sharded_routing(rng, sharded_problem):
+    """state=None (the natural first-slice value of `state=maybe_state`)
+    must route identically to an absent kwarg — the explicit-collective
+    sharded path, whose .state is the sharded kind."""
+    from proxmin_tpu.parallel import make_mesh
+
+    Y, A0, S0, _ = sharded_problem
+    res = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), mesh=make_mesh(),
+              e_rel=0.0, max_iter=5, state=None)
+    assert res.state["kind"] == "nmf_pgm_sharded"
+
+
+def test_pgm_accelerated_mismatch_rejected(rng):
+    H = jnp.asarray(np.diag([1.0, 0.02]))
+    grad = lambda x: H @ (x - jnp.ones(2))  # noqa: E731
+    half = pt.pgm(jnp.asarray([-1.0, -1.0]), grad, 1.0, e_rel=0.0,
+                  max_iter=10)
+    with pytest.raises(ValueError, match="accelerated"):
+        pt.pgm(half.x, grad, 1.0, accelerated=True, e_rel=0.0,
+               max_iter=5, state=half.state)
+    half_a = pt.pgm(jnp.asarray([-1.0, -1.0]), grad, 1.0,
+                    accelerated=True, e_rel=0.0, max_iter=10)
+    with pytest.raises(ValueError, match="accelerated"):
+        pt.pgm(half_a.x, grad, 1.0, e_rel=0.0, max_iter=5,
+               state=half_a.state)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("orbax") is None,
+    reason="orbax not installed")
+def test_orbax_state_round_trips_exact_structure(tmp_path, rng,
+                                                 sharded_problem):
+    """The DEFAULT (orbax) store must round-trip solver .state pytrees
+    exactly: string leaves (sharded 'kind'), nested tuples (stepper
+    states — the drivers' tree_structure validation rejects orbax's
+    list coercion), and resume must then be exact."""
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    Y, A0, S0, W = sharded_problem
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), W=W, e_rel=0.0,
+                   step_adapt=True, max_iter=n_iter,
+                   **({} if state is None else {"state": state}))
+
+    full = run(A0, S0, 40)
+    half = run(A0, S0, 19)
+    path = save_checkpoint(str(tmp_path / "orbax_ck"),
+                           x=list(half.x), solver_state=half.state,
+                           use_orbax=True)
+    ck = load_checkpoint(path, use_orbax=True)
+    sst = ck["solver_state"]["stepper_state"]
+    assert isinstance(sst, tuple)  # not orbax's list coercion
+    resumed = run(ck["x"][0], ck["x"][1], 21, state=ck["solver_state"])
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+    # sharded state: the string 'kind' leaf survives the array store
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+    mesh = make_mesh()
+    hs = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                         e_rel=0.0, max_iter=19, step_adapt=True)
+    p2 = save_checkpoint(str(tmp_path / "orbax_sharded"),
+                         solver_state=hs.state, use_orbax=True)
+    ck2 = load_checkpoint(p2, use_orbax=True)
+    assert ck2["solver_state"]["kind"] == "nmf_pgm_sharded"
