@@ -77,6 +77,14 @@ class ADMMState(NamedTuple):
                          # (restarts keep appending; empty when trace off)
     step_scale: Any      # residual-balancing multiplier on step_f
                          # (adapt_step mode; pinned 1.0 otherwise)
+    total_it0: Any       # carried global step count at warm restart (0
+                         # fresh): history indexes locally via
+                         # total_it - total_it0
+    it0: Any             # carried `it` clock at warm restart (0 fresh):
+                         # the restart-resettable `it` continues, so the
+                         # stop bound becomes it0 + max_iter — the same
+                         # value the uninterrupted solve uses — and the
+                         # stall detector sees the true clock
 
 
 def _stack_errors(errors, multi):
@@ -96,6 +104,7 @@ def _resume_state(state):
     return {
         "z": state.z, "u": state.u, "slack": state.slack,
         "step_scale": state.step_scale, "r_prev": state.r_prev,
+        "it": state.it, "total_it": state.total_it,
     }
 
 
@@ -225,7 +234,8 @@ def _sdmm_core(
                 # restart storms beyond that overwrite the last row,
                 # which the clamp below makes safe (an out-of-bounds
                 # .at[].set would silently drop instead)
-                idx = jnp.minimum(state.total_it, history.shape[0] - 1)
+                idx = jnp.minimum(state.total_it - state.total_it0,
+                                  history.shape[0] - 1)
                 history = history.at[idx].set(
                     errors_arr.astype(history.dtype)
                 )
@@ -291,6 +301,7 @@ def _sdmm_core(
                 x=x, z=z, u=u, it=it, total_it=state.total_it + 1,
                 slack=slack, converged=conv, errors=errors_arr,
                 r_prev=r, history=history, step_scale=step_scale,
+                total_it0=state.total_it0, it0=state.it0,
             )
 
         return body, init_zu
@@ -307,33 +318,53 @@ def _sdmm_core(
                 r0 = jnp.zeros_like(x)
         else:
             # warm restart (checkpoint/resume): Z/U, the slack, the
-            # residual-balancing multiplier and the stall-detector
-            # residual all continue; the iteration counters restart, so
-            # the resumed solve runs up to max_iter further iterations
-            # (matching the adaprox M/V/Vhat warm-start convention,
-            # reference algorithms.py:262-264,347-359 — which the
-            # reference's ADMM family lacks: algorithms.py:471 always
-            # re-inits Z, U)
+            # residual-balancing multiplier, the stall-detector residual
+            # AND the iteration clocks all continue — the `it` clock is
+            # restart-resettable (the stall detector's `it > 1` guard
+            # and the `it < bound` stop both key on it), so only
+            # carrying it walks the uninterrupted trajectory exactly;
+            # `max_iter` still means "this many further steps" via the
+            # total_it0-shifted bounds. (The reference's ADMM family has
+            # no continuation at all: algorithms.py:471 re-inits Z, U.)
             z0 = resume["z"]
             u0 = resume["u"]
             slack0 = jnp.asarray(resume["slack"], x.dtype)
             scale0 = jnp.asarray(resume["step_scale"], x.dtype)
             r0 = resume["r_prev"]
+        it0 = (jnp.asarray(resume.get("it", 0), jnp.int32)
+               if resume is not None else jnp.int32(0))
+        tot0 = (jnp.asarray(resume.get("total_it", 0), jnp.int32)
+                if resume is not None else jnp.int32(0))
         return ADMMState(
             x=jnp.array(x, copy=True),
             z=jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), z0),
             u=jax.tree_util.tree_map(jnp.asarray, u0),
-            it=jnp.int32(0),
-            total_it=jnp.int32(0),
+            it=it0,
+            total_it=tot0,
             slack=slack0,
             converged=jnp.asarray(False),
             errors=jnp.zeros((max(M, 1), 4)),
             r_prev=jax.tree_util.tree_map(jnp.asarray, r0),
             history=jnp.zeros((2 * max_iter if trace else 0, max(M, 1), 4)),
             step_scale=scale0,
+            total_it0=tot0,
+            it0=it0,
         )
 
-    total_cap = _RESTART_BUDGET * max_iter
+    def _cond(s):
+        # bound on the carried restart-relative clock: it0 + max_iter is
+        # the SAME bound value the uninterrupted solve runs under (its
+        # max_iter equals it0 + the further steps requested here), so
+        # restart-extended runs continue identically; fresh solves have
+        # it0 == 0 and the original bounds. The total-work cap scales
+        # from the same equivalent max_iter.
+        lim = s.it0 + max_iter
+        return jnp.logical_and(
+            jnp.logical_and(s.it < lim,
+                            s.total_it < _RESTART_BUDGET * lim),
+            jnp.logical_not(s.converged),
+        )
+
 
     if return_runner:
         # AOT-export path (export.py): a pure ``x0 -> final state`` function
@@ -342,13 +373,7 @@ def _sdmm_core(
         body, _ = make_body(data_leaves)
 
         def runner(x):
-            def cond(s):
-                return jnp.logical_and(
-                    jnp.logical_and(s.it < max_iter, s.total_it < total_cap),
-                    jnp.logical_not(s.converged),
-                )
-
-            return jax.lax.while_loop(cond, body, init_state(x))
+            return jax.lax.while_loop(_cond, body, init_state(x))
 
         return runner
 
@@ -360,14 +385,7 @@ def _sdmm_core(
             def run(x, leaves, resume):
                 body, init_zu_l = make_body(leaves)
                 state = init_state(x, init_zu=init_zu_l, resume=resume)
-
-                def cond(s):
-                    return jnp.logical_and(
-                        jnp.logical_and(s.it < max_iter,
-                                        s.total_it < total_cap),
-                        jnp.logical_not(s.converged),
-                    )
-                return jax.lax.while_loop(cond, body, state)
+                return jax.lax.while_loop(_cond, body, state)
 
             # not donated: donation pins the carry to HBM buffers and
             # defeats VMEM residency (2.6x slower on the pgm driver)
@@ -392,8 +410,7 @@ def _sdmm_core(
         state = compiled(x0, data_leaves, resume)
     else:
         state = init_state(x0, resume=resume)
-        while (int(state.it) < max_iter and int(state.total_it) < total_cap
-               and not bool(state.converged)):
+        while bool(_cond(state)):
             try:
                 callback(np.asarray(state.x), it=int(state.it))
             except StopIteration:

@@ -63,6 +63,11 @@ class BSDMMState(NamedTuple):
     converged: Any       # (N,) bool
     history: Any         # (max_iter, N, 2) per-block aggregated primal/dual
                          # residual norms (trace mode; empty otherwise)
+    it0: Any             # carried sweep count at warm restart (0 fresh):
+                         # the sweep clock continues, so stepper refresh
+                         # schedules (`it >= nxt`, `it % stride == 0`)
+                         # stay on the uninterrupted phase; history and
+                         # the max_iter bound index locally via it - it0
 
 
 class _BsdmmProgram(NamedTuple):
@@ -293,9 +298,9 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                     # aggregate primal/dual residual norms across constraints
                     lr = jnp.sqrt(sum(e[2] ** 2 for e in err_list))
                     ls = jnp.sqrt(sum(e[3] ** 2 for e in err_list))
-                    history = history.at[it, j, 0].set(
+                    history = history.at[it - state.it0, j, 0].set(
                         lr.astype(history.dtype))
-                    history = history.at[it, j, 1].set(
+                    history = history.at[it - state.it0, j, 1].set(
                         ls.astype(history.dtype))
 
                 x[j] = xj
@@ -309,6 +314,7 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                 steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
                 steps_state=steps_state,
                 it=it + 1, converged=converged, history=history,
+                it0=state.it0,
             )
 
         return body, init_zu_l
@@ -321,9 +327,13 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
             ss0 = (steps_f_cb.init_bsdmm_state(xs)
                    if stateful_steps else ())
         else:
-            # warm restart: per-block Z/U, carried steps and stepper
-            # state continue (the reference has no ADMM-family resume;
-            # see admm._resume_state); the sweep counter restarts
+            # warm restart: per-block Z/U, carried steps, stepper
+            # state AND the sweep clock continue (the stepper states
+            # carry absolute next-refresh sweeps, so a restarted clock
+            # would serve stale steps until it caught up — r4 review
+            # sweep finding); max_iter still means "this many further
+            # sweeps" via the it0-shifted bound. (The reference has no
+            # ADMM-family resume; see admm._resume_state.)
             z0 = jax.tree_util.tree_map(jnp.asarray, tuple(resume["z"]))
             u0 = jax.tree_util.tree_map(jnp.asarray, tuple(resume["u"]))
             steps_f0 = jnp.asarray(resume["steps_f"], dtype)
@@ -331,15 +341,18 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                 jnp.asarray, tuple(resume["steps_g"]))
             ss0 = jax.tree_util.tree_map(jnp.asarray,
                                          resume["steps_state"])
+        it0 = (jnp.asarray(resume.get("it", 0), jnp.int32)
+               if resume is not None else jnp.int32(0))
         return BSDMMState(
             x=tuple(jnp.array(x, copy=True) for x in xs),
             z=z0, u=u0,
             steps_f=steps_f0,
             steps_g=steps_g0,
             steps_state=ss0,
-            it=jnp.int32(0),
+            it=it0,
             converged=jnp.zeros((N,), bool),
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
+            it0=it0,
         )
 
     def cond(s):
@@ -432,7 +445,8 @@ def bsdmm(
         def runner(*x_blocks):
             def cond(s):
                 return jnp.logical_and(
-                    s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
+                    s.it < s.it0 + max_iter,
+                    jnp.logical_not(jnp.all(s.converged)),
                 )
 
             return jax.lax.while_loop(cond, body, init_state(x_blocks))
@@ -461,7 +475,7 @@ def bsdmm(
 
                 def cond(s):
                     return jnp.logical_and(
-                        s.it < max_iter,
+                        s.it < s.it0 + max_iter,
                         jnp.logical_not(jnp.all(s.converged)),
                     )
                 return jax.lax.while_loop(cond, body, state)
@@ -485,7 +499,8 @@ def bsdmm(
         state = compiled(tuple(x0), data_leaves, resume)
     else:
         state = init_state(x0, resume=resume)
-        while int(state.it) < max_iter and not bool(jnp.all(state.converged)):
+        while (int(state.it) < int(state.it0) + max_iter
+               and not bool(jnp.all(state.converged))):
             try:
                 callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
             except StopIteration:
@@ -494,8 +509,9 @@ def bsdmm(
 
     # one batched device->host fetch (round trips are expensive on
     # remote-dispatch backends)
-    it_h, conv_h = jax.device_get((state.it, state.converged))
-    iterations = int(it_h)
+    it_h, it0_h, conv_h = jax.device_get(
+        (state.it, state.it0, state.converged))
+    iterations = int(it_h) - int(it0_h)
     logger.info("Completed %d iterations", iterations)
     converged = tuple(bool(c) for c in conv_h)
     if not all(converged):
@@ -509,5 +525,5 @@ def bsdmm(
         history=history,
         state={"z": state.z, "u": state.u, "steps_f": state.steps_f,
                "steps_g": state.steps_g,
-               "steps_state": state.steps_state},
+               "steps_state": state.steps_state, "it": state.it},
     )

