@@ -142,3 +142,39 @@ def test_admm_family_resume_random_configs(trial):
     res = solver(half.x, prox_f, step_f, max_iter=total - k,
                  state=half.state, **kw)
     _same(res.x, full.x, f"{family} adapt={adapt} k={k}/{total}")
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_pgm_backtracking_trace_resume_random(trial):
+    """Backtracking line search + trace-mode resume: the per-block T
+    scales, f_prev, and momentum all carry; the local trace buffer
+    concatenates to the uninterrupted one."""
+    rng = np.random.default_rng(7000 + trial)
+    H = np.diag(rng.uniform(0.05, 2.0, size=4))
+    c = rng.normal(size=4)
+
+    def grad(x):
+        return jnp.asarray(H) @ (x - jnp.asarray(c))
+
+    def f(x):
+        d = x - jnp.asarray(c)
+        return 0.5 * d @ (jnp.asarray(H) @ d)
+
+    accelerated = bool(rng.integers(0, 2))
+    total = int(rng.integers(8, 30))
+    k = int(rng.integers(1, total))
+    # deliberately too-large step so backtracking actually fires
+    step = float(rng.uniform(1.0, 3.0))
+    kw = dict(accelerated=accelerated, backtracking=True, f=f,
+              prox=operators.prox_plus, e_rel=0.0, trace=True)
+    x0 = jnp.asarray(rng.normal(size=4))
+
+    full = pt.pgm(x0, grad, step, max_iter=total, **kw)
+    half = pt.pgm(x0, grad, step, max_iter=k, **kw)
+    res = pt.pgm(half.x, grad, step, max_iter=total - k,
+                 state=half.state, **kw)
+    _same(res.x, full.x,
+          f"pgm bt acc={accelerated} step={step:.2f} k={k}/{total}")
+    np.testing.assert_array_equal(
+        np.concatenate([half.history, res.history]), full.history,
+        err_msg="trace concatenation")
