@@ -361,7 +361,8 @@ def _sdmm_core(
         lim = s.it0 + max_iter
         return jnp.logical_and(
             jnp.logical_and(s.it < lim,
-                            s.total_it < _RESTART_BUDGET * lim),
+                            s.total_it < s.total_it0
+                            + _RESTART_BUDGET * max_iter),
             jnp.logical_not(s.converged),
         )
 
@@ -484,18 +485,22 @@ def admm(
 
     # one batched device->host fetch (round trips are expensive on
     # remote-dispatch backends)
-    conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(
+    conv_h, it_h, err_h, slack_h, tot_h, tot0_h = jax.device_get(
         (state.converged, state.it, state.errors, state.slack,
-         state.total_it)
+         state.total_it, state.total_it0)
     )
     converged = bool(conv_h)
-    iterations = int(it_h)
+    # fresh solves report the reference's restart-relative counter;
+    # resumed solves report THIS CALL's steps (restarts included) —
+    # the continued restart-relative `it` would overcount the call
+    this_call = int(tot_h) - int(tot0_h)
+    iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
     if not converged:
         logger.warning("Solution did not converge")
 
     errors = tuple(float(v) for v in err_h[0])
-    history = (np.asarray(state.history[:min(int(tot_h),
+    history = (np.asarray(state.history[:min(this_call,
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
@@ -503,7 +508,7 @@ def admm(
         (converged, errors),
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
-        total_iterations=int(tot_h), history=history,
+        total_iterations=this_call, history=history,
         state=_resume_state(state),
     )
 
@@ -580,12 +585,16 @@ def sdmm(
         adapt_step=adapt_step, resume=state,
     )
 
-    conv_h, it_h, err_h, slack_h, tot_h = jax.device_get(
+    conv_h, it_h, err_h, slack_h, tot_h, tot0_h = jax.device_get(
         (state.converged, state.it, state.errors, state.slack,
-         state.total_it)
+         state.total_it, state.total_it0)
     )
     converged = bool(conv_h)
-    iterations = int(it_h)
+    # fresh solves report the reference's restart-relative counter;
+    # resumed solves report THIS CALL's steps (restarts included) —
+    # the continued restart-relative `it` would overcount the call
+    this_call = int(tot_h) - int(tot0_h)
+    iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
     if not converged:
         logger.warning("Solution did not converge")
@@ -593,7 +602,7 @@ def sdmm(
     errors = tuple(
         tuple(float(v) for v in row) for row in err_h
     )
-    history = (np.asarray(state.history[:min(int(tot_h),
+    history = (np.asarray(state.history[:min(this_call,
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
@@ -601,6 +610,6 @@ def sdmm(
         converged,
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
-        total_iterations=int(tot_h), history=history,
+        total_iterations=this_call, history=history,
         state=_resume_state(state),
     )

@@ -356,8 +356,12 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
         )
 
     def cond(s):
+        # it0-shifted bound: the sweep clock continues across warm
+        # restarts (it0 == 0 fresh), so this one cond serves fresh,
+        # resumed, export, and functional-factory paths alike
         return jnp.logical_and(
-            s.it < max_iter, jnp.logical_not(jnp.all(s.converged))
+            s.it < s.it0 + max_iter,
+            jnp.logical_not(jnp.all(s.converged)),
         )
 
     return _BsdmmProgram(
@@ -416,6 +420,24 @@ def bsdmm(
     x0, originals, _ = tupleize(X)
     N = len(x0)
 
+    # the refresh phase of strided steps lives partly in static config
+    # (`it % steps_f_stride`, a stateful stepper's stride/adapt), so a
+    # resume under a different stride silently refreshes on the wrong
+    # schedule — reject the mismatch instead (r4 review finding)
+    stride_cfg = (0 if steps_f_stride is None else int(steps_f_stride),
+                  int(getattr(steps_f_cb, "stride", 0) or 0),
+                  bool(getattr(steps_f_cb, "adapt", False)))
+    if state is not None and "stride_config" in state:
+        st_cfg = tuple(state["stride_config"])
+        st_cfg = (int(st_cfg[0]), int(st_cfg[1]), bool(st_cfg[2]))
+        if st_cfg != stride_cfg:
+            raise ValueError(
+                "state= was produced under a different step-stride "
+                "configuration ((steps_f_stride, stepper stride, "
+                "adapt) = {} vs this call's {}); resume with the same "
+                "settings".format(st_cfg, stride_cfg)
+            )
+
     # capture user-level argument identities BEFORE normalization wraps
     # them (the driver cache must key on stable user objects)
     _user_structs = (proxs_g, steps_g, Ls)
@@ -443,13 +465,8 @@ def bsdmm(
         body, _ = make_body(data_leaves)
 
         def runner(*x_blocks):
-            def cond(s):
-                return jnp.logical_and(
-                    s.it < s.it0 + max_iter,
-                    jnp.logical_not(jnp.all(s.converged)),
-                )
-
-            return jax.lax.while_loop(cond, body, init_state(x_blocks))
+            return jax.lax.while_loop(prog.cond, body,
+                                      init_state(x_blocks))
 
         return runner
 
@@ -472,13 +489,7 @@ def bsdmm(
             def run(x, leaves, resume):
                 body, init_zu_l = make_body(leaves)
                 state = init_state(x, init_zu=init_zu_l, resume=resume)
-
-                def cond(s):
-                    return jnp.logical_and(
-                        s.it < s.it0 + max_iter,
-                        jnp.logical_not(jnp.all(s.converged)),
-                    )
-                return jax.lax.while_loop(cond, body, state)
+                return jax.lax.while_loop(prog.cond, body, state)
 
             # not donated: donation pins the carry to HBM buffers and
             # defeats VMEM residency (2.6x slower on the pgm driver)
@@ -499,8 +510,7 @@ def bsdmm(
         state = compiled(tuple(x0), data_leaves, resume)
     else:
         state = init_state(x0, resume=resume)
-        while (int(state.it) < int(state.it0) + max_iter
-               and not bool(jnp.all(state.converged))):
+        while bool(prog.cond(state)):
             try:
                 callback(*[np.asarray(xj) for xj in state.x], it=int(state.it))
             except StopIteration:
@@ -525,5 +535,6 @@ def bsdmm(
         history=history,
         state={"z": state.z, "u": state.u, "steps_f": state.steps_f,
                "steps_g": state.steps_g,
-               "steps_state": state.steps_state, "it": state.it},
+               "steps_state": state.steps_state, "it": state.it,
+               "stride_config": stride_cfg},
     )

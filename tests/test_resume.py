@@ -847,3 +847,42 @@ def test_orbax_state_round_trips_exact_structure(tmp_path, rng,
                          solver_state=hs.state, use_orbax=True)
     ck2 = load_checkpoint(p2, use_orbax=True)
     assert ck2["solver_state"]["kind"] == "nmf_pgm_sharded"
+
+
+def test_admm_trace_resume_history_concatenates(rng, quad):
+    """Trace-mode resume: this-call history only (no trailing zero rows
+    from the carried global clock), concatenating to the uninterrupted
+    trace; .iterations/.total_iterations count THIS call."""
+    B, prox_f = quad
+    x0 = jnp.zeros((4, 12))
+    kw = dict(prox_g=operators.prox_plus, e_rel=1e-14, trace=True)
+
+    full = pt.admm(x0, prox_f, 0.7, max_iter=12, **kw)
+    half = pt.admm(x0, prox_f, 0.7, max_iter=5, **kw)
+    res = pt.admm(half.x, prox_f, 0.7, max_iter=7, state=half.state, **kw)
+    assert res.iterations == 7
+    assert res.total_iterations == 7
+    assert res.history.shape[0] == 7
+    np.testing.assert_array_equal(
+        np.concatenate([half.history, res.history]), full.history)
+
+
+def test_bsdmm_stride_mismatch_rejected(rng):
+    from proxmin_tpu.nmf import nmf
+
+    C, K, N = 4, 3, 32
+    Y = rng.random((C, K)) @ rng.random((K, N))
+    A0, S0 = rng.random((C, K)), rng.random((K, N))
+    W = rng.random((C, N)) + 0.5
+    half = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), W=W,
+               algorithm="bsdmm", e_rel=0.0, max_iter=10, step_stride=3)
+    with pytest.raises(ValueError, match="stride"):
+        nmf(Y, half.x[0], half.x[1], W=W, algorithm="bsdmm",
+            e_rel=0.0, max_iter=5, step_stride=5, state=half.state)
+    # unweighted path (static `it % steps_f_stride` phase) too
+    half_u = nmf(Y, jnp.asarray(A0), jnp.asarray(S0),
+                 algorithm="bsdmm", e_rel=0.0, max_iter=10,
+                 step_stride=3)
+    with pytest.raises(ValueError, match="stride"):
+        nmf(Y, half_u.x[0], half_u.x[1], algorithm="bsdmm",
+            e_rel=0.0, max_iter=5, step_stride=5, state=half_u.state)
