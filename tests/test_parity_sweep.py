@@ -165,3 +165,122 @@ def test_fused_adaprox_random_configs(trial):
     for a, b in zip(rx.x, rf.x):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-5)
+
+
+def _rand_prox_pair(rng, idx):
+    return PROX_PAIRS[idx]
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_admm_family_random_configs(trial):
+    """Randomized ADMM/SDMM parity vs the reference: random quadratic
+    prox_f target/curvature, random step, random constraint count
+    (admm when M == 1, sdmm when M > 1), random proxs and linear
+    operators (dense or identity), fixed iteration count, f64
+    round-off agreement."""
+    rng = np.random.default_rng(8000 + trial)
+    n = int(rng.integers(2, 5))
+    target = rng.normal(size=n)
+    curv = float(rng.uniform(0.5, 2.0))
+    step_f = float(rng.uniform(0.2, 0.8))
+    iters = int(rng.integers(5, 35))
+    M = int(rng.integers(1, 4))
+
+    def prox_f_np(v, step):
+        return (v + step * curv * target) / (1.0 + step * curv)
+
+    def prox_f_j(v, step):
+        return (v + step * curv * jnp.asarray(target)) / (1.0 + step * curv)
+
+    pidx = rng.integers(1, len(PROX_PAIRS), size=M)  # skip the None pair
+    Ls = []
+    for _ in range(M):
+        if rng.integers(0, 2):
+            Ls.append(rng.normal(size=(int(rng.integers(2, 5)), n)))
+        else:
+            Ls.append(None)
+
+    x_ref = np.array(rng.normal(size=n))
+    x0 = jnp.asarray(x_ref.copy())
+
+    if M == 1:
+        ref.admm(x_ref, prox_f_np, lambda X, it=None: step_f,
+                 prox_g=PROX_PAIRS[pidx[0]][0], L=Ls[0],
+                 e_rel=0, e_abs=0, max_iter=iters)
+        res = pt.admm(x0, prox_f_j, step_f,
+                      prox_g=PROX_PAIRS[pidx[0]][1],
+                      L=None if Ls[0] is None else jnp.asarray(Ls[0]),
+                      e_rel=0, e_abs=0, max_iter=iters)
+    else:
+        ref.sdmm(x_ref, prox_f_np, lambda X, it=None: step_f,
+                 proxs_g=[PROX_PAIRS[i][0] for i in pidx], Ls=Ls,
+                 e_rel=0, e_abs=0, max_iter=iters)
+        res = pt.sdmm(x0, prox_f_j, step_f,
+                      proxs_g=[PROX_PAIRS[i][1] for i in pidx],
+                      Ls=[None if L is None else jnp.asarray(L)
+                          for L in Ls],
+                      e_rel=0, e_abs=0, max_iter=iters)
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref, rtol=1e-9, atol=1e-11,
+        err_msg=f"admm-family M={M} iters={iters}")
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_bsdmm_random_configs(trial):
+    """Randomized bSDMM parity vs the reference: random block count /
+    sizes, coupled block proxs, per-block nested constraint lists
+    (0-2 each, random Ls), random update order and steps_g_update
+    policy, fixed iteration count, f64 round-off agreement."""
+    rng = np.random.default_rng(9000 + trial)
+    N = int(rng.integers(2, 4))
+    sizes = [int(rng.integers(1, 4)) for _ in range(N)]
+    targets = [rng.normal(size=s) for s in sizes]
+    couple = float(rng.uniform(0.0, 0.2))
+    step = float(rng.uniform(0.2, 0.7))
+    iters = int(rng.integers(5, 25))
+    order = tuple(rng.permutation(N).tolist())
+    policy = ["steps_f", "fixed", "relative"][int(rng.integers(0, 3))]
+
+    def proxs_f_np(x, step, Xs=None, j=None):
+        c = targets[j] + couple * float(np.sum(Xs[(j + 1) % N]))
+        return (x + step * c) / (1 + step)
+
+    def proxs_f_j(x, step, Xs=None, j=None):
+        c = (jnp.asarray(targets[j])
+             + couple * jnp.sum(Xs[(j + 1) % N]))
+        return (x + step * c) / (1 + step)
+
+    def steps_cb(Xs, j=None):
+        return step
+
+    proxs_g_np, proxs_g_j, Ls_np, Ls_j = [], [], [], []
+    for j in range(N):
+        Mj = int(rng.integers(0, 3))
+        pidx = rng.integers(1, len(PROX_PAIRS), size=Mj)
+        pg_np = [PROX_PAIRS[i][0] for i in pidx]
+        pg_j = [PROX_PAIRS[i][1] for i in pidx]
+        lj_np, lj_j = [], []
+        for _ in range(Mj):
+            if rng.integers(0, 2):
+                L = rng.normal(size=(int(rng.integers(1, 4)), sizes[j]))
+                lj_np.append(L)
+                lj_j.append(jnp.asarray(L))
+            else:
+                lj_np.append(None)
+                lj_j.append(None)
+        proxs_g_np.append(pg_np if Mj else None)
+        proxs_g_j.append(pg_j if Mj else None)
+        Ls_np.append(lj_np if Mj else None)
+        Ls_j.append(lj_j if Mj else None)
+
+    x_ref = [np.zeros(s) for s in sizes]
+    ref.bsdmm(x_ref, proxs_f_np, steps_cb, proxs_g=proxs_g_np,
+              Ls=Ls_np, update_order=list(order),
+              steps_g_update=policy, e_rel=0, max_iter=iters)
+    res = pt.bsdmm([jnp.zeros(s) for s in sizes], proxs_f_j, steps_cb,
+                   proxs_g=proxs_g_j, Ls=Ls_j, update_order=order,
+                   steps_g_update=policy, e_rel=0, max_iter=iters)
+    for j in range(N):
+        np.testing.assert_allclose(
+            np.asarray(res.x[j]), x_ref[j], rtol=1e-9, atol=1e-11,
+            err_msg=f"bsdmm block {j} order={order} policy={policy}")
