@@ -53,3 +53,28 @@ jax.block_until_ready((A1, S1, loss))
 assert np.isfinite(float(loss))
 assert A1.shape == (C, K) and S1.shape == (K, N_local * nproc)
 print(f"proc {pid}: sharded NMF step loss {float(loss):.4f} OK", flush=True)
+
+# the WHOLE-SOLVE explicit-collective path across the process group:
+# nmf_pgm_sharded on the 2-process mesh must match a process-local
+# single-device solve of the reconstructed global problem (f32
+# reduction-order tolerance)
+from proxmin_tpu.parallel import nmf_pgm_sharded
+
+Y_blocks = [np.random.default_rng(200 + p).random((C, N_local)).astype(np.float32)
+            for p in range(nproc)]
+S_blocks = [np.random.default_rng(100 + p).random((K, N_local)).astype(np.float32)
+            for p in range(nproc)]
+Y_global = np.concatenate(Y_blocks, axis=1)
+S_global = np.concatenate(S_blocks, axis=1)
+
+res = nmf_pgm_sharded(Yg, Ag, Sg, mesh=mesh, e_rel=0.0, max_iter=10)
+A_dist = np.asarray(res.x[0])  # replicated -> addressable everywhere
+
+from proxmin_tpu.nmf import nmf
+local = nmf(jnp.asarray(Y_global), jnp.asarray(A),
+            jnp.asarray(S_global), e_rel=0.0, max_iter=10)
+A_local = np.asarray(local.x[0])
+np.testing.assert_allclose(A_dist, A_local, rtol=2e-5, atol=2e-6)
+assert res.iterations == 10
+print(f"proc {pid}: whole-solve sharded nmf matches local "
+      f"(loss {res.loss:.5f}) OK", flush=True)

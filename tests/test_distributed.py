@@ -3,9 +3,12 @@ and the driver-facing multi-chip dryrun entry.
 
 The 2-process test is REAL multi-process JAX: two subprocesses form a
 distributed group over a localhost coordinator (CPU backend, one device
-each), build a global 2-device mesh, run a global psum and a sharded
-PGM-NMF training step (pixel-sharded Y/S, replicated A, psum'd grad_A)
-— the single-host stand-in for a TPU pod slice's per-host bring-up.
+each), build a global 2-device mesh, run a global psum, a sharded PGM-NMF
+training step (pixel-sharded Y/S, replicated A, psum'd grad_A), and
+the WHOLE-SOLVE explicit-collective path (nmf_pgm_sharded) checked
+against a process-local single-device solve of the reconstructed
+global problem — the single-host stand-in for a TPU pod slice's
+per-host bring-up.
 """
 
 import os
