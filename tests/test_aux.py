@@ -1,6 +1,7 @@
 """Auxiliary subsystems: device-side trace buffers, checkpoint/resume,
 misc reference-parity helpers (SURVEY.md §5)."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -1069,4 +1070,69 @@ def test_export_nmf_adaprox_solver_weighted(tmp_path, rng):
     r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
                                  max_iter=12, tile_n=128)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(r.x[1]),
+                               rtol=1e-6)
+
+
+def test_export_serves_without_library(tmp_path, rng):
+    """SERVING.md's AOT claim, proven end-to-end: a serialized solver
+    artifact is loaded in a CLEAN subprocess via raw
+    jax.export.deserialize — proxmin_tpu is never imported there — and
+    produces the same solve as the in-process runner."""
+    import subprocess
+    import sys as _sys
+
+    from proxmin_tpu.export import export_nmf_solver, save_exported
+
+    C, K, N = 4, 3, 256
+    blob = export_nmf_solver(C, K, N, e_rel=0.0, tile_n=128)
+    p = save_exported(str(tmp_path / "solver.bin"), blob)
+
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    np.savez(str(tmp_path / "problem.npz"), Y=Y, A0=A0, S0=S0)
+
+    script = (
+        "import sys\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "# one tiny eigh registers the LAPACK FFI targets the artifact's\n"
+        "# custom calls resolve against (lazy in jax; an unregistered\n"
+        "# target segfaults) — see SERVING.md\n"
+        "jnp.linalg.eigh(jnp.eye(2))\n"
+        "from jax import export as jax_export\n"
+        "blob = open(sys.argv[1], 'rb').read()\n"
+        "call = jax_export.deserialize(blob).call\n"
+        "d = np.load(sys.argv[2])\n"
+        "A1, S1, it, cA, cS, loss = call(d['A0'], d['S0'], d['Y'],\n"
+        "                                np.int32(15))\n"
+        "assert 'proxmin_tpu' not in sys.modules\n"
+        "np.savez(sys.argv[3], A1=np.asarray(A1), S1=np.asarray(S1),\n"
+        "         it=np.asarray(it))\n"
+        "print('served')\n"
+    )
+    out = str(tmp_path / "served.npz")
+    env = dict(os.environ)
+    # the serving process has no repo path (but keeps the environment's
+    # sitecustomize entries — dropping those crashes backend
+    # registration); the sys.modules assert below is the real proof
+    env["PYTHONPATH"] = os.pathsep.join(
+        p_ for p_ in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p_ and "repo" not in p_)
+    r = subprocess.run(
+        [_sys.executable, "-c", script, p,
+         str(tmp_path / "problem.npz"), out],
+        env=env, cwd=str(tmp_path), timeout=240, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert b"served" in r.stdout
+
+    served = np.load(out)
+    assert int(served["it"]) == 15
+    live = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                max_iter=15, tile_n=128)
+    np.testing.assert_allclose(served["A1"], np.asarray(live.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(served["S1"], np.asarray(live.x[1]),
                                rtol=1e-6)
