@@ -1213,7 +1213,23 @@ def nmf(
     if algorithm is None:
         algorithm = algorithms.pgm
     if isinstance(algorithm, str):
-        algorithm = getattr(algorithms, algorithm.lower())
+        try:
+            algorithm = getattr(algorithms, algorithm.lower())
+        except AttributeError:
+            raise ValueError(
+                f"unknown algorithm {algorithm!r}; nmf supports 'pgm', "
+                "'adaprox', and 'bsdmm' (reference nmf.py:141)"
+            ) from None
+
+    if (np.ndim(Y) != 2 or np.ndim(A) != 2 or np.ndim(S) != 2
+            or np.shape(A)[0] != np.shape(Y)[0]
+            or np.shape(A)[1] != np.shape(S)[0]
+            or np.shape(S)[1] != np.shape(Y)[1]):
+        raise ValueError(
+            f"factorization shape mismatch: Y {np.shape(Y)}, "
+            f"A {np.shape(A)}, S {np.shape(S)} — need Y (C, N), "
+            "A (C, K), S (K, N) with Y = A @ S"
+        )
 
     if algorithm_args.get("state", True) is None:
         # explicit state=None means "no resume": treat exactly like an

@@ -82,7 +82,23 @@ def tupleize(X):
     was_single = type(X) not in (list, tuple)
     X_seq = _as_tuple(X)
     originals = tuple(X_seq)
-    X_dev = tuple(jnp.asarray(x) for x in X_seq)
+
+    def to_dev(x):
+        a = jnp.asarray(x)
+        # integer/bool/half iterates promote to f32: the solvers carry
+        # f32-promoted step/momentum scalars, so a sub-f32 (or integer)
+        # x would change dtype across the while_loop body — an obscure
+        # carry-type crash (or silent garbage for ints; the NumPy
+        # reference promotes through float ufuncs). Reduced-precision
+        # STORAGE is the fused engines' store_dtype/moment_dtype.
+        if (jnp.issubdtype(a.dtype, jnp.integer)
+                or jnp.issubdtype(a.dtype, jnp.bool_)
+                or (jnp.issubdtype(a.dtype, jnp.floating)
+                    and jnp.finfo(a.dtype).bits < 32)):
+            a = a.astype(jnp.result_type(float))  # default float dtype
+        return a
+
+    X_dev = tuple(to_dev(x) for x in X_seq)
     return X_dev, originals, was_single
 
 
@@ -90,7 +106,9 @@ def writeback(originals, results):
     """Update NumPy inputs in place (reference in-place contract). JAX array
     inputs are immutable; callers use the returned ``.x`` instead."""
     for orig, res in zip(originals, results):
-        if isinstance(orig, np.ndarray):
+        # float ndarrays only: writing float results into an integer
+        # input (promoted to f32 by tupleize) would truncate silently
+        if isinstance(orig, np.ndarray) and orig.dtype.kind == "f":
             orig[...] = np.asarray(res)
 
 
@@ -100,7 +118,10 @@ def normalize_prox(prox, n_blocks):
     prox = _as_tuple(prox)
     if len(prox) == 1:
         prox = prox * n_blocks
-    assert len(prox) == n_blocks
+    assert len(prox) == n_blocks, (
+        f"got {len(prox)} prox operators for {n_blocks} variable "
+        "blocks (pass one per block, or a single prox to broadcast)"
+    )
     return tuple(p if p is not None else operators.prox_id for p in prox)
 
 

@@ -1136,3 +1136,42 @@ def test_export_serves_without_library(tmp_path, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(served["S1"], np.asarray(live.x[1]),
                                rtol=1e-6)
+
+
+def test_input_ux(rng):
+    """User-error UX: clear messages for common mistakes; half/int
+    iterates promote to f32 instead of crashing the while_loop carry."""
+    from proxmin_tpu import operators
+    from proxmin_tpu.nmf import nmf
+
+    C, K, N = 4, 3, 32
+    Y = rng.random((C, N)).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        nmf(Y, A0.T, S0, max_iter=3)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        nmf(Y, A0, rng.random((K + 1, N)).astype(np.float32), max_iter=3)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        nmf(Y, A0, S0, algorithm="newton", max_iter=3)
+
+    # half/integer iterates promote to f32 (reduced-precision STORAGE
+    # is the fused engines' store_dtype/moment_dtype)
+    r = nmf(Y.astype(np.float16), A0.astype(np.float16),
+            S0.astype(np.float16), max_iter=3)
+    assert jnp.asarray(r.x[1]).dtype == jnp.result_type(float)
+    r = nmf((Y * 10).astype(np.int32), A0, S0, max_iter=3)
+    assert np.isfinite(float(jnp.sum(jnp.asarray(r.x[1]))))
+
+    # an integer X block promotes too — and is NOT written back in
+    # place (float results would truncate silently)
+    x_int = np.array([3, -2])
+    res = pt.pgm(x_int, lambda x: x - jnp.ones(2), 0.5, max_iter=5)
+    assert jnp.asarray(res.x).dtype == jnp.result_type(float)
+    assert x_int.dtype.kind == "i" and x_int[0] == 3  # untouched
+
+    with pytest.raises(AssertionError, match="prox operators"):
+        pt.pgm([jnp.zeros(2)], lambda x: x, 0.5,
+               prox=[operators.prox_plus, operators.prox_plus],
+               max_iter=3)
