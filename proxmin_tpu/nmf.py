@@ -217,6 +217,18 @@ def _weighted_lipschitz_S(A, W, num_iters=48, v0=None, return_v=False):
     return lmax
 
 
+def _promote_if_needed(a):
+    """Half/integer inputs -> default float dtype; float32/float64
+    inputs (incl. NumPy arrays, whose object identity the in-place
+    writeback contract relies on, and host arrays destined for mesh
+    shardings) pass through untouched."""
+    if np.isscalar(a):
+        return a
+    from .solvers.common import promote_dtype_host
+
+    return promote_dtype_host(a)
+
+
 def _is_unweighted(W):
     """True for the scalar 1 (Python, NumPy or JAX scalar; the reference's
     ``W == 1`` convention, ``nmf.py:64`` — which itself crashes for array
@@ -756,9 +768,11 @@ def nmf_pgm_fused(
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin (skips the padding masks)
-    A = jnp.asarray(A)
-    S = jnp.asarray(S)
-    Y = jnp.asarray(Y)
+    from .solvers.common import promote_dtype
+
+    A = promote_dtype(A)
+    S = promote_dtype(S)
+    Y = promote_dtype(Y)
     C, K = A.shape
     N = S.shape[1]
     if W is not None and not _is_unweighted(W):
@@ -1007,9 +1021,11 @@ def nmf_adaprox_fused(
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin (skips the padding masks)
-    A = jnp.asarray(A)
-    S = jnp.asarray(S)
-    Y = jnp.asarray(Y)
+    from .solvers.common import promote_dtype
+
+    A = promote_dtype(A)
+    S = promote_dtype(S)
+    Y = promote_dtype(Y)
     C, K = A.shape
     N = S.shape[1]
     weighted = W is not None and not _is_unweighted(W)
@@ -1213,13 +1229,15 @@ def nmf(
     if algorithm is None:
         algorithm = algorithms.pgm
     if isinstance(algorithm, str):
-        try:
-            algorithm = getattr(algorithms, algorithm.lower())
-        except AttributeError:
+        if algorithm.lower() not in ("pgm", "adaprox", "bsdmm"):
+            # restrict to nmf's dispatch set: 'admm'/'sdmm' resolve as
+            # attributes but nmf has no routing for them and would die
+            # much later with an opaque message
             raise ValueError(
                 f"unknown algorithm {algorithm!r}; nmf supports 'pgm', "
                 "'adaprox', and 'bsdmm' (reference nmf.py:141)"
-            ) from None
+            )
+        algorithm = getattr(algorithms, algorithm.lower())
 
     if (np.ndim(Y) != 2 or np.ndim(A) != 2 or np.ndim(S) != 2
             or np.shape(A)[0] != np.shape(Y)[0]
@@ -1230,6 +1248,17 @@ def nmf(
             f"A {np.shape(A)}, S {np.shape(S)} — need Y (C, N), "
             "A (C, K), S (K, N) with Y = A @ S"
         )
+
+    # half/integer inputs promote to the default float dtype on EVERY
+    # engine route (XLA drivers promote in tupleize; the fused/sharded
+    # paths would otherwise run — or hang — in the input dtype).
+    # Same-or-wider float NumPy inputs pass through untouched so the
+    # reference's in-place writeback contract keeps their identity.
+    Y = _promote_if_needed(Y)
+    A = _promote_if_needed(A)
+    S = _promote_if_needed(S)
+    if not _is_unweighted(W) and np.ndim(W) == 2:
+        W = _promote_if_needed(W)
 
     if algorithm_args.get("state", True) is None:
         # explicit state=None means "no resume": treat exactly like an

@@ -138,6 +138,16 @@ def shard_nmf_problem(mesh, Y, A, S, W=None, data_axis="data",
     Returns ``(Y, A, S, W)`` as device arrays with NamedShardings; the
     ordinary solvers then run sharded (auto-SPMD path).
     """
+    from ..solvers.common import promote_dtype_host
+
+    # half/integer inputs promote to the default float dtype, matching
+    # the single-device solver boundary (the sharded while-loops carry
+    # float-promoted scalars too); host arrays stay host-side (see
+    # _put: no default-backend commitment)
+    Y, A, S = (promote_dtype_host(Y), promote_dtype_host(A),
+               promote_dtype_host(S))
+    if W is not None:
+        W = promote_dtype_host(W)
     n_data = _axis_size(mesh, data_axis)
     N = np.shape(Y)[1]
     if N % n_data != 0:

@@ -83,32 +83,61 @@ def tupleize(X):
     X_seq = _as_tuple(X)
     originals = tuple(X_seq)
 
-    def to_dev(x):
-        a = jnp.asarray(x)
-        # integer/bool/half iterates promote to f32: the solvers carry
-        # f32-promoted step/momentum scalars, so a sub-f32 (or integer)
-        # x would change dtype across the while_loop body — an obscure
-        # carry-type crash (or silent garbage for ints; the NumPy
-        # reference promotes through float ufuncs). Reduced-precision
-        # STORAGE is the fused engines' store_dtype/moment_dtype.
-        if (jnp.issubdtype(a.dtype, jnp.integer)
-                or jnp.issubdtype(a.dtype, jnp.bool_)
-                or (jnp.issubdtype(a.dtype, jnp.floating)
-                    and jnp.finfo(a.dtype).bits < 32)):
-            a = a.astype(jnp.result_type(float))  # default float dtype
-        return a
-
-    X_dev = tuple(to_dev(x) for x in X_seq)
+    # integer/bool/half iterates promote to the default float dtype:
+    # the solvers carry float-promoted step/momentum scalars, so a
+    # sub-f32 (or integer) x would change dtype across the while_loop
+    # body — an obscure carry-type crash (or silent garbage for ints;
+    # the NumPy reference promotes through float ufuncs).
+    # Reduced-precision STORAGE is the fused engines'
+    # store_dtype/moment_dtype.
+    X_dev = tuple(promote_dtype(x) for x in X_seq)
     return X_dev, originals, was_single
+
+
+def promote_dtype(a):
+    """Half/integer/bool arrays -> the default float dtype (the same
+    rule :func:`tupleize` applies at the solver boundary) — used by the
+    application layer so the fused/sharded engine routes get the same
+    promotion as the XLA drivers."""
+    a = jnp.asarray(a)
+    if (jnp.issubdtype(a.dtype, jnp.integer)
+            or jnp.issubdtype(a.dtype, jnp.bool_)
+            or (jnp.issubdtype(a.dtype, jnp.floating)
+                and jnp.finfo(a.dtype).bits < 32)):
+        a = a.astype(jnp.result_type(float))
+    return a
+
+
+def promote_dtype_host(a):
+    """Like :func:`promote_dtype`, but host (NumPy) inputs STAY host
+    arrays — no default-backend commitment. Used by the sharded path,
+    which device_puts straight to mesh shardings (a ``jnp.asarray``
+    here would bounce host data through the default backend first, or
+    fail when that backend is unavailable), and by ``nmf()``, where
+    untouched float NumPy inputs must keep their identity for the
+    in-place writeback contract."""
+    if isinstance(a, jax.Array):
+        return promote_dtype(a)
+    a = np.asarray(a)
+    if (a.dtype.kind in "iub"
+            or (a.dtype.kind == "f" and a.dtype.itemsize < 4)):
+        a = a.astype(np.dtype(jnp.result_type(float)))
+    return a
 
 
 def writeback(originals, results):
     """Update NumPy inputs in place (reference in-place contract). JAX array
     inputs are immutable; callers use the returned ``.x`` instead."""
     for orig, res in zip(originals, results):
-        # float ndarrays only: writing float results into an integer
-        # input (promoted to f32 by tupleize) would truncate silently
-        if isinstance(orig, np.ndarray) and orig.dtype.kind == "f":
+        # same-or-wider float ndarrays only: writing float results into
+        # an integer input (promoted by tupleize) or a NARROWER float
+        # (f16 input, f32 results) would truncate silently — the
+        # returned .x is the full-precision result. A wider original
+        # (f64 NumPy input, f32 compute) keeps the reference in-place
+        # contract: the upcast write is value-preserving.
+        if (isinstance(orig, np.ndarray) and orig.dtype.kind == "f"
+                and orig.dtype.itemsize
+                >= np.dtype(np.asarray(res).dtype).itemsize):
             orig[...] = np.asarray(res)
 
 
@@ -118,10 +147,13 @@ def normalize_prox(prox, n_blocks):
     prox = _as_tuple(prox)
     if len(prox) == 1:
         prox = prox * n_blocks
-    assert len(prox) == n_blocks, (
-        f"got {len(prox)} prox operators for {n_blocks} variable "
-        "blocks (pass one per block, or a single prox to broadcast)"
-    )
+    if len(prox) != n_blocks:
+        # the reference raises AssertionError here (algorithms.py:63);
+        # explicit raise so `python -O` keeps the check
+        raise AssertionError(
+            f"got {len(prox)} prox operators for {n_blocks} variable "
+            "blocks (pass one per block, or a single prox to broadcast)"
+        )
     return tuple(p if p is not None else operators.prox_id for p in prox)
 
 

@@ -1118,9 +1118,11 @@ def test_export_serves_without_library(tmp_path, rng):
     # the serving process has no repo path (but keeps the environment's
     # sitecustomize entries — dropping those crashes backend
     # registration); the sys.modules assert below is the real proof
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(pt.__file__)))
     env["PYTHONPATH"] = os.pathsep.join(
         p_ for p_ in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p_ and "repo" not in p_)
+        if p_ and os.path.abspath(p_) != repo_root)
     r = subprocess.run(
         [_sys.executable, "-c", script, p,
          str(tmp_path / "problem.npz"), out],
@@ -1175,3 +1177,27 @@ def test_input_ux(rng):
         pt.pgm([jnp.zeros(2)], lambda x: x, 0.5,
                prox=[operators.prox_plus, operators.prox_plus],
                max_iter=3)
+
+    # 'admm'/'sdmm' resolve as algorithms attributes but nmf has no
+    # routing for them — must get the clear error, not a late repr
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        nmf(Y, A0, S0, algorithm="admm", max_iter=3)
+
+    # the fused and sharded engine routes promote too (they bypass the
+    # XLA drivers' tupleize)
+    from proxmin_tpu.nmf import nmf_pgm_fused
+    r = nmf_pgm_fused(Y.astype(np.float16), A0.astype(np.float16),
+                      S0.astype(np.float16), e_rel=0.0, max_iter=3)
+    assert jnp.asarray(r.x[1]).dtype == jnp.result_type(float)
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+    r = nmf_pgm_sharded(Y.astype(np.float16), A0.astype(np.float16),
+                        S0.astype(np.float16), mesh=make_mesh(),
+                        e_rel=0.0, max_iter=3)
+    assert jnp.asarray(r.x[1]).dtype == jnp.result_type(float)
+
+    # an f16 NumPy input is NOT written back (f32 results would
+    # truncate); a same-width float input still is (reference contract)
+    a16 = A0.astype(np.float16)
+    before = a16.copy()
+    nmf(Y.astype(np.float16), a16, S0.astype(np.float16), max_iter=3)
+    np.testing.assert_array_equal(a16, before)
