@@ -886,3 +886,30 @@ def test_bsdmm_stride_mismatch_rejected(rng):
     with pytest.raises(ValueError, match="stride"):
         nmf(Y, half_u.x[0], half_u.x[1], algorithm="bsdmm",
             e_rel=0.0, max_iter=5, step_stride=5, state=half_u.state)
+
+
+def test_callback_mode_resume_exact(rng, quad):
+    """Callback-mode (host-loop) solves resume exactly too, and their
+    states interchange with the fused mode's: a callback half + callback
+    resume equals the fused uninterrupted run."""
+    H = jnp.asarray(np.diag([1.0, 0.05]))
+    grad = lambda x: H @ (x - jnp.ones(2))  # noqa: E731
+    x0 = jnp.asarray([-1.0, -1.0])
+    cb = lambda *X, it=None: None  # noqa: E731
+
+    full = pt.pgm(x0, grad, 1.0, accelerated=True, e_rel=0.0, max_iter=30)
+    half = pt.pgm(x0, grad, 1.0, accelerated=True, e_rel=0.0, max_iter=15,
+                  callback=cb)
+    res = pt.pgm(half.x, grad, 1.0, accelerated=True, e_rel=0.0,
+                 max_iter=15, callback=cb, state=half.state)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+
+    B, prox_f = quad
+    x0b = jnp.zeros((4, 12))
+    fa = pt.admm(x0b, prox_f, 0.7, prox_g=operators.prox_plus,
+                 e_rel=1e-14, max_iter=30)
+    ha = pt.admm(x0b, prox_f, 0.7, prox_g=operators.prox_plus,
+                 e_rel=1e-14, max_iter=15, callback=cb)
+    ra = pt.admm(ha.x, prox_f, 0.7, prox_g=operators.prox_plus,
+                 e_rel=1e-14, max_iter=15, callback=cb, state=ha.state)
+    np.testing.assert_array_equal(np.asarray(ra.x), np.asarray(fa.x))
