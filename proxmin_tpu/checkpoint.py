@@ -43,13 +43,23 @@ def _try_orbax():
         return None
 
 
-def _split(state):
+def _split(state, keep_jax=False):
     """Flatten a pytree into (flat array dict, static-leaf dict, treedef,
     n_leaves). Array-able leaves go to the array store; string/object
-    leaves (which tensorstore rejects) ride with the structure metadata."""
+    leaves (which tensorstore rejects) ride with the structure metadata.
+
+    ``keep_jax=True`` (the orbax path) leaves ``jax.Array`` leaves
+    as-is: orbax serializes global/sharded arrays natively, so
+    multi-host sharded solver states checkpoint without the
+    ``np.asarray`` host gather (which would fail outright on
+    non-addressable shards). The pickle path always converts to NumPy
+    (it is single-host by nature)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays, statics = {}, {}
     for i, leaf in enumerate(leaves):
+        if keep_jax and isinstance(leaf, jax.Array):
+            arrays[f"leaf_{i}"] = leaf
+            continue
         a = np.asarray(leaf)
         if a.dtype.kind in "USO":
             statics[i] = leaf
@@ -84,7 +94,7 @@ def save_checkpoint(path, tree=None, *, use_orbax=None, **named):
         state["__tree__"] = tree
     if use_orbax is None:
         use_orbax = _try_orbax() is not None
-    arrays, statics, treedef, n = _split(state)
+    arrays, statics, treedef, n = _split(state, keep_jax=use_orbax)
     meta = {"statics": statics, "treedef": treedef, "n": n}
 
     if use_orbax:
@@ -95,8 +105,19 @@ def save_checkpoint(path, tree=None, *, use_orbax=None, **named):
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, arrays, force=True)
         ckptr.wait_until_finished()
-        with open(_meta_path(path), "wb") as fh:
-            pickle.dump(meta, fh)
+        if jax.process_index() == 0:
+            # one writer for the structure sidecar (identical on every
+            # process; orbax handles the array store's coordination)
+            with open(_meta_path(path), "wb") as fh:
+                pickle.dump(meta, fh)
+        if jax.process_count() > 1:
+            # save returns only when the checkpoint (sidecar included)
+            # is durable on every process — otherwise a fast process
+            # could race ahead to load before process 0's sidecar lands
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                "proxmin_ckpt_save:" + path)
         return path
 
     if not path.endswith(".pkl"):
@@ -126,7 +147,17 @@ def load_checkpoint(path, like=None, *, use_orbax=None):
         path = os.path.abspath(path)
         target = None
         if like is not None:
-            target, _, _, _ = _split(like)
+            # abstract targets carrying the shardings: the restore then
+            # places shards process-locally — the multi-host path
+            # (concrete arrays as targets would make orbax fetch them,
+            # which fails on non-addressable shards)
+            target, _, _, _ = _split(like, keep_jax=True)
+            target = {
+                k: (jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                         sharding=v.sharding)
+                    if isinstance(v, jax.Array) else v)
+                for k, v in target.items()
+            }
         if os.path.exists(_meta_path(path)):
             with open(_meta_path(path), "rb") as fh:
                 meta = pickle.load(fh)

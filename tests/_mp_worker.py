@@ -78,3 +78,33 @@ np.testing.assert_allclose(A_dist, A_local, rtol=2e-5, atol=2e-6)
 assert res.iterations == 10
 print(f"proc {pid}: whole-solve sharded nmf matches local "
       f"(loss {res.loss:.5f}) OK", flush=True)
+
+# REAL multi-process checkpoint/resume: every process participates in an
+# orbax save of the sharded whole-solve state (pixel-sharded power
+# iterate included), restores it with sharded targets, and the resumed
+# solve matches the uninterrupted one exactly
+if len(sys.argv) > 4:
+    ckpt_dir = sys.argv[4]
+    from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    kw = dict(W=None, mesh=mesh, e_rel=0.0, step_adapt=True)
+    Wg = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data")),
+        (0.5 + np.random.default_rng(300 + pid).random(
+            (C, N_local)).astype(np.float32)))
+    full = nmf_pgm_sharded(Yg, Ag, Sg, W=Wg, mesh=mesh, e_rel=0.0,
+                           max_iter=24, step_adapt=True)
+    half = nmf_pgm_sharded(Yg, Ag, Sg, W=Wg, mesh=mesh, e_rel=0.0,
+                           max_iter=11, step_adapt=True)
+    path = save_checkpoint(ckpt_dir + "/pod_state",
+                           solver_state=half.state, use_orbax=True)
+    ck = load_checkpoint(path, like={"solver_state": half.state},
+                         use_orbax=True)
+    res = nmf_pgm_sharded(
+        Yg, half.x[0], half.x[1], W=Wg, mesh=mesh, e_rel=0.0,
+        max_iter=13, step_adapt=True, state=ck["solver_state"])
+    A_res = np.asarray(res.x[0])
+    A_full = np.asarray(full.x[0])
+    np.testing.assert_array_equal(A_res, A_full)
+    print(f"proc {pid}: multi-process orbax checkpoint resume exact OK",
+          flush=True)

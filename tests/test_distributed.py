@@ -115,3 +115,29 @@ def test_initialize_distributed_reraises_configured_failures(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", not_configured)
     info = initialize_distributed()    # benign: single-process fallback
     assert info.process_count >= 1
+
+def test_two_process_orbax_checkpoint_resume(tmp_path):
+    """REAL multi-process preemption drill: two processes run the
+    sharded whole-solve, collectively orbax-checkpoint its state
+    (sharded power iterate included, no host gather), restore with
+    sharded targets, and resume — bit-identical to uninterrupted on
+    every process."""
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    addr = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    env["XLA_FLAGS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, addr, "2", str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-1200:]}"
+        assert "multi-process orbax checkpoint resume exact OK" in out
