@@ -913,3 +913,23 @@ def test_callback_mode_resume_exact(rng, quad):
     ra = pt.admm(ha.x, prox_f, 0.7, prox_g=operators.prox_plus,
                  e_rel=1e-14, max_iter=15, callback=cb, state=ha.state)
     np.testing.assert_array_equal(np.asarray(ra.x), np.asarray(fa.x))
+
+
+def test_bsdmm_trace_resume_history_concatenates(rng):
+    """bsdmm trace-mode resume: local history only, concatenating to the
+    uninterrupted trace (the continued sweep clock indexes via it-it0)."""
+    def proxs_f(x, step, Xs=None, j=None):
+        c = jnp.asarray([1.0, 0.5])
+        return (x + step * c) / (1 + step)
+
+    pg = lambda v, step: jnp.maximum(v, 0)  # noqa: E731
+    kw = dict(proxs_g=[[pg]], e_rel=0.0, trace=True)
+    steps = lambda Xs, j=None: 0.5  # noqa: E731
+
+    full = pt.bsdmm([jnp.zeros(2)], proxs_f, steps, max_iter=20, **kw)
+    half = pt.bsdmm([jnp.zeros(2)], proxs_f, steps, max_iter=9, **kw)
+    res = pt.bsdmm([half.x[0]], proxs_f, steps, max_iter=11,
+                   state=half.state, **kw)
+    assert res.iterations == 11
+    np.testing.assert_array_equal(
+        np.concatenate([half.history, res.history]), full.history)
