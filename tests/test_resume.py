@@ -933,3 +933,35 @@ def test_bsdmm_trace_resume_history_concatenates(rng):
     assert res.iterations == 11
     np.testing.assert_array_equal(
         np.concatenate([half.history, res.history]), full.history)
+
+
+def test_sharded_elastic_resume_different_mesh_size(rng, sharded_problem):
+    """Elastic pod resume: a state checkpointed on an 8-device mesh
+    resumes on a 4-device mesh (and vice versa) — the carried pixel-
+    sharded power iterate reshards to the new mesh; agreement is at
+    reduction-order rounding (different shard counts sum in different
+    orders), not bit-exact."""
+    import jax
+    import jax.tree_util as jtu
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    Y, A0, S0, W = sharded_problem
+    kw = dict(W=W, e_rel=0.0, step_adapt=True)
+    mesh8 = make_mesh(devices=jax.devices()[:8])
+    mesh4 = make_mesh(devices=jax.devices()[:4])
+
+    full = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh8,
+                           max_iter=40, **kw)
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh8,
+                           max_iter=19, **kw)
+    # host round trip, as a real checkpoint/restore on the new pod would
+    state_host = jtu.tree_map(
+        lambda a: np.asarray(a) if isinstance(a, jax.Array) else a,
+        half.state)
+    for mesh in (mesh4, mesh8):
+        res = nmf_pgm_sharded(Y, np.asarray(half.x[0]).copy(),
+                              np.asarray(half.x[1]).copy(), mesh=mesh,
+                              max_iter=21, state=state_host, **kw)
+        np.testing.assert_allclose(np.asarray(res.x[0]),
+                                   np.asarray(full.x[0]),
+                                   rtol=1e-10, atol=1e-12)
