@@ -249,10 +249,12 @@ def _promote_W(W, Y):
     Y = jnp.asarray(Y)
     if np.isscalar(W) or getattr(W, "ndim", None) == 0:
         return jnp.full(Y.shape, W, Y.dtype)
-    W = jnp.asarray(W)
+    from .solvers.common import promote_dtype
+
+    W = promote_dtype(W)  # half/int weights -> float (every engine)
     if W.shape != Y.shape:
         return jnp.broadcast_to(W, Y.shape).astype(Y.dtype)
-    return W
+    return W.astype(Y.dtype)
 
 
 def step_pgm(*X, it=None, W=1):
@@ -782,7 +784,7 @@ def nmf_pgm_fused(
             step_stride, adapt=bool(step_adapt),
         )
         A_f, S_f, it, conv_A, conv_S, loss = run(
-            A, S, Y, jnp.asarray(W), max_iter
+            A, S, Y, _promote_W(W, Y), max_iter
         )
     else:
         if step_adapt:

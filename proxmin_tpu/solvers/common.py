@@ -119,8 +119,13 @@ def promote_dtype_host(a):
     if isinstance(a, jax.Array):
         return promote_dtype(a)
     a = np.asarray(a)
-    if (a.dtype.kind in "iub"
-            or (a.dtype.kind == "f" and a.dtype.itemsize < 4)):
+    dt = jnp.dtype(a.dtype)  # jnp predicates know ml_dtypes (bfloat16,
+    #                          float8: NumPy kind 'V', invisible to a
+    #                          kind-based check)
+    if (jnp.issubdtype(dt, jnp.integer)
+            or jnp.issubdtype(dt, jnp.bool_)
+            or (jnp.issubdtype(dt, jnp.floating)
+                and jnp.finfo(dt).bits < 32)):
         a = a.astype(np.dtype(jnp.result_type(float)))
     return a
 
@@ -137,7 +142,7 @@ def writeback(originals, results):
         # contract: the upcast write is value-preserving.
         if (isinstance(orig, np.ndarray) and orig.dtype.kind == "f"
                 and orig.dtype.itemsize
-                >= np.dtype(np.asarray(res).dtype).itemsize):
+                >= jnp.dtype(res.dtype).itemsize):
             orig[...] = np.asarray(res)
 
 

@@ -87,7 +87,6 @@ if len(sys.argv) > 4:
     ckpt_dir = sys.argv[4]
     from proxmin_tpu.checkpoint import load_checkpoint, save_checkpoint
 
-    kw = dict(W=None, mesh=mesh, e_rel=0.0, step_adapt=True)
     Wg = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(None, "data")),
         (0.5 + np.random.default_rng(300 + pid).random(

@@ -46,9 +46,13 @@ def test_initialize_distributed_single_process_idempotent():
     assert b"ok" in r.stdout
 
 
-def test_two_process_group_psum_and_sharded_nmf_step():
-    """Two processes -> one global mesh -> collective psum + a sharded
-    NMF training step with identical loss on every process."""
+def test_two_process_group_psum_and_sharded_nmf_step(tmp_path):
+    """Two processes -> one global mesh -> collective psum, a sharded
+    NMF training step with identical loss on every process, the
+    whole-solve path vs a local oracle, and a collective orbax
+    checkpoint of the sharded state restored + resumed bit-exactly
+    (one bring-up covers all phases; a second full 2-process
+    bring-up would double the slowest test for no extra coverage)."""
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     addr = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ,
@@ -59,7 +63,8 @@ def test_two_process_group_psum_and_sharded_nmf_step():
     env["XLA_FLAGS"] = ""
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, addr, "2", str(i)], env=env,
+            [sys.executable, worker, addr, "2", str(i), str(tmp_path)],
+            env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(2)
@@ -69,9 +74,10 @@ def test_two_process_group_psum_and_sharded_nmf_step():
         out, _ = p.communicate(timeout=240)
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i}:\n{out[-800:]}"
+        assert p.returncode == 0, f"proc {i}:\n{out[-1200:]}"
         assert "global sum 12.0 OK" in out
         assert "sharded NMF step" in out
+        assert "multi-process orbax checkpoint resume exact OK" in out
     # both processes computed the identical global loss
     l0 = [ln for ln in outs[0].splitlines() if "loss" in ln][0].split()[-2]
     l1 = [ln for ln in outs[1].splitlines() if "loss" in ln][0].split()[-2]
@@ -115,29 +121,3 @@ def test_initialize_distributed_reraises_configured_failures(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", not_configured)
     info = initialize_distributed()    # benign: single-process fallback
     assert info.process_count >= 1
-
-def test_two_process_orbax_checkpoint_resume(tmp_path):
-    """REAL multi-process preemption drill: two processes run the
-    sharded whole-solve, collectively orbax-checkpoint its state
-    (sharded power iterate included, no host gather), restore with
-    sharded targets, and resume — bit-identical to uninterrupted on
-    every process."""
-    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
-    addr = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ,
-               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
-    env["XLA_FLAGS"] = ""
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, addr, "2", str(i), str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out.decode())
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i}:\n{out[-1200:]}"
-        assert "multi-process orbax checkpoint resume exact OK" in out
