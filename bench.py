@@ -423,9 +423,11 @@ def main():
     if not _backend_alive():
         log("FATAL: accelerator backend unreachable (remote-tunnel "
             "outage) — benchmark cannot run. Last measured numbers are "
-            "recorded in benchmarks/results_r2.json "
-            "(unweighted 0.09 ms/iter ~1200-1600x NumPy, weighted "
-            "stride-10 0.31 ms/iter, e2e 2000 iters 0.27 s).")
+            "recorded in benchmarks/results_r4.json and "
+            "docs/BENCHMARKS.md (unweighted 0.07-0.10 ms/iter "
+            "~1100-1600x NumPy, weighted adaptive 0.10-0.17 ms/iter, "
+            "adaprox fused-bf16m 0.13-0.16 ms/iter, e2e 2000 iters "
+            "~0.28 s).")
         sys.exit(1)
 
     Y, A0, S0, W = make_problem(weighted=True)
