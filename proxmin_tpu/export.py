@@ -36,6 +36,7 @@ from .nmf import (
 
 __all__ = [
     "export_nmf_solver", "export_nmf_adaprox_solver",
+    "export_nmf_pgm_sharded",
     "export_pgm_solver", "export_adaprox_solver",
     "export_admm_solver", "export_sdmm_solver", "export_bsdmm_solver",
     "load_solver", "save_exported", "load_exported",
@@ -333,6 +334,83 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
             jax.ShapeDtypeStruct((K, N), mdt),
         ]
     return jax_export.export(run)(*args).serialize()
+
+
+def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
+                           prox_S=operators.prox_plus, e_rel=1e-3,
+                           weighted=False, step_stride=None,
+                           step_adapt=False, data_axis="data",
+                           model_axis=None, dtype=jnp.float32,
+                           platforms=None):
+    """Serialize the explicit-collective sharded whole-solve
+    (:func:`proxmin_tpu.parallel.nmf_pgm_sharded`'s computation) as a
+    multi-chip serving artifact.
+
+    The artifact embeds the full ``shard_map`` while-loop — pinned
+    collective layout included (one (C,K) ``psum`` per iteration plus
+    scalar convergence reductions; see ``tests/test_collective_layout``)
+    — for a fixed mesh TOPOLOGY: shape, axis names, and the factor
+    layout ``A:(model,·) S:(·,data) Y/W:(model,data)``. Loading requires
+    a mesh with the same device count (device *identities* may differ —
+    a pod restart serves the same artifact).
+
+    Executable signature ``(A, S, Y, max_iter) -> (A', S', it, conv_A,
+    conv_S, loss)`` — weighted inserts ``W: (C,N)`` after ``Y``
+    (:func:`export_nmf_solver` ordering). ``max_iter`` is a runtime
+    (replicated i32) argument: one artifact serves any iteration
+    budget. Inputs must be committed to the serving mesh with the
+    layout above (``parallel.shard_nmf_problem`` does this).
+
+    ``step_stride``/``step_adapt`` bake the segmented strided Lipschitz
+    refresh (warm-started sharded power iteration) exactly as in
+    ``nmf_pgm_sharded``. ``platforms`` (e.g. ``("tpu", "cpu")``) lowers
+    a multi-platform artifact — the sharded solve contains no
+    platform-specific custom calls (its spectral bounds are power
+    iterations, not LAPACK), so cross-platform export is safe; default
+    is the current backend, matching the other export functions.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import _build_pgm_solve
+
+    if prox_A is None:
+        prox_A = operators.prox_id
+    if prox_S is None:
+        prox_S = operators.prox_id
+    weighted = bool(weighted)
+
+    def run(A, S, Y, *rest):
+        # max_iter is last; weighted adds W after Y. The traced scalar
+        # closes into the shard_map body (replicated), so the artifact
+        # takes the iteration budget at call time.
+        if weighted:
+            W, max_iter = rest
+        else:
+            (max_iter,) = rest
+            W = Y  # dead argument on the unweighted path (D = R)
+        solve = _build_pgm_solve(
+            mesh, weighted, prox_A, prox_S, float(e_rel), max_iter,
+            data_axis, model_axis, step_stride, bool(step_adapt),
+        )
+        # strided variants return resume carries too; the serving
+        # artifact keeps the uniform 6-output signature
+        return solve(A, S, Y, W)[:6]
+
+    def sds(shape, spec, dt=dtype):
+        return jax.ShapeDtypeStruct(
+            shape, dt, sharding=NamedSharding(mesh, spec))
+
+    args = [
+        sds((C, K), P(model_axis, None)),
+        sds((K, N), P(None, data_axis)),
+        sds((C, N), P(model_axis, data_axis)),
+    ]
+    if weighted:
+        args.append(sds((C, N), P(model_axis, data_axis)))
+    args.append(sds((), P(), jnp.int32))
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
 
 
 def load_solver(blob):

@@ -511,3 +511,152 @@ def test_sharded_solve_step_adapt(rng):
     r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, mesh=mesh, e_rel=0,
                    max_iter=60, step_adapt=True)
     assert r.iterations == 60
+
+
+# ---------------------------------------------------------------------------
+# multi-chip serving artifacts (export of the sharded whole-solve)
+
+def _f32_problem(rng, C=6, K=3, N=64):
+    A_true = rng.random((C, K)).astype(np.float32)
+    S_true = rng.random((K, N)).astype(np.float32)
+    Y = (A_true @ S_true
+         + 0.01 * rng.standard_normal((C, N))).astype(np.float32)
+    return Y, rng.random((C, K)).astype(np.float32), \
+        rng.random((K, N)).astype(np.float32)
+
+
+def _put_sharded(mesh, Y, A0, S0, W=None):
+    from jax.sharding import NamedSharding
+
+    put = lambda x, spec: jax.device_put(  # noqa: E731
+        jnp.asarray(x), NamedSharding(mesh, spec))
+    out = (put(A0, P(None, None)), put(S0, P(None, "data")),
+           put(Y, P(None, "data")))
+    if W is not None:
+        out += (put(W, P(None, "data")),)
+    return out + (jax.device_put(jnp.int32(0),
+                                 NamedSharding(mesh, P())),)
+
+
+def test_export_sharded_roundtrip_runtime_max_iter(rng):
+    """The exported sharded whole-solve artifact reproduces
+    nmf_pgm_sharded exactly, and ONE artifact serves different runtime
+    iteration budgets (max_iter is a replicated runtime scalar)."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    mesh = make_mesh()
+    blob = export_nmf_pgm_sharded(mesh, 6, 3, 64, e_rel=0.0)
+    call = jax_export.deserialize(blob).call
+
+    A_d, S_d, Y_d, _ = _put_sharded(mesh, Y, A0, S0)
+    mi = lambda n: jax.device_put(  # noqa: E731
+        jnp.int32(n), NamedSharding(mesh, P()))
+    for n in (7, 20):
+        A1, S1, it, cA, cS, loss = call(A_d, S_d, Y_d, mi(n))
+        assert int(it) == n
+        ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                              e_rel=0, max_iter=n)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(ref.x[0]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(ref.x[1]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(loss), ref.loss, rtol=1e-5)
+
+
+def test_export_sharded_weighted_strided(rng):
+    """Weighted + segmented strided refresh bakes into the artifact and
+    matches the live sharded solve."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+    mesh = make_mesh()
+    blob = export_nmf_pgm_sharded(mesh, 6, 3, 64, e_rel=0.0,
+                                  weighted=True, step_stride=4)
+    call = jax_export.deserialize(blob).call
+
+    A_d, S_d, Y_d, W_d, _ = _put_sharded(mesh, Y, A0, S0, W)
+    n = jax.device_put(jnp.int32(13), NamedSharding(mesh, P()))
+    A1, S1, it, cA, cS, loss = call(A_d, S_d, Y_d, W_d, n)
+    assert int(it) == 13
+    ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                          e_rel=0, max_iter=13, step_stride=4)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(ref.x[1]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(loss), ref.loss, rtol=1e-5)
+
+
+def test_export_sharded_serves_without_library(tmp_path, rng):
+    """Pod-serving claim end-to-end: the sharded artifact is loaded in a
+    CLEAN subprocess (8 virtual devices, proxmin_tpu never imported),
+    driven on a fresh mesh, and matches the in-process sharded solve."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded, save_exported
+
+    Y, A0, S0 = _f32_problem(rng)
+    mesh = make_mesh()
+    blob = export_nmf_pgm_sharded(mesh, 6, 3, 64, e_rel=0.0)
+    p = save_exported(str(tmp_path / "sharded.bin"), blob)
+    np.savez(str(tmp_path / "problem.npz"), Y=Y, A0=A0, S0=S0)
+
+    script = (
+        "import sys\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import Mesh, NamedSharding\n"
+        "from jax.sharding import PartitionSpec as P\n"
+        "from jax import export as jax_export\n"
+        "assert jax.device_count() >= 8, jax.devices()\n"
+        "mesh = Mesh(np.array(jax.devices()[:8]), ('data',))\n"
+        "call = jax_export.deserialize(\n"
+        "    open(sys.argv[1], 'rb').read()).call\n"
+        "d = np.load(sys.argv[2])\n"
+        "put = lambda x, s: jax.device_put(jnp.asarray(x),\n"
+        "                                  NamedSharding(mesh, s))\n"
+        "out = call(put(d['A0'], P(None, None)),\n"
+        "           put(d['S0'], P(None, 'data')),\n"
+        "           put(d['Y'], P(None, 'data')),\n"
+        "           put(jnp.int32(15), P()))\n"
+        "assert 'proxmin_tpu' not in sys.modules\n"
+        "np.savez(sys.argv[3], A1=np.asarray(out[0]),\n"
+        "         S1=np.asarray(out[1]), it=np.asarray(out[2]))\n"
+        "print('served-sharded')\n"
+    )
+    out = str(tmp_path / "served.npz")
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(pt.__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p_ for p_ in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p_ and os.path.abspath(p_) != repo_root)
+    r = subprocess.run(
+        [_sys.executable, "-c", script, p,
+         str(tmp_path / "problem.npz"), out],
+        env=env, cwd=str(tmp_path), timeout=240, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert b"served-sharded" in r.stdout
+
+    served = np.load(out)
+    assert int(served["it"]) == 15
+    ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=make_mesh(),
+                          e_rel=0, max_iter=15)
+    np.testing.assert_allclose(served["A1"], np.asarray(ref.x[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(served["S1"], np.asarray(ref.x[1]),
+                               rtol=1e-6)
