@@ -341,7 +341,7 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
                            weighted=False, step_stride=None,
                            step_adapt=False, data_axis="data",
                            model_axis=None, dtype=jnp.float32,
-                           platforms=None):
+                           resume=False, platforms=None):
     """Serialize the explicit-collective sharded whole-solve
     (:func:`proxmin_tpu.parallel.nmf_pgm_sharded`'s computation) as a
     multi-chip serving artifact.
@@ -368,6 +368,18 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     platform-specific custom calls (its spectral bounds are power
     iterations, not LAPACK), so cross-platform export is safe; default
     is the current backend, matching the other export functions.
+
+    ``resume=True`` exports the exact-warm-restart variant for
+    preempted pod solves: the signature appends the carried clock(s)
+    after ``max_iter`` — ``it0: i32`` always; strided configurations
+    add ``(step_A, step_S, stride: i32, seg_end: i32)`` and weighted
+    strided ones a ``v: (N, K)`` pixel-sharded power iterate. Strided
+    artifacts (fresh or resume) return those same carries appended
+    after ``loss``, so a continuation can start from any artifact's
+    outputs or from a live solve's ``.state`` (or its
+    ``proxmin_tpu.checkpoint`` restore) — the continuation reproduces
+    the uninterrupted trajectory exactly. ``max_iter`` counts the
+    additional iterations, like ``nmf_pgm_sharded(state=...)``.
     """
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
@@ -379,23 +391,30 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     if prox_S is None:
         prox_S = operators.prox_id
     weighted = bool(weighted)
+    resume = bool(resume)
+    strided = (step_stride is not None and step_stride > 1) or step_adapt
 
     def run(A, S, Y, *rest):
-        # max_iter is last; weighted adds W after Y. The traced scalar
-        # closes into the shard_map body (replicated), so the artifact
-        # takes the iteration budget at call time.
+        # max_iter (and the resume carries) ride after Y/W. The traced
+        # scalars close into the shard_map body (replicated), so the
+        # artifact takes the iteration budget at call time.
         if weighted:
-            W, max_iter = rest
+            W, max_iter, *rargs = rest
         else:
-            (max_iter,) = rest
+            max_iter, *rargs = rest
             W = Y  # dead argument on the unweighted path (D = R)
         solve = _build_pgm_solve(
             mesh, weighted, prox_A, prox_S, float(e_rel), max_iter,
             data_axis, model_axis, step_stride, bool(step_adapt),
+            resume=resume,
         )
-        # strided variants return resume carries too; the serving
-        # artifact keeps the uniform 6-output signature
-        return solve(A, S, Y, W)[:6]
+        outs = solve(A, S, Y, W, *rargs)
+        # strided and resume artifacts return the carries, so a later
+        # continuation can start from ANY artifact's outputs (not only
+        # from a live solve's checkpoint); unstrided fresh artifacts
+        # keep the minimal 6-output signature (their only carry, the
+        # clock, is output #3)
+        return outs if (resume or strided) else outs[:6]
 
     def sds(shape, spec, dt=dtype):
         return jax.ShapeDtypeStruct(
@@ -409,6 +428,14 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     if weighted:
         args.append(sds((C, N), P(model_axis, data_axis)))
     args.append(sds((), P(), jnp.int32))
+    if resume:
+        args.append(sds((), P(), jnp.int32))          # it0
+        if strided:
+            args += [sds((), P()), sds((), P()),      # step_A, step_S
+                     sds((), P(), jnp.int32),         # stride
+                     sds((), P(), jnp.int32)]         # seg_end
+            if weighted:
+                args.append(sds((N, K), P(data_axis, None)))  # v
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
 

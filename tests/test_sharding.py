@@ -584,7 +584,10 @@ def test_export_sharded_weighted_strided(rng):
 
     A_d, S_d, Y_d, W_d, _ = _put_sharded(mesh, Y, A0, S0, W)
     n = jax.device_put(jnp.int32(13), NamedSharding(mesh, P()))
-    A1, S1, it, cA, cS, loss = call(A_d, S_d, Y_d, W_d, n)
+    outs = call(A_d, S_d, Y_d, W_d, n)
+    # strided artifacts append the resume carries after loss
+    assert len(outs) == 11
+    A1, S1, it, cA, cS, loss = outs[:6]
     assert int(it) == 13
     ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
                           e_rel=0, max_iter=13, step_stride=4)
@@ -660,3 +663,68 @@ def test_export_sharded_serves_without_library(tmp_path, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(served["S1"], np.asarray(ref.x[1]),
                                rtol=1e-6)
+
+
+def test_export_sharded_cross_platform(rng):
+    """platforms=('tpu','cpu'): the sharded artifact lowers for both
+    platforms (no platform-specific custom calls) and serves on CPU."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded
+
+    Y, A0, S0 = _f32_problem(rng, C=4, K=3, N=64)
+    mesh = make_mesh()
+    blob = export_nmf_pgm_sharded(mesh, 4, 3, 64, e_rel=0.0,
+                                  platforms=("tpu", "cpu"))
+    exp = jax_export.deserialize(blob)
+    assert set(exp.platforms) == {"tpu", "cpu"}
+    A_d, S_d, Y_d, _ = _put_sharded(mesh, Y, A0, S0)
+    n = jax.device_put(jnp.int32(9), NamedSharding(mesh, P()))
+    A1, S1, it, *_ = exp.call(A_d, S_d, Y_d, n)
+    assert int(it) == 9
+    ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                          e_rel=0, max_iter=9)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(ref.x[1]),
+                               rtol=1e-6)
+
+
+def test_export_sharded_artifact_only_resume(rng):
+    """Preemption entirely through artifacts: a fresh weighted strided
+    artifact runs 10 iterations, its returned carries feed the
+    resume=True artifact for 15 more, and the result matches the live
+    uninterrupted 25-iteration sharded solve exactly."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+    mesh = make_mesh()
+    kw = dict(e_rel=0.0, weighted=True, step_stride=4)
+    fresh = jax_export.deserialize(
+        export_nmf_pgm_sharded(mesh, 6, 3, 64, **kw)).call
+    cont = jax_export.deserialize(
+        export_nmf_pgm_sharded(mesh, 6, 3, 64, resume=True, **kw)).call
+
+    A_d, S_d, Y_d, W_d, _ = _put_sharded(mesh, Y, A0, S0, W)
+    rep = lambda v: jax.device_put(v, NamedSharding(mesh, P()))  # noqa: E731
+
+    outs = fresh(A_d, S_d, Y_d, W_d, rep(jnp.int32(10)))
+    A_m, S_m, it = outs[0], outs[1], outs[2]
+    sA, sS, stride, seg_end, v = outs[6:]
+    assert int(it) == 10
+
+    outs2 = cont(A_m, S_m, Y_d, W_d, rep(jnp.int32(15)),
+                 rep(jnp.asarray(it, jnp.int32)), rep(sA), rep(sS),
+                 rep(jnp.asarray(stride, jnp.int32)),
+                 rep(jnp.asarray(seg_end, jnp.int32)), v)
+    assert int(outs2[2]) == 25
+
+    ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                          e_rel=0, max_iter=25, step_stride=4)
+    np.testing.assert_allclose(np.asarray(outs2[1]), np.asarray(ref.x[1]),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(outs2[0]), np.asarray(ref.x[0]),
+                               rtol=0, atol=0)
