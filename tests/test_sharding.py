@@ -728,3 +728,27 @@ def test_export_sharded_artifact_only_resume(rng):
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(outs2[0]), np.asarray(ref.x[0]),
                                rtol=0, atol=0)
+
+
+def test_export_sharded_2d_mesh(rng):
+    """The artifact bakes a 2-D TP×DP topology too (model-sharded A/Y
+    rows, data-sharded pixels) and matches the live 2-D sharded solve."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_pgm_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    mesh = make_mesh(shape=(4, 2))
+    blob = export_nmf_pgm_sharded(mesh, 6, 3, 64, e_rel=0.0,
+                                  model_axis="model")
+    call = jax_export.deserialize(blob).call
+    put = lambda x, s: jax.device_put(  # noqa: E731
+        jnp.asarray(x), NamedSharding(mesh, s))
+    out = call(put(A0, P("model", None)), put(S0, P(None, "data")),
+               put(Y, P("model", "data")),
+               jax.device_put(jnp.int32(12), NamedSharding(mesh, P())))
+    ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                          model_axis="model", e_rel=0, max_iter=12)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref.x[1]),
+                               rtol=1e-6)
