@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import utils
-from ..utils import make_stepper, fixed_point_converged, l2sq
+from ..utils import (make_stepper, fixed_point_norms,
+                     fixed_point_verdict, l2sq)
 from .common import (
     DriverCache,
     SolverResult,
@@ -316,26 +317,28 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
             V_new.append(Vj)
             Vhat_new.append(Vhatj)
 
-        if check_convergence:
-            converged = jnp.stack([
-                fixed_point_converged(x_new[j], state.x[j], e_rel[j])
-                for j in range(n)
-            ])
+        history = state.history
+        if check_convergence or trace:
+            # reuse one pair of reductions per block for the convergence
+            # test, the divergence detector and the trace residual
+            norms = [fixed_point_norms(x_new[j], state.x[j])
+                     for j in range(n)]
+            verdicts = [fixed_point_verdict(d, nx, e_rel[j])
+                        for j, (d, nx) in enumerate(norms)]
+            converged = (jnp.stack([c for c, _ in verdicts])
+                         if check_convergence else state.converged)
+            finite = jnp.stack([fin for _, fin in verdicts]).all()
+            if trace:
+                res = jnp.stack([
+                    jnp.sqrt(d / jnp.maximum(nx, 1e-30))
+                    for d, nx in norms
+                ])
+                history = history.at[it].set(res.astype(history.dtype))
         else:
             converged = state.converged
-
-        history = state.history
-        if trace:
-            res = jnp.stack([
-                jnp.sqrt(l2sq(x_new[j] - state.x[j])
-                         / jnp.maximum(l2sq(x_new[j]), 1e-30))
-                for j in range(n)
-            ])
-            history = history.at[it].set(res.astype(history.dtype))
-
-        finite = jnp.stack([
-            jnp.all(jnp.isfinite(x_new[j])) for j in range(n)
-        ]).all()
+            finite = jnp.stack([
+                jnp.all(jnp.isfinite(x_new[j])) for j in range(n)
+            ]).all()
 
         return AdaProxState(
             x=tuple(x_new),

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import utils
-from ..utils import make_stepper, nesterov_next, fixed_point_converged, l2sq
+from ..utils import (make_stepper, nesterov_next, fixed_point_norms,
+                     fixed_point_verdict)
 from .common import (
     DriverCache,
     SolverResult,
@@ -151,17 +152,16 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
         else:
             f_prev_new = state.f_prev
 
-        converged = jnp.stack([
-            fixed_point_converged(x_new[j], x_old[j], e_rel[j])
-            for j in range(n)
-        ])
-
-        # failure detection (SURVEY.md §5): a non-finite iterate (diverged
-        # step, bad prox, NaN data) stops the loop instead of burning the
-        # remaining iterations on NaNs
-        finite = jnp.stack([
-            jnp.all(jnp.isfinite(x_new[j])) for j in range(n)
-        ]).all()
+        # one pair of reductions per block serves the convergence test,
+        # the divergence detector AND the trace residual (failure
+        # detection per SURVEY.md §5: a non-finite iterate — diverged
+        # step, bad prox, NaN data — stops the loop via non-finite norms
+        # instead of a separate isfinite pass over the iterate)
+        norms = [fixed_point_norms(x_new[j], x_old[j]) for j in range(n)]
+        verdicts = [fixed_point_verdict(d, nx, e_rel[j])
+                    for j, (d, nx) in enumerate(norms)]
+        converged = jnp.stack([c for c, _ in verdicts])
+        finite = jnp.stack([fin for _, fin in verdicts]).all()
 
         history = state.history
         if trace:
@@ -169,9 +169,7 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
             # fixed-point residual sqrt(||x-x_||^2 / ||x||^2), recorded in
             # the preallocated carry array — no host round trip
             res = jnp.stack([
-                jnp.sqrt(l2sq(x_new[j] - x_old[j])
-                         / jnp.maximum(l2sq(x_new[j]), 1e-30))
-                for j in range(n)
+                jnp.sqrt(d / jnp.maximum(nx, 1e-30)) for d, nx in norms
             ])
             history = history.at[it].set(res.astype(history.dtype))
 

@@ -72,6 +72,30 @@ def l2(x):
     return jnp.sqrt(jnp.sum(jnp.square(x)))
 
 
+def fixed_point_norms(x, x_prev):
+    """The two reductions of the fixed-point test, ``(||x - x_prev||^2,
+    ||x||^2)``, exposed separately so the solver bodies compute them ONCE
+    per block and reuse them for the convergence verdict, the divergence
+    detector AND the trace residual (previously three independent passes
+    over the iterate per iteration)."""
+    return l2sq(x - x_prev), l2sq(x)
+
+
+def fixed_point_verdict(d_sq, n_sq, e_rel):
+    """``(converged, finite)`` from precomputed fixed-point norms.
+
+    Same overflow hardening as :func:`fixed_point_converged` (non-finite
+    norms are never "converged" — the reference would declare
+    ``inf <= inf`` converged on a diverging iterate). ``finite`` doubles
+    as the solvers' divergence detector: any non-finite element makes a
+    norm non-finite; a sum-of-squares overflowing on a still-finite
+    iterate is also flagged, which only fires on solves diverging past
+    ~sqrt(dtype max / n) anyway."""
+    ok = d_sq <= (e_rel ** 2) * n_sq
+    finite = jnp.logical_and(jnp.isfinite(d_sq), jnp.isfinite(n_sq))
+    return jnp.logical_and(ok, finite), finite
+
+
 def fixed_point_converged(x, x_prev, e_rel):
     """Per-block fixed-point test ``||x - x_prev||^2 <= e_rel^2 ||x||^2``.
 
@@ -80,11 +104,8 @@ def fixed_point_converged(x, x_prev, e_rel):
     norms are non-finite the test is False (the reference would declare
     ``inf <= inf`` converged on a diverging iterate).
     """
-    d = l2sq(x - x_prev)
-    nx = l2sq(x)
-    ok = d <= (e_rel ** 2) * nx
-    finite = jnp.logical_and(jnp.isfinite(d), jnp.isfinite(nx))
-    return jnp.logical_and(ok, finite)
+    d_sq, n_sq = fixed_point_norms(x, x_prev)
+    return fixed_point_verdict(d_sq, n_sq, e_rel)[0]
 
 
 def _lanczos_tridiag(Hv, v0, k):
