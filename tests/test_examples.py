@@ -1,4 +1,4 @@
-"""Smoke tests: ALL ten shipped examples run end-to-end in CI (toy
+"""Smoke tests: ALL eleven shipped examples run end-to-end in CI (toy
 sizes, CPU backend / 8-device virtual mesh) and assert their own
 quality metrics (analytic optima, Hungarian component matching, RMSE
 drop, cross-engine agreement)."""
@@ -103,3 +103,13 @@ def test_preemptible_resume_example(argv, capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "preempted trajectory == uninterrupted trajectory" in out
+
+
+def test_pod_serving_example(argv, capsys):
+    """Export -> serve -> preempt -> artifact resume on the virtual
+    mesh; the script asserts bit-exactness vs the live solve itself."""
+    argv("pod_serving.py", "--cpu")
+    runpy.run_path("/root/repo/examples/pod_serving.py",
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "bit-exact vs live" in out
