@@ -36,7 +36,7 @@ from .nmf import (
 
 __all__ = [
     "export_nmf_solver", "export_nmf_adaprox_solver",
-    "export_nmf_pgm_sharded",
+    "export_nmf_pgm_sharded", "export_nmf_adaprox_sharded",
     "export_pgm_solver", "export_adaprox_solver",
     "export_admm_solver", "export_sdmm_solver", "export_bsdmm_solver",
     "load_solver", "save_exported", "load_exported",
@@ -436,6 +436,112 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
                      sds((), P(), jnp.int32)]         # seg_end
             if weighted:
                 args.append(sds((N, K), P(data_axis, None)))  # v
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
+
+
+def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
+                               prox_S=operators.prox_plus, scheme="adam",
+                               b1=0.9, b2=0.999, eps=1e-8, p=0.25,
+                               e_rel=1e-3, weighted=False,
+                               warm_start=False, prox_max_iter=1000,
+                               data_axis="data", model_axis=None,
+                               dtype=jnp.float32, platforms=None):
+    """Serialize a SHARDED proximal-Adam NMF solve as a multi-chip
+    serving artifact (the adaprox sibling of
+    :func:`export_nmf_pgm_sharded`).
+
+    Uses the XLA driver's own body/init/cond builders under auto-SPMD
+    partitioning — the collective layout this produces is the one the
+    audit pins (``tests/test_collective_layout.py``: per-iteration
+    (C,K) all-reduces, no all-gather of pixel-sharded operands). Any of
+    the six Φ/Ψ schemes; prox sub-iterations run in-kernel with the
+    driver's semantics (bounded by ``prox_max_iter``).
+
+    Signature ``(A, S, Y[, W], max_iter) -> (A', S', M_A, V_A, Vhat_A,
+    M_S, V_S, Vhat_S, it, conv_A, conv_S, diverged)``; ``max_iter`` is
+    a runtime replicated i32 (which is why ``b1`` must be a constant,
+    not a per-iteration schedule — use :func:`export_adaprox_solver`
+    for schedules). ``warm_start=True`` appends
+    ``(M_A, V_A, Vhat_A, M_S, V_S, Vhat_S, it0)`` inputs accepting a
+    previous artifact's returned moments plus the global
+    bias-correction clock — the continuation walks the exact
+    uninterrupted trajectory (the driver's ``state=`` semantics, not
+    the reference's clock-restarting ``M=/V=`` warm start).
+    """
+    from functools import partial
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from . import utils as _utils
+    from .nmf import grad_likelihood, step_adaprox
+    from .solvers.adaprox import (
+        SCHEMES, _make_adaprox_body, init_adaprox_state, make_adaprox_cond,
+        normalize_b1_schedule,
+    )
+    from .solvers.common import normalize_per_block, normalize_prox
+    from .utils import make_stepper
+
+    if hasattr(b1, "__iter__"):
+        raise ValueError(
+            "export_nmf_adaprox_sharded takes a constant b1 (max_iter is "
+            "a runtime argument, so a per-iteration schedule has no "
+            "static length); use export_adaprox_solver for b1 schedules"
+        )
+    n = 2
+    prox_in = (prox_A, prox_S)
+    has_prox = tuple(pj is not None for pj in prox_in)
+    prox_t = normalize_prox(prox_in, n)
+    e_rel_t = normalize_per_block(e_rel, n)
+    # constant schedule as a (1,) array: the body's b1[it] gather clamps
+    # every index to 0 (JAX out-of-bounds gather semantics), so one
+    # entry serves any runtime iteration count — exactness vs the live
+    # driver is pinned by tests/test_sharding.py
+    b1s = normalize_b1_schedule(b1, 1)
+    phi_psi = SCHEMES[scheme.lower()]
+    stepper = make_stepper(step_adaprox, n)
+    weighted = bool(weighted)
+
+    def run(A, S, Y, *rest):
+        if weighted:
+            W, max_iter, *wargs = rest
+        else:
+            max_iter, *wargs = rest
+            W = 1
+        grad = partial(grad_likelihood, Y=Y, W=W)
+        body = _make_adaprox_body(grad, stepper, prox_t, has_prox,
+                                  phi_psi, b1s, b2, eps, p, e_rel_t,
+                                  True, prox_max_iter)
+        x0 = (A, S)
+        if warm_start:
+            M_A, V_A, Vh_A, M_S, V_S, Vh_S, it0 = wargs
+            M0, V0 = (M_A, M_S), (V_A, V_S)
+            Vhat0 = (Vh_A, Vh_S)
+        else:
+            M0 = V0 = Vhat0 = tuple(jnp.zeros_like(x) for x in x0)
+            it0 = None
+        state = init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n,
+                                   max_iter, trace=False, it0=it0)
+        cond = make_adaprox_cond(True, max_iter)
+        st = jax.lax.while_loop(cond, body, state)
+        return (st.x[0], st.x[1], st.M[0], st.V[0], st.Vhat[0],
+                st.M[1], st.V[1], st.Vhat[1], st.it + st.it0,
+                st.converged[0], st.converged[1], st.diverged)
+
+    def sds(shape, spec, dt=dtype):
+        return jax.ShapeDtypeStruct(
+            shape, dt, sharding=NamedSharding(mesh, spec))
+
+    a_spec, s_spec = P(model_axis, None), P(None, data_axis)
+    args = [sds((C, K), a_spec), sds((K, N), s_spec),
+            sds((C, N), P(model_axis, data_axis))]
+    if weighted:
+        args.append(sds((C, N), P(model_axis, data_axis)))
+    args.append(sds((), P(), jnp.int32))
+    if warm_start:
+        args += [sds((C, K), a_spec)] * 3 + [sds((K, N), s_spec)] * 3
+        args.append(sds((), P(), jnp.int32))
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
 

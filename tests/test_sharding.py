@@ -752,3 +752,70 @@ def test_export_sharded_2d_mesh(rng):
                           model_axis="model", e_rel=0, max_iter=12)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref.x[1]),
                                rtol=1e-6)
+
+
+def test_export_sharded_adaprox_matches_live_driver(rng):
+    """The sharded adaprox artifact (auto-SPMD, runtime max_iter, (1,)
+    clamped b1 schedule) reproduces the live adaprox nmf() solve."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_adaprox_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    mesh = make_mesh()
+    blob = export_nmf_adaprox_sharded(mesh, 6, 3, 64, e_rel=0.0,
+                                      dtype=jnp.float64)
+    call = jax_export.deserialize(blob).call
+    put = lambda x, s: jax.device_put(  # noqa: E731
+        jnp.asarray(x, jnp.float64), NamedSharding(mesh, s))
+    rep = lambda v: jax.device_put(v, NamedSharding(mesh, P()))  # noqa: E731
+    A_d, S_d, Y_d = (put(A0, P(None, None)), put(S0, P(None, "data")),
+                     put(Y, P(None, "data")))
+    for n_it in (6, 20):
+        out = call(A_d, S_d, Y_d, rep(jnp.int32(n_it)))
+        assert int(out[8]) == n_it
+        live = pt.nmf.nmf(Y.astype(np.float64), A0.astype(np.float64),
+                          S0.astype(np.float64), algorithm="adaprox",
+                          e_rel=0, max_iter=n_it)
+        np.testing.assert_allclose(np.asarray(out[1]),
+                                   np.asarray(live.x[1]),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_export_sharded_adaprox_warm_continuation(rng):
+    """Artifact-only adaprox preemption: fresh 8 iters -> moments +
+    clock feed the warm_start artifact for 12 more == live 20."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding
+
+    from proxmin_tpu.export import export_nmf_adaprox_sharded
+
+    Y, A0, S0 = _f32_problem(rng)
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+    mesh = make_mesh()
+    kw = dict(e_rel=0.0, weighted=True, scheme="amsgrad",
+              dtype=jnp.float64)
+    fresh = jax_export.deserialize(
+        export_nmf_adaprox_sharded(mesh, 6, 3, 64, **kw)).call
+    cont = jax_export.deserialize(
+        export_nmf_adaprox_sharded(mesh, 6, 3, 64, warm_start=True,
+                                   **kw)).call
+    put = lambda x, s: jax.device_put(  # noqa: E731
+        jnp.asarray(x, jnp.float64), NamedSharding(mesh, s))
+    rep = lambda v: jax.device_put(v, NamedSharding(mesh, P()))  # noqa: E731
+    A_d, S_d = put(A0, P(None, None)), put(S0, P(None, "data"))
+    Y_d, W_d = put(Y, P(None, "data")), put(W, P(None, "data"))
+
+    o = fresh(A_d, S_d, Y_d, W_d, rep(jnp.int32(8)))
+    o2 = cont(o[0], o[1], Y_d, W_d, rep(jnp.int32(12)),
+              o[2], o[3], o[4], o[5], o[6], o[7],
+              rep(jnp.asarray(o[8], jnp.int32)))
+    assert int(o2[8]) == 20
+
+    live = pt.nmf.nmf(Y.astype(np.float64), A0.astype(np.float64),
+                      S0.astype(np.float64), W=W.astype(np.float64),
+                      algorithm="adaprox", scheme="amsgrad",
+                      e_rel=0, max_iter=20)
+    np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(live.x[1]),
+                               rtol=1e-9, atol=1e-12)
