@@ -474,7 +474,6 @@ def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    from . import utils as _utils
     from .nmf import grad_likelihood, step_adaprox
     from .solvers.adaprox import (
         SCHEMES, _make_adaprox_body, init_adaprox_state, make_adaprox_cond,
