@@ -379,7 +379,10 @@ def bench_e2e(Y, A0, S0):
     """End-to-end fixed-work solve (2000 iterations through the full
     production nmf() driver): one compiled call, wall-clock INCLUDING
     fixed dispatch/transfer overhead and the driver's per-iteration
-    convergence machinery."""
+    convergence machinery. Also decomposes the driver cost into a
+    marginal slope + fixed/call between two iteration budgets, so the
+    driver's per-iteration overhead over the raw fused body is a
+    recorded number (r4: the shared fixed-point norms made it ~zero)."""
     import jax.numpy as jnp
     import proxmin_tpu as pt
 
@@ -387,17 +390,27 @@ def bench_e2e(Y, A0, S0):
     A = jnp.asarray(A0)
     S = jnp.asarray(S0)
 
-    res = pt.nmf.nmf(Y_dev, A, S, e_rel=0, max_iter=E2E_ITERS)  # compile
+    def call(n):
+        res = pt.nmf.nmf(Y_dev, A, S, e_rel=0, max_iter=n)
+        np.asarray(res.x[0])
+        return res
+
+    res = call(E2E_ITERS)  # compile
     iters = res.iterations
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = pt.nmf.nmf(Y_dev, A, S, e_rel=0, max_iter=E2E_ITERS)
-        np.asarray(res.x[0])
+        res = call(E2E_ITERS)
         best = min(best, time.perf_counter() - t0)
     log(f"tpu e2e solve: {best:.3f} s for {iters} iters "
         f"(one compiled call incl. dispatch + convergence machinery)")
-    return best, iters
+
+    call(ITERS_LO)  # compile the lo budget
+    marg, t_lo = _timed(call, ITERS_LO, E2E_ITERS)
+    fixed = max(t_lo - ITERS_LO * marg, 0.0)
+    log(f"tpu driver: {marg * 1e3:.3f} ms/iter marginal, "
+        f"~{fixed * 1e3:.0f} ms fixed/call")
+    return best, iters, marg, fixed
 
 
 def _backend_alive(timeout_s=180):
@@ -453,7 +466,7 @@ def main():
         # fused row is reported alongside, clearly labeled (reduced
         # moment precision is an opt-in, not a silent default)
         t_tpu_a = t_as["xla-separable"]
-        t_e2e, e2e_iters = bench_e2e(Y, A0, S0)
+        t_e2e, e2e_iters, t_drv, fixed_drv = bench_e2e(Y, A0, S0)
 
     speedup = t_np / t_tpu
     speedup_w = t_np_w / t_tpu_w
@@ -470,6 +483,8 @@ def main():
         "e2e_2000iter_seconds": round(t_e2e, 3),
         "e2e_iterations": e2e_iters,
         "e2e_speedup_vs_numpy_equiv": round(e2e_speedup, 1),
+        "driver_marginal_ms_per_iter": round(t_drv * 1e3, 4),
+        "driver_fixed_ms_per_call": round(fixed_drv * 1e3, 1),
         "xla_ms_per_iter": round(t_tpu * 1e3, 4),
         "adaprox_separable_ms_per_iter": round(t_tpu_a * 1e3, 4),
         "adaprox_variants_ms_per_iter": {
