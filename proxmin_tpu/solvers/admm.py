@@ -85,6 +85,11 @@ class ADMMState(NamedTuple):
                          # stop bound becomes it0 + max_iter — the same
                          # value the uninterrupted solve uses — and the
                          # stall detector sees the true clock
+    diverged: Any        # bool — non-finite residual errors were produced
+                         # (failure detection, SURVEY.md §5: same early
+                         # stop + structured status as pgm/adaprox; a NaN
+                         # or Inf iterate poisons ||Lx||/||R||/||S|| in
+                         # errors, so no extra pass over x is needed)
 
 
 def _stack_errors(errors, multi):
@@ -227,6 +232,13 @@ def _sdmm_core(
 
             it = it + 1
             errors_arr = _stack_errors(errors, M > 1)
+            # failure detection: the error tuple's norms are reductions
+            # of every live quantity (lx, z, u, r, s), so their
+            # finiteness detects a diverged iterate for free
+            diverged = jnp.logical_or(
+                state.diverged,
+                jnp.logical_not(jnp.all(jnp.isfinite(errors_arr))),
+            )
             history = state.history
             if trace:
                 # the buffer holds 2*max_iter rows (not the full
@@ -302,6 +314,7 @@ def _sdmm_core(
                 slack=slack, converged=conv, errors=errors_arr,
                 r_prev=r, history=history, step_scale=step_scale,
                 total_it0=state.total_it0, it0=state.it0,
+                diverged=diverged,
             )
 
         return body, init_zu
@@ -349,6 +362,7 @@ def _sdmm_core(
             step_scale=scale0,
             total_it0=tot0,
             it0=it0,
+            diverged=jnp.asarray(False),
         )
 
     def _cond(s):
@@ -363,7 +377,8 @@ def _sdmm_core(
             jnp.logical_and(s.it < lim,
                             s.total_it < s.total_it0
                             + _RESTART_BUDGET * max_iter),
-            jnp.logical_not(s.converged),
+            jnp.logical_and(jnp.logical_not(s.converged),
+                            jnp.logical_not(s.diverged)),
         )
 
 
@@ -485,18 +500,21 @@ def admm(
 
     # one batched device->host fetch (round trips are expensive on
     # remote-dispatch backends)
-    conv_h, it_h, err_h, slack_h, tot_h, tot0_h = jax.device_get(
+    conv_h, it_h, err_h, slack_h, tot_h, tot0_h, div_h = jax.device_get(
         (state.converged, state.it, state.errors, state.slack,
-         state.total_it, state.total_it0)
+         state.total_it, state.total_it0, state.diverged)
     )
     converged = bool(conv_h)
+    diverged = bool(div_h)
     # fresh solves report the reference's restart-relative counter;
     # resumed solves report THIS CALL's steps (restarts included) —
     # the continued restart-relative `it` would overcount the call
     this_call = int(tot_h) - int(tot0_h)
     iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
-    if not converged:
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif not converged:
         logger.warning("Solution did not converge")
 
     errors = tuple(float(v) for v in err_h[0])
@@ -504,11 +522,13 @@ def admm(
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
+    status = ("diverged" if diverged
+              else "converged" if converged else "max_iter")
     return SolverResult(
         (converged, errors),
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
-        total_iterations=this_call, history=history,
+        total_iterations=this_call, history=history, status=status,
         state=_resume_state(state),
     )
 
@@ -585,18 +605,21 @@ def sdmm(
         adapt_step=adapt_step, resume=state,
     )
 
-    conv_h, it_h, err_h, slack_h, tot_h, tot0_h = jax.device_get(
+    conv_h, it_h, err_h, slack_h, tot_h, tot0_h, div_h = jax.device_get(
         (state.converged, state.it, state.errors, state.slack,
-         state.total_it, state.total_it0)
+         state.total_it, state.total_it0, state.diverged)
     )
     converged = bool(conv_h)
+    diverged = bool(div_h)
     # fresh solves report the reference's restart-relative counter;
     # resumed solves report THIS CALL's steps (restarts included) —
     # the continued restart-relative `it` would overcount the call
     this_call = int(tot_h) - int(tot0_h)
     iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
-    if not converged:
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif not converged:
         logger.warning("Solution did not converge")
 
     errors = tuple(
@@ -606,10 +629,12 @@ def sdmm(
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
+    status = ("diverged" if diverged
+              else "converged" if converged else "max_iter")
     return BoolResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,
         errors=errors, slack=float(slack_h),
-        total_iterations=this_call, history=history,
+        total_iterations=this_call, history=history, status=status,
         state=_resume_state(state),
     )

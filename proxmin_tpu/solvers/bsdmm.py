@@ -68,6 +68,10 @@ class BSDMMState(NamedTuple):
                          # schedules (`it >= nxt`, `it % stride == 0`)
                          # stay on the uninterrupted phase; history and
                          # the max_iter bound index locally via it - it0
+    diverged: Any        # bool — non-finite residual errors were produced
+                         # (failure detection, SURVEY.md §5: early stop +
+                         # structured status like pgm/adaprox; a NaN/Inf
+                         # block iterate poisons the per-block error norms)
 
 
 class _BsdmmProgram(NamedTuple):
@@ -226,6 +230,7 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
             steps_g_carry = list(state.steps_g)
             steps_state = state.steps_state
             converged = state.converged
+            diverged = state.diverged
             history = state.history
 
             for j in update_order:
@@ -294,6 +299,17 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                     )
                     err_list = (err_j,)
 
+                # failure detection: the per-block error norms cover
+                # every live quantity, so their finiteness detects a
+                # diverged block iterate for free
+                diverged = jnp.logical_or(
+                    diverged,
+                    jnp.logical_not(jnp.all(jnp.stack([
+                        jnp.isfinite(jnp.asarray(v)) for e in err_list
+                        for v in e
+                    ]))),
+                )
+
                 if trace:
                     # aggregate primal/dual residual norms across constraints
                     lr = jnp.sqrt(sum(e[2] ** 2 for e in err_list))
@@ -314,7 +330,7 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                 steps_f=steps_f_arr, steps_g=tuple(steps_g_carry),
                 steps_state=steps_state,
                 it=it + 1, converged=converged, history=history,
-                it0=state.it0,
+                it0=state.it0, diverged=diverged,
             )
 
         return body, init_zu_l
@@ -353,6 +369,7 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
             converged=jnp.zeros((N,), bool),
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
             it0=it0,
+            diverged=jnp.asarray(False),
         )
 
     def cond(s):
@@ -361,7 +378,8 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
         # resumed, export, and functional-factory paths alike
         return jnp.logical_and(
             s.it < s.it0 + max_iter,
-            jnp.logical_not(jnp.all(s.converged)),
+            jnp.logical_and(jnp.logical_not(jnp.all(s.converged)),
+                            jnp.logical_not(s.diverged)),
         )
 
     return _BsdmmProgram(
@@ -519,20 +537,25 @@ def bsdmm(
 
     # one batched device->host fetch (round trips are expensive on
     # remote-dispatch backends)
-    it_h, it0_h, conv_h = jax.device_get(
-        (state.it, state.it0, state.converged))
+    it_h, it0_h, conv_h, div_h = jax.device_get(
+        (state.it, state.it0, state.converged, state.diverged))
     iterations = int(it_h) - int(it0_h)
     logger.info("Completed %d iterations", iterations)
     converged = tuple(bool(c) for c in conv_h)
-    if not all(converged):
+    diverged = bool(div_h)
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif not all(converged):
         logger.warning("Solution did not converge")
 
     writeback(originals, state.x)
     history = np.asarray(state.history[:iterations]) if trace else None
+    status = ("diverged" if diverged
+              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,
-        history=history,
+        history=history, status=status,
         state={"z": state.z, "u": state.u, "steps_f": state.steps_f,
                "steps_g": state.steps_g,
                "steps_state": state.steps_state, "it": state.it,

@@ -508,3 +508,57 @@ def test_adapt_step_rejects_explicit_step_g():
     with pytest.raises(ValueError, match="adapt_step"):
         make_admm_solver(prox_f_quad, 0.5, prox_g=prox_disk,
                          step_g=0.5, adapt_step=True)
+
+
+# ---------------------------------------------------------------------------
+# failure detection (SURVEY.md §5): the ADMM family stops early on a
+# non-finite iterate and reports a structured status, like pgm/adaprox
+
+def _nan_prox(x, step):
+    return jnp.full_like(x, jnp.nan)
+
+
+def test_admm_divergence_detection():
+    x0 = np.ones(3)
+    res = admm(x0.copy(), _nan_prox, 0.5, prox_g=operators.prox_plus,
+               e_rel=1e-6, max_iter=200)
+    assert res.status == "diverged"
+    assert not res.converged
+    assert res.iterations < 200
+
+
+def test_sdmm_divergence_detection():
+    x0 = np.ones(3)
+    res = sdmm(x0.copy(), _nan_prox, 0.5,
+               proxs_g=[operators.prox_plus, operators.prox_id],
+               e_rel=1e-6, max_iter=200)
+    assert res.status == "diverged"
+    assert res.iterations < 200
+
+
+def test_bsdmm_divergence_detection():
+    x0 = [np.ones(3), np.ones(2)]
+
+    def proxs_f(v, s, Xs=None, j=None):
+        return jnp.full_like(v, jnp.nan) if j == 1 else v
+
+    def steps_f(Xs, j=None):
+        return 0.5
+
+    res = bsdmm([b.copy() for b in x0], proxs_f, steps_f,
+                proxs_g=[operators.prox_plus, operators.prox_plus],
+                e_rel=1e-6, max_iter=200)
+    assert res.status == "diverged"
+    assert res.iterations < 200
+
+
+def test_admm_status_reports_converged_and_max_iter():
+    def grad_step_prox(x, step):  # gradient step toward 1 under x>=0
+        return operators.prox_plus(x - step * (x - 1.0), step)
+
+    res = admm(np.full(3, 5.0), grad_step_prox, 0.5,
+               prox_g=operators.prox_plus, e_rel=1e-8, max_iter=3000)
+    assert res.status == "converged" and res.converged
+    res2 = admm(np.full(3, 5.0), grad_step_prox, 0.5,
+                prox_g=operators.prox_plus, e_rel=1e-12, max_iter=3)
+    assert res2.status == "max_iter" and not res2.converged
