@@ -594,9 +594,15 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             return (A_new, S_new, SSt_new, it + 1, conv_A, conv_S, loss)
 
         def cond(carry):
-            _, _, _, it, conv_A, conv_S, _ = carry
+            _, _, _, it, conv_A, conv_S, loss = carry
             done = jnp.logical_and(conv_A, conv_S)
-            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+            # failure detection: a non-finite loss after >=1 iteration
+            # means a diverged iterate (init loss is inf by design)
+            bad = jnp.logical_and(it > 0,
+                                  jnp.logical_not(jnp.isfinite(loss)))
+            return jnp.logical_and(
+                it < max_iter,
+                jnp.logical_not(jnp.logical_or(done, bad)))
 
         SSt0 = jnp.dot(S_p, S_p.T, preferred_element_type=jnp.float32)
         init = (A_p, S_p, SSt0, jnp.int32(0), jnp.asarray(False),
@@ -696,9 +702,15 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                     conv_A, conv_S, loss)
 
         def cond(carry):
-            it, conv_A, conv_S = carry[7], carry[8], carry[9]
+            it, conv_A, conv_S, loss = (carry[7], carry[8], carry[9],
+                                        carry[10])
             done = jnp.logical_and(conv_A, conv_S)
-            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+            # failure detection: non-finite loss after >=1 iteration
+            bad = jnp.logical_and(it > 0,
+                                  jnp.logical_not(jnp.isfinite(loss)))
+            return jnp.logical_and(
+                it < max_iter,
+                jnp.logical_not(jnp.logical_or(done, bad)))
 
         z = jnp.zeros((), jnp.float32)
         v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
@@ -802,14 +814,20 @@ def nmf_pgm_fused(
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
+    loss = float(loss)
+    diverged = iterations > 0 and not np.isfinite(loss)
     logger.info("Completed %d iterations", iterations)
-    if not all(converged):
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif not all(converged):
         logger.warning("Solution did not converge")
     writeback((A_in, S_in), (A_out, S_out))
+    status = ("diverged" if diverged
+              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=(A_out, S_out), iterations=iterations, converged=converged,
-        loss=float(loss),
+        loss=loss, status=status,
     )
 
 
@@ -935,9 +953,15 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                     conv_A, conv_S, loss)
 
         def cond(carry):
-            it, conv_A, conv_S = carry[7], carry[8], carry[9]
+            it, conv_A, conv_S, loss = (carry[7], carry[8], carry[9],
+                                        carry[10])
             done = jnp.logical_and(conv_A, conv_S)
-            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+            # failure detection: non-finite loss after >=1 iteration
+            bad = jnp.logical_and(it > 0,
+                                  jnp.logical_not(jnp.isfinite(loss)))
+            return jnp.logical_and(
+                it < max_iter,
+                jnp.logical_not(jnp.logical_or(done, bad)))
 
         init = (
             A_p, S_p, MS0, VS0, MA0, VA0,
@@ -1074,8 +1098,12 @@ def nmf_adaprox_fused(
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
+    loss = float(loss)
+    diverged = iterations > 0 and not np.isfinite(loss)
     logger.info("Completed %d iterations", iterations)
-    if not all(converged):
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    elif not all(converged):
         logger.warning("Solution did not converge")
     writeback((A_in, S_in), (A_f, S_f))
     # exact-resume pytree, interchangeable with the XLA adaprox driver's
@@ -1087,11 +1115,13 @@ def nmf_adaprox_fused(
         "stepper_state": (),
         "it": jnp.int32(it0 + iterations),
     }
+    status = ("diverged" if diverged
+              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=(A_f, S_f), iterations=iterations, converged=converged,
-        loss=float(loss), M=(MA_f, MS_f), V=(VA_f, VS_f),
-        state=resume_state,
+        loss=loss, M=(MA_f, MS_f), V=(VA_f, VS_f),
+        status=status, state=resume_state,
     )
 
 

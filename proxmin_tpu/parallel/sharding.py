@@ -27,6 +27,7 @@ No NCCL/MPI equivalents anywhere: collectives are XLA's, laid out by the
 mesh (reference has no distribution at all — SURVEY.md §2 checklist).
 """
 
+import logging
 import math
 from typing import Any, NamedTuple
 
@@ -38,6 +39,8 @@ from jax import shard_map
 
 from .. import operators
 from ..solvers.common import SolverResult
+
+logger = logging.getLogger("proxmin")
 
 __all__ = [
     "make_mesh",
@@ -446,8 +449,17 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
 
         def cond(state):
             done = jnp.logical_and(state.conv_A, state.conv_S)
-            return jnp.logical_and(state.it < it_lim,
-                                   jnp.logical_not(done))
+            # failure detection: the psum'd loss covers every live
+            # quantity, so a non-finite value after >=1 iteration of
+            # this call means a diverged iterate (init loss is inf by
+            # design; the replicated scalar keeps every shard stopping
+            # on the same iteration)
+            bad = jnp.logical_and(
+                state.it > it0,
+                jnp.logical_not(jnp.isfinite(state.loss)))
+            return jnp.logical_and(
+                state.it < it_lim,
+                jnp.logical_not(jnp.logical_or(done, bad)))
 
         init = ShardedNMFState(
             A=A, S=S,
@@ -668,10 +680,17 @@ def nmf_pgm_sharded(
 
     it0 = int(state["it"]) if state is not None else 0
     converged = (bool(cA), bool(cS))
+    iterations = int(it) - it0
+    loss = float(loss)
+    diverged = iterations > 0 and not np.isfinite(loss)
+    if diverged:
+        logger.warning("Solution diverged (non-finite iterate)")
+    status = ("diverged" if diverged
+              else "converged" if all(converged) else "max_iter")
     from ..solvers.common import writeback
     writeback((A, S), (A_f, S_f))
     return SolverResult(
         converged,
-        x=(A_f, S_f), iterations=int(it) - it0, converged=converged,
-        loss=float(loss), state=resume_state,
+        x=(A_f, S_f), iterations=iterations, converged=converged,
+        loss=loss, status=status, state=resume_state,
     )

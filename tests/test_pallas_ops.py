@@ -685,7 +685,9 @@ def test_fused_convergence_test_rejects_nonfinite(rng):
     assert not bool(_fused_fp_conv(jnp.asarray(np.nan), inf, 0.5))
     assert bool(_fused_fp_conv(jnp.asarray(0.0), jnp.asarray(1.0), 0.5))
 
-    # end to end: a poisoned problem runs to max_iter, never "converged"
+    # end to end: a poisoned problem is never "converged" — and since
+    # the divergence early-stop it halts as soon as the carried loss
+    # goes non-finite instead of burning the full budget on NaNs
     C, K, N = 3, 2, 128
     Y = rng.random((C, N)).astype(np.float32)
     Y[0, 0] = np.inf
@@ -693,7 +695,8 @@ def test_fused_convergence_test_rejects_nonfinite(rng):
     S0 = rng.random((K, N)).astype(np.float32)
     r = pt.nmf.nmf_adaprox_fused(Y, A0, S0, e_rel=10.0, max_iter=4)
     assert r.converged == (False, False)
-    assert r.iterations == 4
+    assert r.status == "diverged"
+    assert r.iterations < 4
 
 
 def test_fused_runner_cache_hits_on_rebuilt_partials(rng):

@@ -819,3 +819,32 @@ def test_export_sharded_adaprox_warm_continuation(rng):
                       e_rel=0, max_iter=20)
     np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(live.x[1]),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_and_fused_divergence_detection(rng):
+    """Failure detection on the fused and sharded engines: a NaN input
+    stops the loop early with status='diverged' instead of burning the
+    full iteration budget on NaNs."""
+    Y, A0, S0 = _f32_problem(rng, C=4, K=3, N=256)
+    Y_bad = Y.copy()
+    Y_bad[0, 0] = np.nan
+
+    r = nmf_pgm_sharded(Y_bad, A0.copy(), S0.copy(), mesh=make_mesh(),
+                        e_rel=0, max_iter=500)
+    assert r.status == "diverged"
+    assert r.iterations < 500
+
+    r2 = pt.nmf.nmf_pgm_fused(Y_bad, A0.copy(), S0.copy(), e_rel=0,
+                              max_iter=500, tile_n=128)
+    assert r2.status == "diverged"
+    assert r2.iterations < 500
+
+    r3 = pt.nmf.nmf_adaprox_fused(Y_bad, A0.copy(), S0.copy(), e_rel=0,
+                                  max_iter=500, tile_n=128)
+    assert r3.status == "diverged"
+    assert r3.iterations < 500
+
+    # healthy solves keep their status
+    r4 = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=make_mesh(),
+                         e_rel=0, max_iter=10)
+    assert r4.status == "max_iter" and r4.iterations == 10
