@@ -228,8 +228,8 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     weighted fused runner (warm-started strided Lipschitz refresh when
     ``step_stride`` is set; ``step_adapt=True`` bakes the in-carry
     adaptive stride growth). ``prox_S=None`` means identity (same
-    convention as ``nmf``); ``store_dtype``/``step_adapt`` pair with
-    unweighted/weighted respectively.
+    convention as ``nmf``); ``step_adapt`` pairs with weighted;
+    ``store_dtype`` works on both (weighted: S/Y/W all stored reduced).
     """
     if step_adapt and not weighted:
         raise ValueError(
@@ -242,11 +242,11 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
     if weighted:
-        assert store_dtype is None, "store_dtype is unweighted-only"
         run = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
             int(N), jnp.dtype(dtype), step_stride,
             adapt=bool(step_adapt),
+            store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
         args = (
             jax.ShapeDtypeStruct((C, K), dtype),

@@ -618,7 +618,8 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
 @_cached_runner
 def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
-                                    C, K, N, dtype, stride, adapt=False):
+                                    C, K, N, dtype, stride, adapt=False,
+                                    store_dtype=None):
     """Weighted variant of the fused-PGM runner: the kernel consumes the
     weighted residual ``D = W (A S - Y)`` in the same single pass, while
     the weighted Lipschitz bounds (implicit batched power iteration, the
@@ -627,14 +628,26 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     matching the reference's semantics exactly). ``adapt=True`` grows
     the refresh interval in-carry while the bound drift stays below
     half the safety slack (:func:`utils.grow_stride`, the reference
-    ``ApproximateCache`` policy)."""
+    ``ApproximateCache`` policy).
+
+    ``store_dtype=jnp.bfloat16`` stores S/Y/W at half the HBM footprint
+    — for the weighted kernel that halves ALL of its streaming traffic
+    (S in/out + Y + W reads). Compute stays f32 (the MXU consumes bf16
+    operands natively with f32 accumulation); the strided Lipschitz
+    refresh computes its bounds from f32 views (the cast fuses into the
+    consuming contractions, paid only once per refresh). The
+    fixed-point residual floors at bf16 quantization (~4e-3 relative),
+    so pair it with loose tolerances, like the unweighted engine's
+    ``store_dtype``."""
     import jax
     from .ops.nmf_kernels import (
         _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
     )
 
-    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
-    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    store_dtype = jnp.dtype(store_dtype or jnp.float32)
+    sub = 16 if store_dtype == jnp.bfloat16 else _SUBLANE
+    Cp = _round_up(max(C, sub), sub)
+    Kp = _round_up(max(K, sub), sub)
     tile = _auto_tile(Cp, Kp, True, tile_n, N)
     Np = _round_up(N, tile)
     dims = (C, K, N)
@@ -646,21 +659,28 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     @jax.jit
     def run(A, S, Y, W, max_iter):
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
-        S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
-        Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        S_p = jnp.pad(S.astype(store_dtype),
+                      ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(store_dtype),
+                      ((0, Cp - C), (0, Np - N)))
         # zero weights in the padding: padded pixels/channels contribute
         # exact zeros to D, the gradients, the loss and the norms
-        W_p = jnp.pad(W.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        W_p = jnp.pad(W.astype(store_dtype),
+                      ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
 
         def weighted_steps(A, S, v, it):
             # warm-started power iterate v carried in the loop state:
             # 48 passes on the first refresh, 12 after (A drifts little
             # between refreshes; see WeightedPGMStepper). Dynamic trip
-            # count, not a cond over two fori_loops (fusion).
-            sA = 1.0 / _weighted_lipschitz_A(S, W_p)
+            # count, not a cond over two fori_loops (fusion). Bounds are
+            # computed from f32 views of the (possibly bf16) stores —
+            # the iterate v and every reduction stay f32.
+            S32 = S.astype(jnp.float32)
+            W32 = W_p.astype(jnp.float32)
+            sA = 1.0 / _weighted_lipschitz_A(S32, W32)
             LS, v = _weighted_lipschitz_S(
-                A, W_p, jnp.where(it == 0, 48, 12), v0=v, return_v=True)
+                A, W32, jnp.where(it == 0, 48, 12), v0=v, return_v=True)
             return (jnp.asarray(sA, jnp.float32),
                     jnp.asarray(1.0 / LS, jnp.float32), v)
 
@@ -758,15 +778,18 @@ def nmf_pgm_fused(
     the weighted residual into the same single pass; the weighted
     Lipschitz bounds refresh every ``step_stride`` iterations (default
     1 = every iteration, the reference's semantics) via implicit power
-    iteration outside the kernel. ``store_dtype`` is unweighted-only.
+    iteration outside the kernel.
 
-    ``store_dtype=jnp.bfloat16`` halves the S/Y HBM **footprint** (compute
-    stays f32) — for problems near the 16GB HBM capacity. Measured on v5e
-    it does not beat f32 on speed (the up/down-cast VPU work offsets the
-    bandwidth saving; 0.217 vs 0.240 ms/iter at C=128, slower at C=64),
-    and the fixed-point residual floors at bf16 quantization, so keep
+    ``store_dtype=jnp.bfloat16`` halves the S/Y (weighted: also W) HBM
+    **footprint** (compute stays f32) — for problems near the 16GB HBM
+    capacity. Measured on v5e the unweighted variant does not beat f32
+    on speed (the up/down-cast VPU work offsets the bandwidth saving;
+    0.217 vs 0.240 ms/iter at C=128, slower at C=64), and the
+    fixed-point residual floors at bf16 quantization, so keep
     e_rel >= ~1e-2. Needs channel counts >= 16 to avoid pure padding
-    (bf16 sublane tile is 16).
+    (bf16 sublane tile is 16). On weighted problems the store also
+    halves the W stream and the weighted Lipschitz refresh reads f32
+    views (cast per refresh, amortized by the stride).
 
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
     ``.converged``, ``.loss``.
@@ -790,10 +813,10 @@ def nmf_pgm_fused(
     C, K = A.shape
     N = S.shape[1]
     if W is not None and not _is_unweighted(W):
-        assert store_dtype is None, "store_dtype is unweighted-only"
         run = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             step_stride, adapt=bool(step_adapt),
+            store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
         A_f, S_f, it, conv_A, conv_S, loss = run(
             A, S, Y, _promote_W(W, Y), max_iter

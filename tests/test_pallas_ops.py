@@ -782,3 +782,46 @@ def test_export_nmf_adaprox_rejects_nonseparable_prox():
             3, 2, 128,
             prox_S=partial(pt.operators.prox_soft, thresh=0.1,
                            type="absolute"))
+
+
+def test_fused_weighted_pgm_bf16_storage(rng):
+    """bf16-stored S/Y/W in the WEIGHTED fused kernel: converges to the
+    f32 solution within quantization, through both the direct entry and
+    nmf(engine='pallas'); the strided Lipschitz refresh works from the
+    bf16 stores."""
+    import proxmin_tpu as pt
+
+    C, K, N = 16, 8, 512
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r32 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                               max_iter=50, tile_n=128, step_stride=5)
+    r16 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                               max_iter=50, tile_n=128, step_stride=5,
+                               store_dtype=jnp.bfloat16)
+
+    def wloss(r):
+        D = Y - np.asarray(r.x[0]) @ np.asarray(r.x[1])
+        return 0.5 * np.sum(W * D * D)
+
+    l32, l16 = wloss(r32), wloss(r16)
+    assert l16 < max(l32 * 3, l32 + 1.0)
+    assert np.asarray(r16.x[1]).dtype == np.float32  # outputs stay f32
+
+    # iterate closeness at a short horizon (before bf16 quantization
+    # noise compounds through the nonconvex trajectory)
+    s32 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                               max_iter=12, tile_n=128, step_stride=5)
+    s16 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                               max_iter=12, tile_n=128, step_stride=5,
+                               store_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(s16.x[1]), np.asarray(s32.x[1]),
+                               atol=0.05)
+
+    # the one-call route accepts the combination too
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=10,
+                   engine="pallas", store_dtype=jnp.bfloat16)
+    assert r.iterations == 10
