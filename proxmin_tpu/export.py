@@ -275,6 +275,7 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
                               e_rel=1e-3, tile_n=8192,
                               dtype=jnp.float32, b1=0.9, b2=0.999,
                               eps=1e-8, moment_dtype=None,
+                              store_dtype=None,
                               warm_start=False, weighted=False):
     """Serialize the fused proximal-Adam NMF solver (``scheme='adam'``,
     separable proxs — see :func:`proxmin_tpu.nmf.nmf_adaprox_fused`)
@@ -317,6 +318,7 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
         int(N), jnp.dtype(dtype), float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
         warm=bool(warm_start), weighted=bool(weighted),
+        store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
     args = [
         jax.ShapeDtypeStruct((C, K), dtype),

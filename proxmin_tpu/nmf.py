@@ -857,7 +857,8 @@ def nmf_pgm_fused(
 @_cached_runner
 def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                                dtype, b1, b2, eps, moment_dtype=None,
-                               warm=False, weighted=False):
+                               warm=False, weighted=False,
+                               store_dtype=None):
     """Build (and cache) the jitted fused proximal-Adam solve for one
     problem configuration (``scheme='adam'``, separable proxs, the
     default ``step_adaprox`` mean/10 heuristic).
@@ -881,17 +882,25 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     weighted residual ``D = W (A S - Y)`` in the same pass (the
     mean/10 step heuristic has no Lipschitz refresh, so — unlike
     weighted PGM — nothing else changes).
+
+    ``store_dtype=jnp.bfloat16`` additionally stores S/Y (weighted:
+    also W) reduced — with bf16 moments that takes the flagship naive
+    traffic from 132 to 94 MB/iter; the fixed-point residual floors at
+    bf16 quantization like the PGM engines' ``store_dtype``.
     """
     import jax
     from .ops.nmf_kernels import (
         _SUBLANE, _adaprox_auto_tile, _round_up, fused_nmf_adaprox_step,
     )
 
-    Cp = _round_up(max(C, _SUBLANE), _SUBLANE)
-    Kp = _round_up(max(K, _SUBLANE), _SUBLANE)
+    sdt = jnp.dtype(store_dtype or jnp.float32)
+    sub = 16 if sdt == jnp.bfloat16 else _SUBLANE
+    Cp = _round_up(max(C, sub), sub)
+    Kp = _round_up(max(K, sub), sub)
     mdt = jnp.dtype(moment_dtype or jnp.float32)
     tile = _adaprox_auto_tile(Cp, Kp, weighted, tile_n, N,
-                              moment_bytes=mdt.itemsize)
+                              moment_bytes=mdt.itemsize,
+                              store_bytes=sdt.itemsize)
     Np = _round_up(N, tile)
     dims = (C, K, N)
     tiny = float(np.finfo(np.float32).tiny)
@@ -907,15 +916,15 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
             W_in, max_iter, *moments = rest
             # zero weights in the padding: padded pixels/channels
             # contribute exact zeros to D, gradients, loss and norms
-            W_p = jnp.pad(W_in.astype(jnp.float32),
+            W_p = jnp.pad(W_in.astype(sdt),
                           ((0, Cp - C), (0, Np - N)))
         else:
             max_iter, *moments = rest
             W_p = None
         it0 = jnp.asarray(it0, jnp.int32)
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
-        S_p = jnp.pad(S.astype(jnp.float32), ((0, Kp - K), (0, Np - N)))
-        Y_p = jnp.pad(Y.astype(jnp.float32), ((0, Cp - C), (0, Np - N)))
+        S_p = jnp.pad(S.astype(sdt), ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(sdt), ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
         if warm:
             # warm start (reference algorithms.py:347-359 semantics: the
@@ -988,7 +997,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
 
         init = (
             A_p, S_p, MS0, VS0, MA0, VA0,
-            jnp.sum(S_p, axis=1, keepdims=True),
+            jnp.sum(S_p.astype(jnp.float32), axis=1, keepdims=True),
             jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(jnp.inf, jnp.float32),
         )
@@ -1017,6 +1026,7 @@ def nmf_adaprox_fused(
     eps=1e-8,
     tile_n=8192,
     moment_dtype=None,
+    store_dtype=None,
     M=None,
     V=None,
     state=None,
@@ -1041,6 +1051,10 @@ def nmf_adaprox_fused(
     ``moment_dtype``, this REDUCES per-iteration HBM traffic (188 → 132
     MB at the flagship), at bf16 moment precision (~3 decimal digits on
     the EMAs; iterates and convergence stay f32).
+    ``store_dtype=jnp.bfloat16`` additionally stores S/Y (weighted:
+    also W) reduced — with bf16 moments, 132 → 94 MB/iter naive — at
+    bf16 iterate quantization (fixed-point residuals floor ~4e-3
+    relative; keep e_rel loose, like the PGM engines' store).
 
     ``M`` / ``V`` warm-start the Adam moments from a previous solve's
     ``.M`` / ``.V`` (each a per-block ``(M_A, M_S)`` tuple — the same
@@ -1112,6 +1126,7 @@ def nmf_adaprox_fused(
         float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
         warm=warm, weighted=weighted,
+        store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
     extra = ((W,) if weighted else ()) + (max_iter,) + (
         (jnp.asarray(MA), jnp.asarray(VA),
@@ -1398,7 +1413,8 @@ def nmf(
                 and algorithm_args.get("scheme", "adam") == "adam"
                 and set(algorithm_args) <= {
                     "b1", "b2", "eps", "tile_n", "moment_dtype",
-                    "M", "V", "state", "scheme", "separable_prox"}):
+                    "store_dtype", "M", "V", "state", "scheme",
+                    "separable_prox"}):
             from .solvers.common import separable_blocks
 
             prox_pair = (prox_A, prox_S)
@@ -1415,7 +1431,8 @@ def nmf(
         reduced_moments = (mdt is not None
                            and jnp.dtype(mdt).itemsize < 4)
         if fused_adaprox_ok and (reduced_moments
-                                 or "tile_n" in algorithm_args):
+                                 or "tile_n" in algorithm_args
+                                 or "store_dtype" in algorithm_args):
             # measured on v5e (benchmarks/results_r4.json): the fused
             # proximal-Adam kernel with reduced-precision moment
             # storage is the fastest adaprox engine everywhere tested
@@ -1494,7 +1511,7 @@ def nmf(
                 )
             fused_kw = {k: aargs.pop(k) for k in
                         ("b1", "b2", "eps", "tile_n", "moment_dtype",
-                         "M", "V", "state")
+                         "store_dtype", "M", "V", "state")
                         if k in aargs}
             if aargs:
                 raise ValueError(

@@ -374,13 +374,18 @@ def _adaprox_step_kernel(dims_ref, sc_ref, alpha_ref, A_ref, S_ref, M_ref,
     bc1 = sc_ref[1]     # 1 / (1 - b1_t^t)
     bc2 = sc_ref[2]     # 1 / (1 - b2^t)
 
+    # storage dtype may be bfloat16 for S/Y/W (like the PGM kernel);
+    # all compute is f32 — casts are in-register within this pass
+    store_dt = S_ref.dtype
     A = A_ref[:]
-    S = S_ref[:]
-    Y = Y_ref[:]
+    S_raw = S_ref[:]
+    S = S_raw.astype(jnp.float32)
+    Y = Y_ref[:].astype(jnp.float32)
     alpha = alpha_ref[:]                       # (Kp, 1) per-row step
 
-    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
-    D = W_ref[:] * R if weighted else R
+    R = jnp.dot(A.astype(store_dt), S_raw,
+                preferred_element_type=jnp.float32) - Y
+    D = W_ref[:].astype(jnp.float32) * R if weighted else R
 
     gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
     M1 = (1.0 - b1_t) * gS + b1_t * M_ref[:].astype(jnp.float32)
@@ -410,25 +415,31 @@ def _adaprox_step_kernel(dims_ref, sc_ref, alpha_ref, A_ref, S_ref, M_ref,
         stats_ref[1] = jnp.float32(0.0)
         stats_ref[2] = jnp.float32(0.0)
 
-    Snew_ref[:] = S1
+    S1_stored = S1.astype(store_dt)
+    Snew_ref[:] = S1_stored
     Mnew_ref[:] = M1.astype(Mnew_ref.dtype)
     Vnew_ref[:] = V1.astype(Vnew_ref.dtype)
+    # downstream statistics use the values that will actually be read
+    # back (post-rounding), keeping the recursion self-consistent under
+    # bf16 storage — same rule as the PGM kernel's SSt
+    S1_next = S1_stored.astype(jnp.float32)
     gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
-    rowsum_ref[:] += jnp.sum(S1, axis=1, keepdims=True)
+    rowsum_ref[:] += jnp.sum(S1_next, axis=1, keepdims=True)
     stats_ref[0] += jnp.sum(D * R) / 2
-    dS = S1 - S
+    dS = S1_next - S
     stats_ref[1] += jnp.sum(dS * dS)
-    stats_ref[2] += jnp.sum(S1 * S1)
+    stats_ref[2] += jnp.sum(S1_next * S1_next)
 
 
-def _adaprox_auto_tile(Cp, Kp, weighted, tile_n, N, moment_bytes=4):
+def _adaprox_auto_tile(Cp, Kp, weighted, tile_n, N, moment_bytes=4,
+                       store_bytes=4):
     """VMEM budget model for the adaprox kernel: double-buffered I/O
     blocks (S in/out, M in/out, V in/out, Y, W?) plus live intermediates
     (R/D at Cp rows; gS, M1, V1, Phi/Psi, S1 at Kp rows)."""
     tile_n = min(tile_n, _round_up(N, _LANE))
-    io_cols = 2 * (2 * Kp                       # S in + out, f32
+    io_cols = 2 * (2 * Kp                       # S in + out
                    + Cp * (2 if weighted else 1))
-    io_bytes_col = 4 * io_cols + 2 * moment_bytes * 2 * Kp * 2
+    io_bytes_col = store_bytes * io_cols + 2 * moment_bytes * 2 * Kp * 2
     tmp_bytes_col = 4 * (Cp * (2 if weighted else 1) + 6 * Kp)
     per_col = io_bytes_col + tmp_bytes_col
     while tile_n > _LANE and tile_n * per_col > _VMEM_BUDGET:
@@ -462,7 +473,8 @@ def fused_nmf_adaprox_step(A, S, M, V, Y, alpha_S, scalars, W=None,
     Cp, Kp = A.shape
     Np = S.shape[1]
     assert M.shape == S.shape and V.shape == S.shape
-    assert Cp % _SUBLANE == 0 and Kp % _SUBLANE == 0 and \
+    sub = 16 if S.dtype == jnp.bfloat16 else _SUBLANE
+    assert Cp % sub == 0 and Kp % sub == 0 and \
         Np % tile_n == 0, (
             "fused_nmf_adaprox_step expects pre-padded shapes"
         )
@@ -520,7 +532,7 @@ def fused_nmf_adaprox_step(A, S, M, V, Y, alpha_S, scalars, W=None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Cp, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), S.dtype),
             jax.ShapeDtypeStruct((Kp, Np), mdt),
             jax.ShapeDtypeStruct((Kp, Np), mdt),
             jax.ShapeDtypeStruct((Kp, 1), jnp.float32),
@@ -529,9 +541,9 @@ def fused_nmf_adaprox_step(A, S, M, V, Y, alpha_S, scalars, W=None,
         cost_estimate=pl.CostEstimate(
             flops=2 * Np * Cp * Kp * 3 + 12 * Np * Kp,
             bytes_accessed=Np * (
-                4 * 2 * Kp                       # S read + write
+                S.dtype.itemsize * 2 * Kp        # S read + write
                 + 2 * mdt.itemsize * 2 * Kp      # M, V read + write
-                + 4 * Cp * (2 if weighted else 1)
+                + S.dtype.itemsize * Cp * (2 if weighted else 1)
             ),
             transcendentals=Np * Kp,             # the Psi sqrt
         ),

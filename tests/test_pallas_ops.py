@@ -825,3 +825,43 @@ def test_fused_weighted_pgm_bf16_storage(rng):
     r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=10,
                    engine="pallas", store_dtype=jnp.bfloat16)
     assert r.iterations == 10
+
+
+def test_fused_adaprox_bf16_storage(rng):
+    """bf16-stored S/Y (+ bf16 moments) in the fused proximal-Adam
+    engine: comparable loss to the f32 store, close iterates at a short
+    horizon, f32 outputs, and the nmf() route accepts the combination
+    (engine='auto' selects the fused kernel for it)."""
+    import proxmin_tpu as pt
+
+    C, K, N = 16, 8, 512
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    r32 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=40, tile_n=128)
+    r16 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=40, tile_n=128,
+                                   store_dtype=jnp.bfloat16,
+                                   moment_dtype=jnp.bfloat16)
+    assert np.asarray(r16.x[1]).dtype == np.float32
+    assert r16.loss < max(r32.loss * 3, r32.loss + 1.0)
+
+    s32 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=10, tile_n=128)
+    s16 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                   max_iter=10, tile_n=128,
+                                   store_dtype=jnp.bfloat16)
+    # Adam's Phi/Psi ratio amplifies bf16 iterate quantization a bit
+    # more than PGM; a handful of elements drift by ~0.1 already at 10
+    # iterations (the loss assertion above carries the quality check)
+    np.testing.assert_allclose(np.asarray(s16.x[1]), np.asarray(s32.x[1]),
+                               atol=0.15)
+
+    # weighted + engine='auto' routes to the fused kernel on store_dtype
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, algorithm="adaprox",
+                   e_rel=0, max_iter=8, engine="auto",
+                   store_dtype=jnp.bfloat16, tile_n=128)
+    assert r.iterations == 8
