@@ -93,6 +93,40 @@ def weighted_engines_at(C, K, N, stride=10):
     return times
 
 
+def store_dtype_at(C, K, N, stride=10):
+    """bf16-STORAGE speed rows (r4 late addition): the unweighted store
+    was measured capacity-only-at-flagship (slower at C<=128); this
+    sweeps the newly-supported weighted-PGM and fused-adaprox stores,
+    whose traffic mix differs (W stream halves too; adaprox reaches a
+    94 MB/iter naive floor with bf16 moments+store)."""
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.random((C, N)).astype(np.float32))
+    W = jnp.asarray((0.5 + rng.random((C, N))).astype(np.float32))
+    A = jnp.asarray(rng.random((C, K)).astype(np.float32))
+    S = jnp.asarray(rng.random((K, N)).astype(np.float32))
+
+    times = {}
+    rows = (
+        ("w-pallas-f32", dict(W=W, step_stride=stride, engine="pallas")),
+        ("w-pallas-bf16s", dict(W=W, step_stride=stride, engine="pallas",
+                                store_dtype=jnp.bfloat16)),
+        ("a-pallas-bf16m", dict(algorithm="adaprox", engine="pallas",
+                                moment_dtype=jnp.bfloat16)),
+        ("a-pallas-bf16m+s", dict(algorithm="adaprox", engine="pallas",
+                                  moment_dtype=jnp.bfloat16,
+                                  store_dtype=jnp.bfloat16)),
+    )
+    for name, kw in rows:
+        def call(n, _kw=kw):
+            res = pt.nmf.nmf(Y, A, S, e_rel=0, max_iter=n, **_kw)
+            return np.asarray(res.x[0])
+
+        times[name] = _slope(call)
+        print(f"store C={C:4d} K={K:3d} N={N:8d} {name:18s} "
+              f"{times[name] * 1e3:7.3f} ms/iter")
+    return times
+
+
 def weighted_strided(C=5, K=7, N=1_000_000):
     rng = np.random.default_rng(101)
     Y = jnp.asarray(
@@ -130,3 +164,5 @@ if __name__ == "__main__":
         weighted_engines_at(64, 16, 250_000)
         weighted_engines_at(128, 32, 125_000)
         weighted_strided()
+        store_dtype_at(5, 7, 1_000_000)
+        store_dtype_at(64, 16, 250_000)
