@@ -533,6 +533,20 @@ def _cached_runner(builder):
     return get
 
 
+def _poison_loss(loss, *norms):
+    """Failure detection for the fused/sharded engines: return ``loss``
+    with NaN substituted when any of the post-update ``norms`` is
+    non-finite. The kernel's loss is computed from the PRE-update
+    iterate, so alone it would detect a divergence one iteration late —
+    and miss one produced on the final allowed iteration entirely;
+    poisoning it from the post-update convergence norms (already
+    computed) closes both gaps with zero extra passes."""
+    finite = jnp.asarray(True)
+    for v in norms:
+        finite = jnp.logical_and(finite, jnp.isfinite(v))
+    return jnp.where(finite, loss, jnp.nan)
+
+
 def _fused_fp_conv(d_sq, n_sq, e_rel):
     """Fixed-point test for the fused engines, with the same non-finite
     hardening as :func:`utils.fixed_point_converged`: a diverging
@@ -588,9 +602,11 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 A, S, Y_p, sS, prox_S=prox_S, tile_n=tile, dims=dims
             )
             A_new = prox_A(A - sA * gA, sA) * a_mask
-            conv_A = _fused_fp_conv(jnp.sum((A_new - A) ** 2),
-                                    jnp.sum(A_new ** 2), e_rel)
+            dA_sq = jnp.sum((A_new - A) ** 2)
+            nA_sq = jnp.sum(A_new ** 2)
+            conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
             conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
+            loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
             return (A_new, S_new, SSt_new, it + 1, conv_A, conv_S, loss)
 
         def cond(carry):
@@ -715,9 +731,11 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 dims=dims,
             )
             A_new = prox_A(A - sA * gA, sA) * a_mask
-            conv_A = _fused_fp_conv(jnp.sum((A_new - A) ** 2),
-                                    jnp.sum(A_new ** 2), e_rel)
+            dA_sq = jnp.sum((A_new - A) ** 2)
+            nA_sq = jnp.sum(A_new ** 2)
+            conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
             conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
+            loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
             return (A_new, S_new, sA, sS, v, stride_c, nxt, it + 1,
                     conv_A, conv_S, loss)
 
@@ -794,7 +812,7 @@ def nmf_pgm_fused(
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
     ``.converged``, ``.loss``.
     """
-    from .solvers.common import SolverResult, writeback
+    from .solvers.common import SolverResult, status_from, writeback
 
     A_in, S_in = A, S  # keep originals for the NumPy in-place contract
     # None means identity (matching nmf()); the kernel-internal None means
@@ -840,13 +858,8 @@ def nmf_pgm_fused(
     loss = float(loss)
     diverged = iterations > 0 and not np.isfinite(loss)
     logger.info("Completed %d iterations", iterations)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    elif not all(converged):
-        logger.warning("Solution did not converge")
+    status = status_from(all(converged), diverged, logger)
     writeback((A_in, S_in), (A_out, S_out))
-    status = ("diverged" if diverged
-              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=(A_out, S_out), iterations=iterations, converged=converged,
@@ -978,9 +991,11 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                 A1 = jnp.maximum(A1, 0.0)
             A1 = A1 * a_mask
 
-            conv_A = _fused_fp_conv(jnp.sum((A1 - A) ** 2),
-                                    jnp.sum(A1 ** 2), e_rel)
+            dA_sq = jnp.sum((A1 - A) ** 2)
+            nA_sq = jnp.sum(A1 ** 2)
+            conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
             conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
+            loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
             return (A1, S1, MS1, VS1, MA1, VA1, rowsum1, it + 1,
                     conv_A, conv_S, loss)
 
@@ -1075,7 +1090,7 @@ def nmf_adaprox_fused(
     ``.converged``, ``.loss``, the final moments ``.M`` / ``.V``, and
     the exact-resume pytree ``.state``.
     """
-    from .solvers.common import SolverResult, writeback
+    from .solvers.common import SolverResult, status_from, writeback
 
     A_in, S_in = A, S
     if prox_A is None:
@@ -1139,10 +1154,7 @@ def nmf_adaprox_fused(
     loss = float(loss)
     diverged = iterations > 0 and not np.isfinite(loss)
     logger.info("Completed %d iterations", iterations)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    elif not all(converged):
-        logger.warning("Solution did not converge")
+    status = status_from(all(converged), diverged, logger)
     writeback((A_in, S_in), (A_f, S_f))
     # exact-resume pytree, interchangeable with the XLA adaprox driver's
     # (adam carries no Vhat — it stays zeros there — and the default
@@ -1153,8 +1165,6 @@ def nmf_adaprox_fused(
         "stepper_state": (),
         "it": jnp.int32(it0 + iterations),
     }
-    status = ("diverged" if diverged
-              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=(A_f, S_f), iterations=iterations, converged=converged,
@@ -1405,6 +1415,17 @@ def nmf(
         return res
 
     if engine == "auto":
+        # store_dtype routing rule: None or a full-width dtype is a
+        # no-op (f32 store IS the default layout) — normalize it away
+        # so degenerate config values cannot misroute to the measured-
+        # slower f32 fused engines or crash the XLA drivers; a REDUCED
+        # store_dtype is a capacity request only the fused kernels can
+        # honor, and forces them below
+        if "store_dtype" in algorithm_args:
+            _sdt = algorithm_args["store_dtype"]
+            if _sdt is None or jnp.dtype(_sdt).itemsize >= 4:
+                algorithm_args = dict(algorithm_args)
+                del algorithm_args["store_dtype"]
         adaprox_alg = getattr(algorithms, "adaprox", None)
         fused_adaprox_ok = False
         if (algorithm is adaprox_alg and step is None
@@ -1444,19 +1465,28 @@ def nmf(
             engine = "pallas"
         else:
             pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}
+            # weighted problems reach the fused kernel only on an
+            # explicit reduced store_dtype (the capacity option the XLA
+            # driver cannot honor); the weighted fused runner supports
+            # strided/adaptive refresh, the unweighted one has no
+            # stride to amortize
+            weighted_store = (not _is_unweighted(W)
+                              and "store_dtype" in algorithm_args)
             pallas_ok = (
                 algorithm is algorithms.pgm and step is None
-                and _is_unweighted(W) and callback is None
-                and step_stride is None and not step_adapt
+                and callback is None
                 and set(algorithm_args) <= {"tile_n", "store_dtype"}
+                and (weighted_store
+                     or (_is_unweighted(W) and step_stride is None
+                         and not step_adapt))
             )
             if pallas_only and not pallas_ok:
                 raise ValueError(
                     f"{sorted(pallas_only)} are pallas-engine options "
                     "but the call is not pallas-compatible (pgm needs "
-                    "default steps, unweighted W, no callback/"
-                    "step_stride; adaprox needs the adam scheme and "
-                    "separable proxs)"
+                    "default steps and no callback — unweighted also "
+                    "no step_stride; adaprox needs the adam scheme "
+                    "and separable proxs)"
                 )
             # measured crossover on v5e (benchmarks/engine_scaling.py):
             # XLA's loop fusion wins for few-channel problems, the

@@ -434,6 +434,14 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
                 nS = all_sum(jnp.sum(S_new ** 2), data_axis, model_axis)
                 # sum(W R^2)/2 == sum(D R)/2 (= sum(R^2)/2 unweighted)
                 loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
+                # failure detection: poison the (pre-update) loss from
+                # the post-update norms, so the cond's isfinite stop
+                # fires the same iteration the iterate diverges (see
+                # nmf._poison_loss — same rule, replicated scalars)
+                finite = jnp.logical_and(
+                    jnp.logical_and(jnp.isfinite(dA), jnp.isfinite(nA)),
+                    jnp.logical_and(jnp.isfinite(dS), jnp.isfinite(nS)))
+                loss = jnp.where(finite, loss, jnp.nan)
 
                 return ShardedNMFState(
                     A=A_new, S=S_new,
@@ -683,11 +691,9 @@ def nmf_pgm_sharded(
     iterations = int(it) - it0
     loss = float(loss)
     diverged = iterations > 0 and not np.isfinite(loss)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    status = ("diverged" if diverged
-              else "converged" if all(converged) else "max_iter")
-    from ..solvers.common import writeback
+    from ..solvers.common import status_from, writeback
+
+    status = status_from(all(converged), diverged, logger)
     writeback((A, S), (A_f, S_f))
     return SolverResult(
         converged,

@@ -35,6 +35,7 @@ from .common import (
     split_partial_data,
     callable_key,
     nested_key,
+    status_from,
     tupleize,
     value_key,
     writeback,
@@ -512,18 +513,13 @@ def admm(
     this_call = int(tot_h) - int(tot0_h)
     iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    elif not converged:
-        logger.warning("Solution did not converge")
+    status = status_from(converged, diverged, logger)
 
     errors = tuple(float(v) for v in err_h[0])
     history = (np.asarray(state.history[:min(this_call,
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
-    status = ("diverged" if diverged
-              else "converged" if converged else "max_iter")
     return SolverResult(
         (converged, errors),
         x=state.x, iterations=iterations, converged=converged,
@@ -617,10 +613,7 @@ def sdmm(
     this_call = int(tot_h) - int(tot0_h)
     iterations = int(it_h) if int(tot0_h) == 0 else this_call
     logger.info("Completed %d iterations", iterations)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    elif not converged:
-        logger.warning("Solution did not converge")
+    status = status_from(converged, diverged, logger)
 
     errors = tuple(
         tuple(float(v) for v in row) for row in err_h
@@ -629,8 +622,6 @@ def sdmm(
                                              state.history.shape[0])])
                if trace else None)
     writeback(originals, (state.x,))
-    status = ("diverged" if diverged
-              else "converged" if converged else "max_iter")
     return BoolResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,

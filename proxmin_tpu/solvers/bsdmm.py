@@ -39,6 +39,7 @@ from .common import (
     callable_key,
     nested_key,
     split_partial_data,
+    status_from,
     tupleize,
     writeback,
 )
@@ -543,15 +544,10 @@ def bsdmm(
     logger.info("Completed %d iterations", iterations)
     converged = tuple(bool(c) for c in conv_h)
     diverged = bool(div_h)
-    if diverged:
-        logger.warning("Solution diverged (non-finite iterate)")
-    elif not all(converged):
-        logger.warning("Solution did not converge")
+    status = status_from(all(converged), diverged, logger)
 
     writeback(originals, state.x)
     history = np.asarray(state.history[:iterations]) if trace else None
-    status = ("diverged" if diverged
-              else "converged" if all(converged) else "max_iter")
     return SolverResult(
         converged,
         x=state.x, iterations=iterations, converged=converged,

@@ -76,6 +76,19 @@ class SolverResult(tuple):
         return f"{type(self).__name__}({inner})"
 
 
+def status_from(converged, diverged, logger=None):
+    """Shared structured-status rule for every driver/engine: the
+    three-way ``"diverged" | "converged" | "max_iter"`` string plus the
+    matching warning (divergence outranks non-convergence)."""
+    if logger is not None:
+        if diverged:
+            logger.warning("Solution diverged (non-finite iterate)")
+        elif not converged:
+            logger.warning("Solution did not converge")
+    return ("diverged" if diverged
+            else "converged" if converged else "max_iter")
+
+
 def tupleize(X):
     """``X`` (array or sequence of arrays) -> tuple of jnp arrays, plus the
     info needed to write results back / unwrap single-block problems."""

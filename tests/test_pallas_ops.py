@@ -865,3 +865,65 @@ def test_fused_adaprox_bf16_storage(rng):
                    e_rel=0, max_iter=8, engine="auto",
                    store_dtype=jnp.bfloat16, tile_n=128)
     assert r.iterations == 8
+
+
+def test_engine_auto_store_dtype_routing(rng):
+    """Review findings (r4 late): engine='auto' routes a reduced
+    store_dtype to the fused kernels — including weighted PGM (the only
+    engine that can honor the capacity option) — while store_dtype=None
+    or float32 is normalized away (f32 store IS the default layout)
+    instead of misrouting to the slower f32 fused engine or crashing
+    the XLA driver."""
+    import proxmin_tpu as pt
+
+    C, K, N = 16, 8, 512
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    # weighted + reduced store -> fused weighted kernel (was a
+    # ValueError falsely demanding unweighted W)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=6,
+                   engine="auto", store_dtype=jnp.bfloat16)
+    assert r.iterations == 6
+    # ... also with a strided refresh (the weighted runner supports it)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0, max_iter=6,
+                   engine="auto", store_dtype=jnp.bfloat16,
+                   step_stride=3)
+    assert r.iterations == 6
+
+    # None / f32 store_dtype are no-ops on every auto route
+    for sdt in (None, jnp.float32):
+        r1 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=6,
+                        engine="auto", store_dtype=sdt)
+        r2 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=6)
+        np.testing.assert_allclose(np.asarray(r1.x[1]),
+                                   np.asarray(r2.x[1]), rtol=1e-6)
+        ra = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                        e_rel=0, max_iter=6, engine="auto",
+                        store_dtype=sdt)
+        rb = pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                        e_rel=0, max_iter=6)
+        np.testing.assert_allclose(np.asarray(ra.x[1]),
+                                   np.asarray(rb.x[1]), rtol=1e-6)
+
+
+def test_fused_divergence_detected_on_final_iteration(rng):
+    """Review finding (r4 late): the carried loss is pre-update, so a
+    divergence on the LAST allowed iteration used to escape detection;
+    the in-body loss poisoning (post-update norms) closes the gap."""
+    import proxmin_tpu as pt
+
+    C, K, N = 3, 2, 128
+    Y = rng.random((C, N)).astype(np.float32)
+    Y[0, 0] = np.inf
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    # max_iter=1: the only iteration produces the NaN
+    r = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                             max_iter=1, tile_n=128)
+    assert r.status == "diverged"
+    r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                 max_iter=1, tile_n=128)
+    assert r.status == "diverged"
