@@ -51,8 +51,8 @@ def _block_shapes(x_shapes):
 
 
 def export_pgm_solver(x_shapes, grad, step, prox=None, accelerated=False,
-                      backtracking=False, f=None, e_rel=1e-6, max_iter=1000,
-                      dtype=jnp.float32):
+                      restart=False, backtracking=False, f=None,
+                      e_rel=1e-6, max_iter=1000, dtype=jnp.float32):
     """Serialize a :func:`proxmin_tpu.pgm` solve for fixed block shapes.
 
     ``x_shapes``: one shape tuple or a list of per-block shapes. The
@@ -70,7 +70,7 @@ def export_pgm_solver(x_shapes, grad, step, prox=None, accelerated=False,
     assert backtracking is False or f is not None
     stepper = make_stepper(step, n)
     body = _make_pgm_body(grad, stepper, prox_t, e_rel_t, accelerated,
-                          backtracking, f)
+                          backtracking, f, restart=restart)
 
     def run(*x0):
         state = _init_state(x0, grad, stepper, n, max_iter, False,

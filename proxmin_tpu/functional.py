@@ -43,7 +43,8 @@ __all__ = ["make_pgm_solver", "make_adaprox_solver",
 
 
 def make_pgm_solver(grad, step, prox=None, accelerated=False,
-                    backtracking=False, f=None, e_rel=1e-6, max_iter=1000):
+                    restart=False, backtracking=False, f=None,
+                    e_rel=1e-6, max_iter=1000):
     """Build a pure PGM/FISTA solve: ``solve(*x0) -> (x, iterations,
     converged, diverged)``.
 
@@ -65,7 +66,7 @@ def make_pgm_solver(grad, step, prox=None, accelerated=False,
         assert backtracking is False or f is not None
         stepper = make_stepper(step, n)
         body = _make_pgm_body(g, stepper, prox_t, e_rel_t, accelerated,
-                              backtracking, f)
+                              backtracking, f, restart=restart)
         state = _init_state(x0, g, stepper, n, max_iter, False, accelerated)
         st = _run_fused(state, body, max_iter, n)
         x = st.x[0] if n == 1 else st.x

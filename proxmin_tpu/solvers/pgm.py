@@ -82,8 +82,17 @@ class PGMState(NamedTuple):
 
 
 def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
-                   trace=False):
-    """Build the single-iteration body (pure state -> state)."""
+                   trace=False, restart=False):
+    """Build the single-iteration body (pure state -> state).
+
+    ``restart=True`` (with ``accelerated``) adds O'Donoghue & Candès
+    (2015) gradient-based adaptive restart: when the momentum direction
+    opposes the progress direction — the oscillation condition
+    ``<x_ex - x_new, x_new - x_old> > 0`` — the Nesterov clock resets to
+    ``t = 1`` (omega(1) == 0, so the next extrapolation is momentum-free
+    regardless of ``x_prev``). One extra fused reduction per iteration;
+    kills FISTA's characteristic oscillation on well-conditioned
+    directions (FASTA field guide, arXiv:1411.3406 §4)."""
     n = len(prox)
 
     def body(state: PGMState) -> PGMState:
@@ -162,6 +171,15 @@ def _make_pgm_body(grad, stepper, prox, e_rel, accelerated, backtracking, f,
                     for j, (d, nx) in enumerate(norms)]
         converged = jnp.stack([c for c, _ in verdicts])
         finite = jnp.stack([fin for _, fin in verdicts]).all()
+
+        if accelerated and restart:
+            # adaptive restart (see builder docstring): reset the
+            # momentum clock when extrapolation overshoots
+            osc = sum(
+                jnp.sum((x_ex[j] - x_new[j]) * (x_new[j] - x_old[j]))
+                for j in range(n)
+            )
+            t_next = jnp.where(osc > 0, jnp.ones_like(t_next), t_next)
 
         history = state.history
         if trace:
@@ -327,7 +345,8 @@ class _FrozenStepper:
 
 
 def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
-                   backtracking, f, trace, max_iter, n, resuming=False):
+                   backtracking, f, trace, max_iter, n, resuming=False,
+                   restart=False):
     """Strided-stepper execution as nested loops: the outer loop refreshes
     the steps once per ``stride`` via ``stepper.segment_refresh``, the
     inner while-loop runs the iterations with frozen steps.
@@ -370,7 +389,8 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
         full-size copies per iteration (measured +0.1 ms/iter at the
         weighted flagship)."""
         body = _make_pgm_body(grad, _FrozenStepper(steps), prox, e_rel,
-                              accelerated, backtracking, f, trace=trace)
+                              accelerated, backtracking, f, trace=trace,
+                              restart=restart)
 
         def strip(s2):
             return s2._replace(stepper_state=())
@@ -424,6 +444,7 @@ def pgm(
     step,
     prox=None,
     accelerated=False,
+    restart=False,
     backtracking=False,
     f=None,
     e_rel=1e-6,
@@ -452,6 +473,13 @@ def pgm(
         step: step size(s); should be < 2/L with L the Lipschitz constant.
         prox: proximal operator(s) ``prox(X, step) -> X``; None = identity.
         accelerated: Nesterov/FISTA acceleration.
+        restart: with ``accelerated``, O'Donoghue & Candès adaptive
+            restart — the momentum clock resets whenever extrapolation
+            overshoots (the gradient-based oscillation test), which
+            restores monotone-like descent and is often several times
+            faster in iterations on well-conditioned problems (FASTA
+            field guide, arXiv:1411.3406 §4). Off by default: the
+            reference has no restart, and parity tests pin plain FISTA.
         backtracking: Beck–Teboulle backtracking line search (needs ``f``).
         f: the smooth function itself — required for ``backtracking``
             and for the ``grad=None`` autodiff mode.
@@ -501,7 +529,8 @@ def pgm(
     # the compiled executable (standard jax.jit contract — callables keyed
     # by identity, closure-captured arrays treated as fixed)
     key = ("pgm", callable_key(grad), _stepper_cache_key(step, stepper),
-           tuple(callable_key(p) for p in prox), accelerated, backtracking,
+           tuple(callable_key(p) for p in prox), accelerated,
+           bool(restart), backtracking,
            callable_key(f) if f is not None else None, e_rel, max_iter,
            trace, callback is None, abstract_key(x0))
 
@@ -541,7 +570,8 @@ def pgm(
         def make_body(leaves):
             g, st, ff, pr = _rebuild(leaves)
             body = _make_pgm_body(g, st, pr, e_rel, accelerated,
-                                  backtracking, ff, trace=trace)
+                                  backtracking, ff, trace=trace,
+                                  restart=restart)
             return body, g
 
         if callback is None:
@@ -563,10 +593,12 @@ def pgm(
                 if use_segmented:
                     s = _run_segmented(s, g, st, pr, e_rel, accelerated,
                                        backtracking, ff, trace, max_iter,
-                                       n, resuming=resume is not None)
+                                       n, resuming=resume is not None,
+                                       restart=restart)
                 else:
                     body = _make_pgm_body(g, st, pr, e_rel, accelerated,
-                                          backtracking, ff, trace=trace)
+                                          backtracking, ff, trace=trace,
+                                          restart=restart)
                     s = _run_fused(s, body, max_iter, n)
                 return s, utils._as_tuple(g(*s.x))
 
