@@ -174,12 +174,15 @@ def make_adaprox_cond(check_convergence, max_iter):
 
 
 def init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n, max_iter,
-                       trace, it0=None, stepper_state=None):
+                       trace, it0=None, stepper_state=None,
+                       resume_flags=None):
     """Initial carry construction — shared with the AOT export path.
 
     ``it0``/``stepper_state`` warm-restart the global iteration clock and
     the stepper (e.g. strided-refresh intervals) from a previous solve's
-    ``.state`` (see :func:`adaprox`'s ``state=``)."""
+    ``.state`` (see :func:`adaprox`'s ``state=``). ``resume_flags`` is
+    the carried ``(converged, diverged)`` pair — a solve that STOPPED
+    stays stopped on resume (see pgm's resume_state note)."""
     G0 = zeros_like_shapes(lambda *x: utils._as_tuple(grad(*x)), *x0)
     fresh_sst = stepper.init_state(x0, G0)
     if stepper_state is None:
@@ -198,13 +201,16 @@ def init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n, max_iter,
         Vhat=Vhat0,
         stepper_state=stepper_state,
         it=jnp.int32(0),
-        converged=jnp.zeros((n,), bool),
+        converged=(jnp.asarray(resume_flags[0], bool).reshape((n,))
+                   if resume_flags is not None
+                   else jnp.zeros((n,), bool)),
         sub_iters=jnp.zeros((n,), jnp.int32),
         history=jnp.zeros(
             (max_iter if trace else 0, n),
             jnp.result_type(*[x.dtype for x in x0], jnp.float32),
         ),
-        diverged=jnp.asarray(False),
+        diverged=(jnp.asarray(resume_flags[1], bool)
+                  if resume_flags is not None else jnp.asarray(False)),
         it0=(jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32)),
     )
 
@@ -500,7 +506,13 @@ def adaprox(
             "are mutually exclusive"
         M, V, Vhat = state["M"], state["V"], state["Vhat"]
         resume = {"stepper_state": state["stepper_state"],
-                  "it": jnp.asarray(state["it"], jnp.int32)}
+                  "it": jnp.asarray(state["it"], jnp.int32),
+                  # terminal flags (absent on pre-r4-final checkpoints:
+                  # default "not stopped"): a stopped solve stays stopped
+                  "converged": jnp.asarray(
+                      state.get("converged", np.zeros(n, bool)), bool),
+                  "diverged": jnp.asarray(
+                      state.get("diverged", False), bool)}
     else:
         resume = None
 
@@ -556,6 +568,9 @@ def adaprox(
                     it0=None if resume is None else resume["it"],
                     stepper_state=(None if resume is None
                                    else resume["stepper_state"]),
+                    resume_flags=(None if resume is None else
+                                  (resume.get("converged", np.zeros(n, bool)),
+                                   resume.get("diverged", False))),
                 )
                 cond = make_adaprox_cond(check_convergence, max_iter)
                 return jax.lax.while_loop(cond, body, state)
@@ -580,6 +595,9 @@ def adaprox(
             it0=None if resume is None else resume["it"],
             stepper_state=(None if resume is None
                            else resume["stepper_state"]),
+            resume_flags=(None if resume is None else
+                          (resume.get("converged", np.zeros(n, bool)),
+                           resume.get("diverged", False))),
         )
 
     if callback is None:
@@ -632,6 +650,9 @@ def adaprox(
         "M": state.M, "V": state.V, "Vhat": state.Vhat,
         "stepper_state": state.stepper_state,
         "it": state.it + state.it0,
+        # terminal flags: a stopped solve stays stopped on resume (see
+        # pgm's resume_state note)
+        "converged": state.converged, "diverged": state.diverged,
     }
     return SolverResult(
         (converged, state.M, state.V, state.Vhat),

@@ -111,6 +111,9 @@ def _resume_state(state):
         "z": state.z, "u": state.u, "slack": state.slack,
         "step_scale": state.step_scale, "r_prev": state.r_prev,
         "it": state.it, "total_it": state.total_it,
+        # terminal flags: a stopped solve stays stopped on resume (see
+        # pgm's resume_state note)
+        "converged": state.converged, "diverged": state.diverged,
     }
 
 
@@ -349,6 +352,10 @@ def _sdmm_core(
                if resume is not None else jnp.int32(0))
         tot0 = (jnp.asarray(resume.get("total_it", 0), jnp.int32)
                 if resume is not None else jnp.int32(0))
+        conv0 = (jnp.asarray(resume.get("converged", False), bool)
+                 if resume is not None else jnp.asarray(False))
+        div0 = (jnp.asarray(resume.get("diverged", False), bool)
+                if resume is not None else jnp.asarray(False))
         return ADMMState(
             x=jnp.array(x, copy=True),
             z=jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), z0),
@@ -356,14 +363,14 @@ def _sdmm_core(
             it=it0,
             total_it=tot0,
             slack=slack0,
-            converged=jnp.asarray(False),
+            converged=conv0,
             errors=jnp.zeros((max(M, 1), 4)),
             r_prev=jax.tree_util.tree_map(jnp.asarray, r0),
             history=jnp.zeros((2 * max_iter if trace else 0, max(M, 1), 4)),
             step_scale=scale0,
             total_it0=tot0,
             it0=it0,
-            diverged=jnp.asarray(False),
+            diverged=div0,
         )
 
     def _cond(s):

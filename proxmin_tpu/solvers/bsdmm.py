@@ -360,6 +360,11 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                                          resume["steps_state"])
         it0 = (jnp.asarray(resume.get("it", 0), jnp.int32)
                if resume is not None else jnp.int32(0))
+        conv0 = (jnp.asarray(resume.get("converged",
+                                        np.zeros(N, bool)), bool)
+                 if resume is not None else jnp.zeros((N,), bool))
+        div0 = (jnp.asarray(resume.get("diverged", False), bool)
+                if resume is not None else jnp.asarray(False))
         return BSDMMState(
             x=tuple(jnp.array(x, copy=True) for x in xs),
             z=z0, u=u0,
@@ -367,10 +372,10 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
             steps_g=steps_g0,
             steps_state=ss0,
             it=it0,
-            converged=jnp.zeros((N,), bool),
+            converged=conv0,
             history=jnp.zeros((max_iter if trace else 0, N, 2), dtype),
             it0=it0,
-            diverged=jnp.asarray(False),
+            diverged=div0,
         )
 
     def cond(s):
@@ -555,5 +560,9 @@ def bsdmm(
         state={"z": state.z, "u": state.u, "steps_f": state.steps_f,
                "steps_g": state.steps_g,
                "steps_state": state.steps_state, "it": state.it,
-               "stride_config": stride_cfg},
+               "stride_config": stride_cfg,
+               # terminal flags: a stopped solve stays stopped on
+               # resume (see pgm's resume_state note)
+               "converged": state.converged,
+               "diverged": state.diverged},
     )

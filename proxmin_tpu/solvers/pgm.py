@@ -252,6 +252,11 @@ def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated,
                 "configuration (stepper state structure mismatch); "
                 "resume with the same step arguments"
             )
+        # carried terminal flags (default: not stopped, for pre-r4-final
+        # checkpoints that lack them): a stopped solve stays stopped
+        conv0 = jnp.asarray(resume.get("converged", np.zeros(n, bool)),
+                            bool).reshape((n,))
+        div0 = jnp.asarray(resume.get("diverged", False), bool)
     else:
         x_prev = (tuple(jnp.array(x, copy=True) for x in x0)
                   if accelerated else ())
@@ -260,6 +265,8 @@ def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated,
         f_prev0 = jnp.asarray(jnp.inf, dtype)
         sst0 = stepper_state0
         it0 = jnp.int32(0)
+        conv0 = jnp.zeros((n,), bool)
+        div0 = jnp.asarray(False)
     # fresh buffers: the initial state must not alias user-provided arrays
     # (device conversion below is a copy for NumPy inputs and an explicit
     # copy for jax inputs)
@@ -272,10 +279,10 @@ def _init_state(x0, grad, stepper, n, max_iter, trace, accelerated,
         S=tuple(S0),
         stepper_state=sst0,
         it=jnp.int32(0),
-        converged=jnp.zeros((n,), bool),
+        converged=conv0,
         history=jnp.zeros((max_iter if trace else 0, n), dtype),
         it0=it0,
-        diverged=jnp.asarray(False),
+        diverged=div0,
     )
 
 
@@ -670,6 +677,13 @@ def pgm(
         "x_prev": state.x_prev, "t": state.t, "T": state.T,
         "f_prev": state.f_prev, "stepper_state": state.stepper_state,
         "it": state.it + state.it0,
+        # terminal flags: a solve that STOPPED (exact fixed point at
+        # e_rel=0, tolerance hit, or divergence) must stay stopped on
+        # resume — fresh flags would take extra steps the uninterrupted
+        # run never took (r4 extended-fuzz finding: FISTA+backtracking
+        # parked exactly on 0 for one iteration, stopped converged, and
+        # the resumed run moved off it)
+        "converged": state.converged, "diverged": state.diverged,
     }
     return SolverResult(
         (converged, G, S),

@@ -145,6 +145,135 @@ def test_admm_family_resume_random_configs(trial):
 
 
 @pytest.mark.parametrize("trial", range(6))
+def test_pgm_resume_after_convergence_random(trial):
+    """Kill AFTER the solve converged: the resumed solve must stay
+    stopped (terminal flags carry through ``.state``), not take extra
+    steps the uninterrupted run never took. Pre-fix, 39/60 random
+    configs of this family failed (fresh ``converged=False`` flags let
+    the resumed loop keep iterating past the e_rel tolerance)."""
+    rng = np.random.default_rng(91052 + 7 * trial)
+    n = 3
+    H = np.diag(rng.uniform(0.2, 2.0, size=n))
+    c = rng.normal(size=n)
+
+    def grad(x):
+        return jnp.asarray(H) @ (x - jnp.asarray(c))
+
+    accelerated = bool(rng.integers(0, 2))
+    step = float(rng.uniform(0.3, 0.9))
+    total = int(rng.integers(30, 80))
+    k = int(rng.integers(5, total))
+    kw = dict(accelerated=accelerated, prox=operators.prox_plus,
+              e_rel=1e-4)
+    x0 = jnp.asarray(rng.normal(size=n))
+
+    full = pt.pgm(x0, grad, step, max_iter=total, **kw)
+    half = pt.pgm(x0, grad, step, max_iter=k, **kw)
+    res = pt.pgm(half.x, grad, step, max_iter=total - k,
+                 state=half.state, **kw)
+    _same(res.x, full.x,
+          f"pgm post-conv acc={accelerated} k={k}/{total}")
+    if bool(np.all(half.converged)):
+        # the interesting arm: the kill landed after convergence —
+        # the resume must be a no-op
+        assert res.iterations == 0
+
+
+def test_adaprox_resume_after_convergence():
+    """AdaProx sibling of the post-convergence resume property."""
+    rng = np.random.default_rng(17)
+    H = np.diag(rng.uniform(0.3, 1.0, size=3))
+    c = rng.normal(size=3)
+
+    def grad(x):
+        return jnp.asarray(H) @ (x - jnp.asarray(c))
+
+    kw = dict(scheme="adam", prox=operators.prox_plus, e_rel=1e-3)
+    x0 = jnp.asarray(rng.normal(size=3))
+    full = pt.adaprox(x0, grad, 0.2, max_iter=400, **kw)
+    assert bool(np.all(full.converged)), "test needs a converging config"
+    k = full.iterations + 10
+    half = pt.adaprox(x0, grad, 0.2, max_iter=k, **kw)
+    res = pt.adaprox(half.x, grad, 0.2, max_iter=50,
+                     state=half.state, **kw)
+    _same(res.x, full.x, "adaprox post-conv resume")
+    assert res.iterations == 0
+
+
+@pytest.mark.parametrize("family", ["admm", "sdmm"])
+def test_admm_family_resume_after_convergence(family):
+    """ADMM/SDMM sibling: a converged-then-resumed solve stays stopped."""
+    rng = np.random.default_rng(23)
+    B = rng.standard_normal((3, 8))
+
+    def prox_f(x, step):
+        return (x + step * jnp.asarray(B)) / (1.0 + step)
+
+    if family == "admm":
+        kw = dict(prox_g=operators.prox_plus, e_rel=1e-4, e_abs=1e-4)
+        solver = pt.admm
+    else:
+        kw = dict(proxs_g=[operators.prox_plus, operators.prox_max],
+                  e_rel=1e-4, e_abs=1e-4)
+        solver = pt.sdmm
+    x0 = jnp.zeros((3, 8))
+    full = solver(x0, prox_f, 0.5, max_iter=500, **kw)
+    assert bool(np.all(np.asarray(full.converged))), \
+        "test needs a converging config"
+    k = full.iterations + 10
+    half = solver(x0, prox_f, 0.5, max_iter=k, **kw)
+    res = solver(half.x, prox_f, 0.5, max_iter=50,
+                 state=half.state, **kw)
+    _same(res.x, full.x, f"{family} post-conv resume")
+    assert res.iterations == 0
+
+
+def test_bsdmm_resume_after_convergence():
+    """bsdmm sibling of the post-convergence property (two blocks,
+    nested non-negativity constraints, consensus prox_f)."""
+    c1, c2 = np.array([2.0, -1.0]), np.array([3.0, 0.5, -0.2])
+
+    def proxs_f(x, step, j=None, Xs=None):
+        c = jnp.asarray([c1, c2][j])
+        return (x + step * c) / (1 + step)
+
+    def steps_f(Xs, j=None):
+        return 0.4
+
+    def pg(v, step):
+        return jnp.maximum(v, 0)
+
+    kw = dict(proxs_g=[[pg], [pg, pg]], e_rel=1e-4)
+    x0 = [jnp.zeros(2), jnp.zeros(3)]
+    full = pt.bsdmm(x0, proxs_f, steps_f, max_iter=500, **kw)
+    assert bool(np.all(np.asarray(full.converged))), \
+        "test needs a converging config"
+    k = full.iterations + 10
+    half = pt.bsdmm(x0, proxs_f, steps_f, max_iter=k, **kw)
+    res = pt.bsdmm([jnp.asarray(b) for b in half.x], proxs_f, steps_f,
+                   max_iter=50, state=half.state, **kw)
+    assert res.iterations == 0
+    for a, b in zip(res.x, full.x):
+        _same(a, b, "bsdmm post-conv resume")
+
+
+def test_pgm_resume_after_divergence_stays_stopped():
+    """A diverged-then-killed solve must stay stopped on resume (the
+    carried ``diverged`` flag), not iterate on non-finite values."""
+    def grad(x):
+        return 4.0 * x
+
+    x0 = jnp.asarray(np.ones(3))
+    # step 10/L guarantees divergence
+    half = pt.pgm(x0, grad, 10.0, max_iter=300, e_rel=0.0)
+    assert half.status == "diverged"
+    res = pt.pgm(half.x, grad, 10.0, max_iter=50, e_rel=0.0,
+                 state=half.state)
+    assert res.iterations == 0
+    assert res.status == "diverged"
+
+
+@pytest.mark.parametrize("trial", range(6))
 def test_pgm_backtracking_trace_resume_random(trial):
     """Backtracking line search + trace-mode resume: the per-block T
     scales, f_prev, and momentum all carry; the local trace buffer
