@@ -79,14 +79,14 @@ def main():
     # 3. "preemption": 30 iterations, then the pod goes away...
     outs = fresh(A_d, S_d, Y_d, W_d, rep(jnp.int32(30)))
     A_m, S_m, it = outs[0], outs[1], outs[2]
-    sA, sS, stride, seg_end, v = outs[6:]
     print(f"preempted at it={int(it)}, loss={float(outs[5]):.4f}")
 
-    # ...continuation on a (here: the same) mesh via the resume artifact
+    # ...continuation on a (here: the same) mesh via the resume
+    # artifact: the carries are exactly the fresh artifact's outputs
+    # from position 2 on — (it, conv_A, conv_S, loss, step_A, step_S,
+    # stride, seg_end) replicated, plus the pixel-sharded v
     outs2 = cont(A_m, S_m, Y_d, W_d, rep(jnp.int32(45)),
-                 rep(jnp.asarray(it, jnp.int32)), rep(sA), rep(sS),
-                 rep(jnp.asarray(stride, jnp.int32)),
-                 rep(jnp.asarray(seg_end, jnp.int32)), v)
+                 *(rep(o) for o in outs[2:-1]), outs[-1])
     print(f"resumed to it={int(outs2[2])}, loss={float(outs2[5]):.4f}")
 
     # the uninterrupted live solve walks the identical trajectory

@@ -372,16 +372,20 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     is the current backend, matching the other export functions.
 
     ``resume=True`` exports the exact-warm-restart variant for
-    preempted pod solves: the signature appends the carried clock(s)
-    after ``max_iter`` — ``it0: i32`` always; strided configurations
-    add ``(step_A, step_S, stride: i32, seg_end: i32)`` and weighted
-    strided ones a ``v: (N, K)`` pixel-sharded power iterate. Strided
-    artifacts (fresh or resume) return those same carries appended
-    after ``loss``, so a continuation can start from any artifact's
-    outputs or from a live solve's ``.state`` (or its
-    ``proxmin_tpu.checkpoint`` restore) — the continuation reproduces
-    the uninterrupted trajectory exactly. ``max_iter`` counts the
-    additional iterations, like ``nmf_pgm_sharded(state=...)``.
+    preempted pod solves: the signature appends the carried scalars
+    after ``max_iter`` — ``it0: i32, conv_A: bool, conv_S: bool,
+    loss: dtype`` always (the terminal flags keep a solve that already
+    stopped — converged, or diverged with a nan-poisoned loss —
+    stopped on resume); strided configurations add ``(step_A, step_S,
+    stride: i32, seg_end: i32)`` and weighted strided ones a ``v:
+    (N, K)`` pixel-sharded power iterate. Those carries are exactly
+    the artifact OUTPUTS from position 2 on (``it, conv_A, conv_S,
+    loss`` then the strided carries), so a continuation feeds
+    ``outs[2:]`` from any artifact's outputs — or a live solve's
+    ``.state`` (or its ``proxmin_tpu.checkpoint`` restore) — and
+    reproduces the uninterrupted trajectory exactly. ``max_iter``
+    counts the additional iterations, like
+    ``nmf_pgm_sharded(state=...)``.
     """
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
@@ -432,6 +436,9 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     args.append(sds((), P(), jnp.int32))
     if resume:
         args.append(sds((), P(), jnp.int32))          # it0
+        args.append(sds((), P(), jnp.bool_))          # conv_A
+        args.append(sds((), P(), jnp.bool_))          # conv_S
+        args.append(sds((), P()))                     # loss
         if strided:
             args += [sds((), P()), sds((), P()),      # step_A, step_S
                      sds((), P(), jnp.int32),         # stride
@@ -465,11 +472,13 @@ def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     a runtime replicated i32 (which is why ``b1`` must be a constant,
     not a per-iteration schedule — use :func:`export_adaprox_solver`
     for schedules). ``warm_start=True`` appends
-    ``(M_A, V_A, Vhat_A, M_S, V_S, Vhat_S, it0)`` inputs accepting a
-    previous artifact's returned moments plus the global
-    bias-correction clock — the continuation walks the exact
-    uninterrupted trajectory (the driver's ``state=`` semantics, not
-    the reference's clock-restarting ``M=/V=`` warm start).
+    ``(M_A, V_A, Vhat_A, M_S, V_S, Vhat_S, it0, conv_A0, conv_S0,
+    diverged0)`` inputs accepting a previous artifact's returned
+    moments plus the global bias-correction clock and terminal flags
+    (outputs 2..7 then 8..11 feed straight back in) — the continuation
+    walks the exact uninterrupted trajectory (the driver's ``state=``
+    semantics, not the reference's clock-restarting ``M=/V=`` warm
+    start), and a solve that already stopped stays stopped.
     """
     from functools import partial
 
@@ -516,14 +525,19 @@ def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
                                   True, prox_max_iter)
         x0 = (A, S)
         if warm_start:
-            M_A, V_A, Vh_A, M_S, V_S, Vh_S, it0 = wargs
+            M_A, V_A, Vh_A, M_S, V_S, Vh_S, it0, cA0, cS0, dv0 = wargs
             M0, V0 = (M_A, M_S), (V_A, V_S)
             Vhat0 = (Vh_A, Vh_S)
+            rflags = (jnp.stack([jnp.asarray(cA0, bool),
+                                 jnp.asarray(cS0, bool)]),
+                      jnp.asarray(dv0, bool))
         else:
             M0 = V0 = Vhat0 = tuple(jnp.zeros_like(x) for x in x0)
             it0 = None
+            rflags = None
         state = init_adaprox_state(x0, M0, V0, Vhat0, stepper, grad, n,
-                                   max_iter, trace=False, it0=it0)
+                                   max_iter, trace=False, it0=it0,
+                                   resume_flags=rflags)
         cond = make_adaprox_cond(True, max_iter)
         st = jax.lax.while_loop(cond, body, state)
         return (st.x[0], st.x[1], st.M[0], st.V[0], st.Vhat[0],
@@ -542,7 +556,10 @@ def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     args.append(sds((), P(), jnp.int32))
     if warm_start:
         args += [sds((C, K), a_spec)] * 3 + [sds((K, N), s_spec)] * 3
-        args.append(sds((), P(), jnp.int32))
+        args.append(sds((), P(), jnp.int32))          # it0
+        args.append(sds((), P(), jnp.bool_))          # conv_A0
+        args.append(sds((), P(), jnp.bool_))          # conv_S0
+        args.append(sds((), P(), jnp.bool_))          # diverged0
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
 

@@ -919,12 +919,15 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     tiny = float(np.finfo(np.float32).tiny)
 
     @jax.jit
-    def run(A, S, Y, *rest, it0=0):
+    def run(A, S, Y, *rest, it0=0, conv_A0=False, conv_S0=False,
+            div0=False):
         # weighted signature: (A, S, Y, W, max_iter, *moments) — W
         # directly after the data, matching export_nmf_solver's
         # weighted artifact ordering; unweighted: (A, S, Y, max_iter,
         # *moments). ``it0`` (traced) continues the global Adam
-        # bias-correction clock on exact warm restart (``state=``).
+        # bias-correction clock on exact warm restart (``state=``);
+        # the carried terminal flags keep a solve that already stopped
+        # (converged/diverged) stopped on resume.
         if weighted:
             W_in, max_iter, *moments = rest
             # zero weights in the padding: padded pixels/channels
@@ -999,13 +1002,19 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
             return (A1, S1, MS1, VS1, MA1, VA1, rowsum1, it + 1,
                     conv_A, conv_S, loss)
 
+        div0_t = jnp.asarray(div0, bool)
+
         def cond(carry):
             it, conv_A, conv_S, loss = (carry[7], carry[8], carry[9],
                                         carry[10])
             done = jnp.logical_and(conv_A, conv_S)
-            # failure detection: non-finite loss after >=1 iteration
-            bad = jnp.logical_and(it > 0,
-                                  jnp.logical_not(jnp.isfinite(loss)))
+            # failure detection: non-finite loss after >=1 iteration,
+            # or a carried diverged flag (a diverged-then-resumed
+            # solve stays stopped)
+            bad = jnp.logical_or(
+                jnp.logical_and(it > 0,
+                                jnp.logical_not(jnp.isfinite(loss))),
+                div0_t)
             return jnp.logical_and(
                 it < max_iter,
                 jnp.logical_not(jnp.logical_or(done, bad)))
@@ -1013,7 +1022,8 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
         init = (
             A_p, S_p, MS0, VS0, MA0, VA0,
             jnp.sum(S_p.astype(jnp.float32), axis=1, keepdims=True),
-            jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+            jnp.int32(0), jnp.asarray(conv_A0, bool),
+            jnp.asarray(conv_S0, bool),
             jnp.asarray(jnp.inf, jnp.float32),
         )
         out = jax.lax.while_loop(cond, body, init)
@@ -1110,10 +1120,16 @@ def nmf_adaprox_fused(
     if weighted:
         W = _promote_W(W, Y)
     it0 = 0
+    conv0 = np.zeros(2, bool)
+    div0 = False
     if state is not None:
         assert M is None and V is None, \
             "state= (exact resume) and M=/V= (moment warm start) are " \
             "mutually exclusive"
+        # terminal flags (absent on pre-r4-final checkpoints: default
+        # "not stopped"): a stopped solve stays stopped on resume
+        conv0 = np.asarray(state.get("converged", conv0), bool)
+        div0 = bool(np.asarray(state.get("diverged", False)))
         sst = state.get("stepper_state", ()) \
             if hasattr(state, "get") else ()
         if jax.tree_util.tree_leaves(sst):
@@ -1147,12 +1163,14 @@ def nmf_adaprox_fused(
         (jnp.asarray(MA), jnp.asarray(VA),
          jnp.asarray(MS), jnp.asarray(VS)) if warm else ())
     (A_f, S_f, it, conv_A, conv_S, loss,
-     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra, it0=it0)
+     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra, it0=it0,
+                                   conv_A0=bool(conv0[0]),
+                                   conv_S0=bool(conv0[1]), div0=div0)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
     loss = float(loss)
-    diverged = iterations > 0 and not np.isfinite(loss)
+    diverged = div0 or (iterations > 0 and not np.isfinite(loss))
     logger.info("Completed %d iterations", iterations)
     status = status_from(all(converged), diverged, logger)
     writeback((A_in, S_in), (A_f, S_f))
@@ -1164,6 +1182,10 @@ def nmf_adaprox_fused(
         "Vhat": (jnp.zeros_like(MA_f), jnp.zeros_like(MS_f)),
         "stepper_state": (),
         "it": jnp.int32(it0 + iterations),
+        # terminal flags (interchangeable with the XLA driver's
+        # per-block (A, S) layout): a stopped solve stays stopped
+        "converged": np.asarray(converged, bool),
+        "diverged": diverged,
     }
     return SolverResult(
         converged,

@@ -386,15 +386,22 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
         dt = jnp.result_type(A, S)
         if resume:
             if strided and weighted:
-                it0, sA0, sS0, stride_r, seg_end0, v0r = rargs
+                (it0, convA0, convS0, loss0,
+                 sA0, sS0, stride_r, seg_end0, v0r) = rargs
             elif strided:
-                it0, sA0, sS0, stride_r, seg_end0 = rargs
+                (it0, convA0, convS0, loss0,
+                 sA0, sS0, stride_r, seg_end0) = rargs
             else:
-                (it0,) = rargs
+                it0, convA0, convS0, loss0 = rargs
             it0 = jnp.asarray(it0, jnp.int32)
+            convA0 = jnp.asarray(convA0, bool)
+            convS0 = jnp.asarray(convS0, bool)
+            loss0 = jnp.asarray(loss0, dt)
             it_lim = it0 + max_iter
         else:
             it0 = jnp.int32(0)
+            convA0 = convS0 = jnp.asarray(False)
+            loss0 = jnp.asarray(jnp.inf, dt)
             it_lim = max_iter
 
         def compute_steps(A, S):
@@ -460,11 +467,13 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
             # failure detection: the psum'd loss covers every live
             # quantity, so a non-finite value after >=1 iteration of
             # this call means a diverged iterate (init loss is inf by
-            # design; the replicated scalar keeps every shard stopping
-            # on the same iteration)
+            # design on FRESH solves, hence the it > it0 guard; resumed
+            # solves carry the real last loss, so a poisoned nan carry
+            # keeps a diverged solve stopped — it0 > 0. The replicated
+            # scalar keeps every shard stopping on the same iteration.)
             bad = jnp.logical_and(
-                state.it > it0,
-                jnp.logical_not(jnp.isfinite(state.loss)))
+                jnp.logical_not(jnp.isfinite(state.loss)),
+                jnp.logical_or(state.it > it0, it0 > 0))
             return jnp.logical_and(
                 state.it < it_lim,
                 jnp.logical_not(jnp.logical_or(done, bad)))
@@ -476,8 +485,10 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
             step_S=(jnp.asarray(sS0, dt) if resume and strided
                     else jnp.zeros((), dt)),
             it=it0,
-            conv_A=jnp.asarray(False), conv_S=jnp.asarray(False),
-            loss=jnp.asarray(jnp.inf, dt),
+            # terminal flags carry on resume: a solve that already
+            # stopped (converged or diverged) stays stopped
+            conv_A=convA0, conv_S=convS0,
+            loss=loss0,
         )
 
         if strided:
@@ -559,7 +570,10 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
     in_specs = (a_spec, s_spec, y_spec, y_spec)
     out_specs = (a_spec, s_spec, P(), P(), P(), P())
     if resume:
-        in_specs += (P(),) + ((P(), P(), P(), P()) if strided else ())
+        # it0 + terminal scalars (conv_A, conv_S, loss), then the
+        # strided step carries
+        in_specs += (P(), P(), P(), P()) \
+            + ((P(), P(), P(), P()) if strided else ())
         if strided and weighted:
             in_specs += (P(data_axis, None),)
     if strided:
@@ -665,7 +679,12 @@ def nmf_pgm_sharded(
                              resume=state is not None)
     rargs = ()
     if state is not None:
-        rargs = (jnp.int32(state["it"]),)
+        # terminal scalars (absent on pre-r4-final checkpoints: default
+        # "not stopped"/finite loss): a stopped solve stays stopped
+        rargs = (jnp.int32(state["it"]),
+                 jnp.asarray(state.get("conv_A", False), bool),
+                 jnp.asarray(state.get("conv_S", False), bool),
+                 jnp.asarray(state.get("loss", 0.0)))
         if strided:
             rargs += (state["step_A"], state["step_S"],
                       jnp.int32(state["stride"]),
@@ -674,10 +693,12 @@ def nmf_pgm_sharded(
                 rargs += (jnp.asarray(state["v"]),)
     outs = solve(A0, S0, Y, W_sh, *rargs)
     A_f, S_f, it, cA, cS, loss = outs[:6]
+    loss = float(loss)
     resume_state = {
         "kind": "nmf_pgm_sharded", "strided": strided,
         "weighted": weighted, "it": it,
         "stride_config": stride_cfg,
+        "conv_A": bool(cA), "conv_S": bool(cS), "loss": loss,
     }
     if strided:
         resume_state.update(
@@ -689,8 +710,9 @@ def nmf_pgm_sharded(
     it0 = int(state["it"]) if state is not None else 0
     converged = (bool(cA), bool(cS))
     iterations = int(it) - it0
-    loss = float(loss)
-    diverged = iterations > 0 and not np.isfinite(loss)
+    # a resumed solve carries its (possibly nan-poisoned) loss, so a
+    # diverged-then-resumed no-op stays "diverged"
+    diverged = not np.isfinite(loss) and (iterations > 0 or it0 > 0)
     from ..solvers.common import status_from, writeback
 
     status = status_from(all(converged), diverged, logger)

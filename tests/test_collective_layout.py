@@ -285,7 +285,10 @@ def test_pgm_explicit_weighted_adaptive_resume(problem):
     sharding = NamedSharding(mesh, P("data", None))
     v0 = jax.device_put(np.ones((N, K), np.float32), sharding)
     txt = compile_hlo(solve, As, Ss, Ys, Wsh,
-                      jnp.int32(19), jnp.float32(0.01), jnp.float32(0.01),
+                      jnp.int32(19),                   # it0
+                      jnp.asarray(False), jnp.asarray(False),  # conv flags
+                      jnp.float32(0.5),                # carried loss
+                      jnp.float32(0.01), jnp.float32(0.01),
                       jnp.int32(12), jnp.int32(24), v0)
     assert_layout(txt)
     sizes = collective_sizes(txt)

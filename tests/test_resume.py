@@ -553,6 +553,52 @@ def test_nmf_adaprox_fused_cross_engine_state(rng):
                                np.asarray(ref.x[1]), atol=5e-5)
 
 
+def test_nmf_adaprox_fused_resume_after_stop_stays_stopped(rng):
+    """Terminal flags ride the fused-engine state both ways: a
+    converged (or diverged) fused solve resumed via state= is a no-op
+    instead of taking extra steps the uninterrupted run never took."""
+    from proxmin_tpu.nmf import nmf_adaprox_fused
+
+    # near-solution start + loose tolerance: converges in a few
+    # iterations, NOT onto an exact fixed point (own seed: whether a
+    # draw converges is data-chaotic)
+    rng = np.random.default_rng(7)
+    C, K, N = 4, 3, 256
+    A_t = rng.random((C, K)).astype(np.float32)
+    S_t = rng.random((K, N)).astype(np.float32)
+    Y = A_t @ S_t
+    A0 = np.abs(A_t * (1 + 0.1 * rng.standard_normal((C, K)))) \
+        .astype(np.float32)
+    S0 = np.abs(S_t * (1 + 0.1 * rng.standard_normal((K, N)))) \
+        .astype(np.float32)
+    kw = dict(e_rel=0.05, tile_n=128)
+    full = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=300, **kw)
+    assert all(full.converged), "test needs a converging config"
+    k = full.iterations + 8
+    half = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=k, **kw)
+    res = nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
+                            jnp.asarray(half.x[1]),
+                            max_iter=40, state=half.state, **kw)
+    assert res.iterations == 0
+    assert res.status == "converged"
+    np.testing.assert_array_equal(np.asarray(res.x[1]),
+                                  np.asarray(full.x[1]))
+
+    # diverged: a NaN-poisoned solve stays stopped on resume
+    Y_bad = Y.copy()
+    Y_bad[0, 0] = np.nan
+    dead = nmf_adaprox_fused(Y_bad, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=50, **kw)
+    assert dead.status == "diverged"
+    res2 = nmf_adaprox_fused(Y_bad, jnp.asarray(dead.x[0]),
+                             jnp.asarray(dead.x[1]),
+                             max_iter=50, state=dead.state, **kw)
+    assert res2.iterations == 0
+    assert res2.status == "diverged"
+
+
 def test_nmf_adaprox_fused_rejects_strided_state(rng):
     """A strided-stepper XLA state has no fused counterpart — resuming
     it on the fused engine must fail loudly, not silently change the
@@ -609,6 +655,42 @@ def test_sharded_pgm_resume_matches_uninterrupted(rng, sharded_problem):
                                   np.asarray(full.x[1]))
     assert int(resumed.state["it"]) == 30
     assert resumed.iterations == 15
+
+
+def test_sharded_resume_after_convergence_stays_stopped(rng,
+                                                        sharded_problem):
+    """Kill AFTER the sharded solve converged: the carried terminal
+    scalars (conv_A, conv_S, loss) keep the resumed solve stopped —
+    zero extra iterations, iterates bit-equal to the uninterrupted
+    run's."""
+    from proxmin_tpu.parallel import make_mesh, nmf_pgm_sharded
+
+    # a near-solution start converges in a few iterations at a loose
+    # tolerance — but NOT onto an exact fixed point, so a resumed loop
+    # with fresh flags would visibly move the iterates. Own seed:
+    # whether a given draw converges is data-chaotic.
+    rng = np.random.default_rng(42)
+    C, K, N = 6, 3, 64
+    A_t, S_t = rng.random((C, K)), rng.random((K, N))
+    Y = A_t @ S_t
+    A0 = np.abs(A_t * (1 + 0.2 * rng.standard_normal((C, K))))
+    S0 = np.abs(S_t * (1 + 0.2 * rng.standard_normal((K, N))))
+    mesh = make_mesh()
+    kw = dict(mesh=mesh, e_rel=0.03)
+
+    full = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=500, **kw)
+    assert all(full.converged), "test needs a converging config"
+    k = full.iterations + 10
+    half = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), max_iter=k, **kw)
+    resumed = nmf_pgm_sharded(Y, half.x[0], half.x[1], max_iter=50,
+                              state=half.state, **kw)
+    assert resumed.iterations == 0
+    assert resumed.status == "converged"
+    assert resumed.loss == full.loss
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
 
 
 def test_sharded_weighted_adaptive_resume_mid_segment(rng, sharded_problem):

@@ -34,6 +34,7 @@ def test_pgm_resume_random_configs(trial):
         return jnp.asarray(H) @ (x - jnp.asarray(c))
 
     accelerated = bool(rng.integers(0, 2))
+    restart = accelerated and bool(rng.integers(0, 2))
     use_bb = bool(rng.integers(0, 2))
     step = (pt.utils.BarzilaiBorweinStepper(type=int(rng.integers(1, 3)),
                                             init_r=0.1)
@@ -41,7 +42,8 @@ def test_pgm_resume_random_configs(trial):
     prox = operators.prox_plus if rng.integers(0, 2) else None
     total = int(rng.integers(8, 40))
     k = int(rng.integers(1, total))
-    kw = dict(accelerated=accelerated, prox=prox, e_rel=0.0)
+    kw = dict(accelerated=accelerated, restart=restart, prox=prox,
+              e_rel=0.0)
     x0 = jnp.asarray(rng.normal(size=4))
 
     full = pt.pgm(x0, grad, step, max_iter=total, **kw)
@@ -49,7 +51,8 @@ def test_pgm_resume_random_configs(trial):
     res = pt.pgm(half.x, grad, step, max_iter=total - k,
                  state=half.state, **kw)
     _same(res.x, full.x,
-          f"pgm acc={accelerated} bb={use_bb} k={k}/{total}")
+          f"pgm acc={accelerated} restart={restart} bb={use_bb} "
+          f"k={k}/{total}")
 
 
 @pytest.mark.parametrize("trial", range(8))

@@ -713,13 +713,12 @@ def test_export_sharded_artifact_only_resume(rng):
 
     outs = fresh(A_d, S_d, Y_d, W_d, rep(jnp.int32(10)))
     A_m, S_m, it = outs[0], outs[1], outs[2]
-    sA, sS, stride, seg_end, v = outs[6:]
     assert int(it) == 10
 
+    # resume carries are exactly the artifact outputs from position 2
+    # on: (it, conv_A, conv_S, loss, step_A, step_S, stride, seg_end, v)
     outs2 = cont(A_m, S_m, Y_d, W_d, rep(jnp.int32(15)),
-                 rep(jnp.asarray(it, jnp.int32)), rep(sA), rep(sS),
-                 rep(jnp.asarray(stride, jnp.int32)),
-                 rep(jnp.asarray(seg_end, jnp.int32)), v)
+                 *(rep(o) for o in outs[2:-1]), outs[-1])
     assert int(outs2[2]) == 25
 
     ref = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
@@ -808,9 +807,12 @@ def test_export_sharded_adaprox_warm_continuation(rng):
     Y_d, W_d = put(Y, P(None, "data")), put(W, P(None, "data"))
 
     o = fresh(A_d, S_d, Y_d, W_d, rep(jnp.int32(8)))
+    # warm carries = outputs 2..7 (moments) then 8..11 (clock +
+    # terminal flags), fed straight back in
     o2 = cont(o[0], o[1], Y_d, W_d, rep(jnp.int32(12)),
               o[2], o[3], o[4], o[5], o[6], o[7],
-              rep(jnp.asarray(o[8], jnp.int32)))
+              rep(jnp.asarray(o[8], jnp.int32)),
+              rep(o[9]), rep(o[10]), rep(o[11]))
     assert int(o2[8]) == 20
 
     live = pt.nmf.nmf(Y.astype(np.float64), A0.astype(np.float64),
