@@ -313,13 +313,18 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
     mdt = jnp.dtype(moment_dtype) if moment_dtype else jnp.dtype(jnp.float32)
-    run = _make_fused_adaprox_runner(
+    run_full = _make_fused_adaprox_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
         int(N), jnp.dtype(dtype), float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
         warm=bool(warm_start), weighted=bool(weighted),
         store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
+    # drop the runner's trailing step-heuristic row-sum carry: it is a
+    # live-driver exact-resume detail (``state=``), and the warm_start
+    # artifact's M=/V= semantics restart the step recursion anyway —
+    # keeping the artifact at the documented 10-output signature
+    run = jax.jit(lambda *a: run_full(*a)[:10])
     args = [
         jax.ShapeDtypeStruct((C, K), dtype),
         jax.ShapeDtypeStruct((K, N), dtype),

@@ -920,7 +920,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
 
     @jax.jit
     def run(A, S, Y, *rest, it0=0, conv_A0=False, conv_S0=False,
-            div0=False):
+            div0=False, rowsum0=None):
         # weighted signature: (A, S, Y, W, max_iter, *moments) — W
         # directly after the data, matching export_nmf_solver's
         # weighted artifact ordering; unweighted: (A, S, Y, max_iter,
@@ -1019,20 +1019,30 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                 it < max_iter,
                 jnp.logical_not(jnp.logical_or(done, bad)))
 
+        if rowsum0 is None:
+            # cold start / XLA-driver state: compute the step-heuristic
+            # row sums fresh (the XLA driver carries none)
+            rs0 = jnp.sum(S_p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            # exact resume: the kernel's own tile-accumulated row sums
+            # (a fresh jnp.sum has a different reduction order — ULP
+            # differences there compound into a visibly different
+            # trajectory over tens of iterations)
+            rs0 = jnp.pad(rowsum0.astype(jnp.float32),
+                          ((0, Kp - K), (0, 0)))
         init = (
-            A_p, S_p, MS0, VS0, MA0, VA0,
-            jnp.sum(S_p.astype(jnp.float32), axis=1, keepdims=True),
+            A_p, S_p, MS0, VS0, MA0, VA0, rs0,
             jnp.int32(0), jnp.asarray(conv_A0, bool),
             jnp.asarray(conv_S0, bool),
             jnp.asarray(jnp.inf, jnp.float32),
         )
         out = jax.lax.while_loop(cond, body, init)
-        (A_f, S_f, MS_f, VS_f, MA_f, VA_f, _, it, conv_A, conv_S,
+        (A_f, S_f, MS_f, VS_f, MA_f, VA_f, rowsum_f, it, conv_A, conv_S,
          loss) = out
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
                 it, conv_A, conv_S, loss,
                 MA_f[:C, :K], VA_f[:C, :K],
-                MS_f[:K, :N], VS_f[:K, :N])
+                MS_f[:K, :N], VS_f[:K, :N], rowsum_f[:K])
 
     return run
 
@@ -1122,6 +1132,7 @@ def nmf_adaprox_fused(
     it0 = 0
     conv0 = np.zeros(2, bool)
     div0 = False
+    rowsum0 = None
     if state is not None:
         assert M is None and V is None, \
             "state= (exact resume) and M=/V= (moment warm start) are " \
@@ -1130,6 +1141,11 @@ def nmf_adaprox_fused(
         # "not stopped"): a stopped solve stays stopped on resume
         conv0 = np.asarray(state.get("converged", conv0), bool)
         div0 = bool(np.asarray(state.get("diverged", False)))
+        # the kernel's own step-heuristic row-sum carry: present on
+        # fused states (bit-exact resume); XLA-driver states have none
+        # (their steps recompute from S, so a fresh sum is their exact
+        # semantics anyway)
+        rowsum0 = state.get("rowsum")
         sst = state.get("stepper_state", ()) \
             if hasattr(state, "get") else ()
         if jax.tree_util.tree_leaves(sst):
@@ -1163,9 +1179,10 @@ def nmf_adaprox_fused(
         (jnp.asarray(MA), jnp.asarray(VA),
          jnp.asarray(MS), jnp.asarray(VS)) if warm else ())
     (A_f, S_f, it, conv_A, conv_S, loss,
-     MA_f, VA_f, MS_f, VS_f) = run(A, S, Y, *extra, it0=it0,
-                                   conv_A0=bool(conv0[0]),
-                                   conv_S0=bool(conv0[1]), div0=div0)
+     MA_f, VA_f, MS_f, VS_f, rowsum_f) = run(
+        A, S, Y, *extra, it0=it0,
+        conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
+        rowsum0=rowsum0)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
@@ -1186,6 +1203,11 @@ def nmf_adaprox_fused(
         # per-block (A, S) layout): a stopped solve stays stopped
         "converged": np.asarray(converged, bool),
         "diverged": diverged,
+        # the kernel's tile-accumulated step-heuristic row sums: resume
+        # re-seeds from these for a bit-exact continuation (a fresh
+        # jnp.sum's different reduction order drifts the trajectory by
+        # ULPs that compound over iterations)
+        "rowsum": rowsum_f,
     }
     return SolverResult(
         converged,

@@ -553,6 +553,44 @@ def test_nmf_adaprox_fused_cross_engine_state(rng):
                                np.asarray(ref.x[1]), atol=5e-5)
 
 
+@pytest.mark.parametrize("weighted,mdt", [(True, None),
+                                          (True, "bfloat16"),
+                                          (False, "bfloat16")])
+def test_nmf_adaprox_fused_midsolve_resume_bit_exact(weighted, mdt):
+    """Mid-solve fused resume is BIT-exact: the kernel's
+    tile-accumulated step-heuristic row sums ride the state — before
+    the carry, a fresh jnp.sum's different reduction order drifted the
+    resumed trajectory by ~1e-7 over tens of iterations (r4 fuzz:
+    8/25 random fused kill-resume configs mismatched)."""
+    from proxmin_tpu.nmf import nmf_adaprox_fused
+
+    rng = np.random.default_rng(99007)
+    C, K, N = 5, 3, 256
+    A_t = rng.random((C, K)).astype(np.float32)
+    S_t = rng.random((K, N)).astype(np.float32)
+    Y = (A_t @ S_t).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    kw = dict(e_rel=1e-3, tile_n=128)
+    if weighted:
+        kw["W"] = (rng.random((C, N)) + 0.5).astype(np.float32)
+    if mdt:
+        kw["moment_dtype"] = jnp.bfloat16
+    total, k = 30, 11
+    full = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=total, **kw)
+    half = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                             max_iter=k, **kw)
+    assert "rowsum" in half.state
+    res = nmf_adaprox_fused(Y, jnp.asarray(half.x[0]),
+                            jnp.asarray(half.x[1]),
+                            max_iter=total - k, state=half.state, **kw)
+    np.testing.assert_array_equal(np.asarray(res.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(res.x[1]),
+                                  np.asarray(full.x[1]))
+
+
 def test_nmf_adaprox_fused_resume_after_stop_stays_stopped(rng):
     """Terminal flags ride the fused-engine state both ways: a
     converged (or diverged) fused solve resumed via state= is a no-op

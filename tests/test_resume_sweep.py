@@ -117,6 +117,49 @@ def test_nmf_resume_random_configs(trial):
 
 
 @pytest.mark.parametrize("trial", range(6))
+def test_nmf_resume_random_configs_tolerance(trial):
+    """Like test_nmf_resume_random_configs but with e_rel > 0 drawn at
+    random, so convergence (and the terminal-flag carry) actually
+    engages: kills can land before, on, or after the stop."""
+    rng = np.random.default_rng(5500 + trial)
+    C, K, N = 4, 3, int(rng.integers(32, 96))
+    A_t, S_t = rng.random((C, K)), rng.random((K, N))
+    Y = A_t @ S_t + rng.choice([0.0, 0.01]) * rng.standard_normal((C, N))
+    if rng.integers(0, 2):
+        A0 = np.abs(A_t * (1 + 0.2 * rng.standard_normal((C, K))))
+        S0 = np.abs(S_t * (1 + 0.2 * rng.standard_normal((K, N))))
+    else:
+        A0, S0 = rng.random((C, K)), rng.random((K, N))
+    weighted = bool(rng.integers(0, 2))
+    W = (rng.random((C, N)) + 0.5) if weighted else 1
+    algorithm = ["pgm", "adaprox", "bsdmm"][int(rng.integers(0, 3))]
+    stride_mode = int(rng.integers(0, 3))
+    kw = dict(algorithm=algorithm, W=W,
+              e_rel=float(rng.choice([1e-3, 1e-2, 5e-2])))
+    if algorithm == "bsdmm" and not weighted and stride_mode == 2:
+        stride_mode = 1
+    if stride_mode == 1:
+        kw["step_stride"] = int(rng.integers(2, 8))
+    elif stride_mode == 2:
+        kw["step_adapt"] = True
+    total = int(rng.integers(12, 60))
+    k = int(rng.integers(1, total))
+
+    def run(a, s, n_iter, state=None):
+        return nmf(Y, jnp.asarray(a), jnp.asarray(s), max_iter=n_iter,
+                   **({} if state is None else {"state": state}), **kw)
+
+    full = run(A0, S0, total)
+    half = run(A0, S0, k)
+    res = run(half.x[0], half.x[1], total - k, state=half.state)
+    label = (f"nmf-tol {algorithm} weighted={weighted} "
+             f"stride_mode={stride_mode} e_rel={kw['e_rel']} "
+             f"k={k}/{total}")
+    _same(res.x[0], full.x[0], label)
+    _same(res.x[1], full.x[1], label)
+
+
+@pytest.mark.parametrize("trial", range(6))
 def test_admm_family_resume_random_configs(trial):
     rng = np.random.default_rng(6000 + trial)
     B = rng.standard_normal((3, 8))
