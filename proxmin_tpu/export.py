@@ -241,13 +241,17 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
+    # the runners' trailing step-state outputs (SSt Gram / frozen
+    # weighted steps) are live-driver exact-resume details (``state=``);
+    # the artifacts keep the documented 6-output signature
     if weighted:
-        run = _make_fused_weighted_pgm_runner(
+        run_full = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
             int(N), jnp.dtype(dtype), step_stride,
             adapt=bool(step_adapt),
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
+        run = jax.jit(lambda *a: run_full(*a)[:6])
         args = (
             jax.ShapeDtypeStruct((C, K), dtype),
             jax.ShapeDtypeStruct((K, N), dtype),
@@ -256,11 +260,12 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
             jax.ShapeDtypeStruct((), jnp.int32),
         )
         return jax_export.export(run)(*args).serialize()
-    run = _make_fused_pgm_runner(
+    run_full = _make_fused_pgm_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K), int(N),
         jnp.dtype(dtype),
         store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
+    run = jax.jit(lambda *a: run_full(*a)[:6])
     args = (
         jax.ShapeDtypeStruct((C, K), dtype),
         jax.ShapeDtypeStruct((K, N), dtype),

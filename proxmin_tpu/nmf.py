@@ -583,7 +583,12 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     dims = (C, K, N)
 
     @jax.jit
-    def run(A, S, Y, max_iter):
+    def run(A, S, Y, max_iter, *, conv_A0=False, conv_S0=False,
+            div0=False, SSt0=None):
+        # the resume kwargs (``state=`` continuation) carry the terminal
+        # flags and the kernel's own S S^T Gram — a fresh Gram has a
+        # different contraction order, and the ULP difference in the
+        # step sizes compounds over iterations
         A_p = jnp.pad(A.astype(jnp.float32),
                       ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(store_dtype),
@@ -591,6 +596,7 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         Y_p = jnp.pad(Y.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        div0_t = jnp.asarray(div0, bool)
 
         def body(carry):
             A, S, SSt, it, _, _, _ = carry
@@ -613,21 +619,32 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             _, _, _, it, conv_A, conv_S, loss = carry
             done = jnp.logical_and(conv_A, conv_S)
             # failure detection: a non-finite loss after >=1 iteration
-            # means a diverged iterate (init loss is inf by design)
-            bad = jnp.logical_and(it > 0,
-                                  jnp.logical_not(jnp.isfinite(loss)))
+            # means a diverged iterate (init loss is inf by design), and
+            # a carried diverged flag keeps a stopped solve stopped
+            bad = jnp.logical_or(
+                jnp.logical_and(it > 0,
+                                jnp.logical_not(jnp.isfinite(loss))),
+                div0_t)
             return jnp.logical_and(
                 it < max_iter,
                 jnp.logical_not(jnp.logical_or(done, bad)))
 
-        SSt0 = jnp.dot(S_p, S_p.T, preferred_element_type=jnp.float32)
-        init = (A_p, S_p, SSt0, jnp.int32(0), jnp.asarray(False),
-                jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32))
-        A_f, S_f, _, it, conv_A, conv_S, loss = jax.lax.while_loop(
+        if SSt0 is None:
+            SSt_in = jnp.dot(S_p, S_p.T,
+                             preferred_element_type=jnp.float32)
+        else:
+            # padded S rows are zero, so the padded Gram is the (K, K)
+            # carry framed in zeros — bit-exact round trip
+            SSt_in = jnp.pad(SSt0.astype(jnp.float32),
+                             ((0, Kp - K), (0, Kp - K)))
+        init = (A_p, S_p, SSt_in, jnp.int32(0),
+                jnp.asarray(conv_A0, bool), jnp.asarray(conv_S0, bool),
+                jnp.asarray(jnp.inf, jnp.float32))
+        A_f, S_f, SSt_f, it, conv_A, conv_S, loss = jax.lax.while_loop(
             cond, body, init
         )
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
-                it, conv_A, conv_S, loss)
+                it, conv_A, conv_S, loss, SSt_f[:K, :K])
 
     return run
 
@@ -673,7 +690,13 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     max_stride = 100
 
     @jax.jit
-    def run(A, S, Y, W, max_iter):
+    def run(A, S, Y, W, max_iter, *, it0=0, conv_A0=False,
+            conv_S0=False, div0=False, steps0=None):
+        # ``steps0`` (exact resume) carries the refresh-loop state:
+        # (step_A, step_S, v, stride, next_refresh) — the frozen
+        # Lipschitz steps, the warm-started power iterate (PADDED
+        # (Np, Kp) internal layout), and the segment schedule. ``it0``
+        # continues the global clock the schedule is phased against.
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(store_dtype),
                       ((0, Kp - K), (0, Np - N)))
@@ -684,6 +707,8 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         W_p = jnp.pad(W.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
         a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        it0 = jnp.asarray(it0, jnp.int32)
+        div0_t = jnp.asarray(div0, bool)
 
         def weighted_steps(A, S, v, it):
             # warm-started power iterate v carried in the loop state:
@@ -743,24 +768,40 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             it, conv_A, conv_S, loss = (carry[7], carry[8], carry[9],
                                         carry[10])
             done = jnp.logical_and(conv_A, conv_S)
-            # failure detection: non-finite loss after >=1 iteration
-            bad = jnp.logical_and(it > 0,
-                                  jnp.logical_not(jnp.isfinite(loss)))
+            # failure detection: non-finite loss after >=1 iteration of
+            # THIS call, or a carried diverged flag (a stopped solve
+            # stays stopped on resume)
+            bad = jnp.logical_or(
+                jnp.logical_and(it > it0,
+                                jnp.logical_not(jnp.isfinite(loss))),
+                div0_t)
             return jnp.logical_and(
-                it < max_iter,
+                it < it0 + max_iter,
                 jnp.logical_not(jnp.logical_or(done, bad)))
 
-        z = jnp.zeros((), jnp.float32)
-        v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
-        init = (A_p, S_p, z, z, v0, jnp.int32(stride), jnp.int32(0),
-                jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+        if steps0 is None:
+            z = jnp.zeros((), jnp.float32)
+            v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
+            sA_in, sS_in, stride_in, nxt_in = z, z, jnp.int32(stride), \
+                jnp.int32(0)
+        else:
+            sA0, sS0, v0, stride0, nxt0 = steps0
+            sA_in = jnp.asarray(sA0, jnp.float32)
+            sS_in = jnp.asarray(sS0, jnp.float32)
+            v0 = jnp.asarray(v0, jnp.float32)
+            stride_in = jnp.asarray(stride0, jnp.int32)
+            nxt_in = jnp.asarray(nxt0, jnp.int32)
+        init = (A_p, S_p, sA_in, sS_in, v0, stride_in, nxt_in,
+                it0, jnp.asarray(conv_A0, bool),
+                jnp.asarray(conv_S0, bool),
                 jnp.asarray(jnp.inf, jnp.float32))
         out = jax.lax.while_loop(cond, body, init)
         A_f, S_f, it, conv_A, conv_S, loss = (
             out[0], out[1], out[7], out[8], out[9], out[10]
         )
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
-                it, conv_A, conv_S, loss)
+                it, conv_A, conv_S, loss,
+                out[2], out[3], out[4], out[5], out[6])
 
     return run
 
@@ -778,6 +819,7 @@ def nmf_pgm_fused(
     store_dtype=None,
     step_stride=None,
     step_adapt=False,
+    state=None,
 ):
     """PGM-NMF with the fully-fused Pallas iteration — the fast path.
 
@@ -809,8 +851,19 @@ def nmf_pgm_fused(
     halves the W stream and the weighted Lipschitz refresh reads f32
     views (cast per refresh, amortized by the stride).
 
+    ``state=`` is the exact warm restart for preempted solves: pass a
+    previous ``nmf_pgm_fused`` call's ``.state`` (same weighting /
+    stride / ``store_dtype`` configuration) together with its final
+    iterates, and the continuation walks the uninterrupted trajectory
+    bit-exactly — the kernel's own S Sᵀ Gram (unweighted) or the
+    frozen Lipschitz steps + warm power iterate + refresh schedule
+    (weighted) carry through, and a solve that already stopped
+    (converged/diverged) stays stopped. This matters most for the
+    weighted ``store_dtype`` capacity solves, which no other engine
+    can run. ``max_iter`` counts the additional iterations.
+
     Returns a ``SolverResult`` with ``.x == (A, S)``, ``.iterations``,
-    ``.converged``, ``.loss``.
+    ``.converged``, ``.loss``, ``.state``.
     """
     from .solvers.common import SolverResult, status_from, writeback
 
@@ -830,15 +883,63 @@ def nmf_pgm_fused(
     Y = promote_dtype(Y)
     C, K = A.shape
     N = S.shape[1]
-    if W is not None and not _is_unweighted(W):
+    weighted = W is not None and not _is_unweighted(W)
+    stride_cfg = ((0 if step_stride is None else int(step_stride),
+                   bool(step_adapt)) if weighted else (0, False))
+    sdt_name = jnp.dtype(store_dtype).name if store_dtype else None
+    it0 = 0
+    conv0 = np.zeros(2, bool)
+    div0 = False
+    steps0 = None
+    if state is not None:
+        if not (hasattr(state, "get")
+                and state.get("kind") == "nmf_pgm_fused"):
+            raise ValueError(
+                "state= must be a previous nmf_pgm_fused .state dict "
+                "(XLA pgm and sharded states carry solver state the "
+                "fused loop has no counterpart for — resume those with "
+                "their own engines)"
+            )
+        if bool(state["weighted"]) != weighted:
+            raise ValueError(
+                "state= was produced under a different weighting (the "
+                "carried step state would be wrong)"
+            )
+        st_cfg = tuple(state.get("stride_config", stride_cfg))
+        if (int(st_cfg[0]), bool(st_cfg[1])) != stride_cfg:
+            raise ValueError(
+                "state= was produced under a different stride "
+                "configuration (step_stride={}, step_adapt={} vs this "
+                "call's step_stride={}, step_adapt={}); resume with "
+                "the same settings".format(
+                    st_cfg[0] or None, bool(st_cfg[1]),
+                    step_stride, step_adapt)
+            )
+        if state.get("store_dtype") != sdt_name:
+            raise ValueError(
+                "state= was produced under store_dtype={} but this "
+                "call uses {} — the stored factors (and the carried "
+                "step state computed from them) would not round-trip"
+                .format(state.get("store_dtype"), sdt_name)
+            )
+        it0 = int(state["it"])
+        conv0 = np.asarray(state.get("converged", conv0), bool)
+        div0 = bool(np.asarray(state.get("diverged", False)))
+        steps0 = state.get("steps")
+    if weighted:
         run = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             step_stride, adapt=bool(step_adapt),
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
-        A_f, S_f, it, conv_A, conv_S, loss = run(
-            A, S, Y, _promote_W(W, Y), max_iter
+        (A_f, S_f, it, conv_A, conv_S, loss,
+         sA_f, sS_f, v_f, stride_f, nxt_f) = run(
+            A, S, Y, _promote_W(W, Y), max_iter, it0=it0,
+            conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
+            steps0=steps0,
         )
+        extra_state = {"steps": (sA_f, sS_f, v_f, stride_f, nxt_f)}
+        iterations = int(it) - it0
     else:
         if step_adapt:
             raise ValueError(
@@ -846,24 +947,38 @@ def nmf_pgm_fused(
                 "only (the unweighted kernel's K x K eigensolves are "
                 "exact and cheap every iteration)"
             )
+        if state is not None and state["weighted"]:
+            raise AssertionError  # unreachable: weighted checked above
         run = _make_fused_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
-        A_f, S_f, it, conv_A, conv_S, loss = run(A, S, Y, max_iter)
+        A_f, S_f, it, conv_A, conv_S, loss, SSt_f = run(
+            A, S, Y, max_iter,
+            conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
+            SSt0=None if steps0 is None else steps0,
+        )
+        extra_state = {"steps": SSt_f}
+        iterations = int(it)
     A_out, S_out = A_f, S_f
 
     converged = (bool(conv_A), bool(conv_S))
-    iterations = int(it)
     loss = float(loss)
-    diverged = iterations > 0 and not np.isfinite(loss)
+    diverged = div0 or (iterations > 0 and not np.isfinite(loss))
     logger.info("Completed %d iterations", iterations)
     status = status_from(all(converged), diverged, logger)
     writeback((A_in, S_in), (A_out, S_out))
+    resume_state = {
+        "kind": "nmf_pgm_fused", "weighted": weighted,
+        "stride_config": stride_cfg, "store_dtype": sdt_name,
+        "it": it0 + iterations,
+        "converged": np.asarray(converged, bool), "diverged": diverged,
+        **extra_state,
+    }
     return SolverResult(
         converged,
         x=(A_out, S_out), iterations=iterations, converged=converged,
-        loss=loss, status=status,
+        loss=loss, status=status, state=resume_state,
     )
 
 
@@ -1400,6 +1515,20 @@ def nmf(
             "mesh= this solve runs on (single-device continuation is "
             "not what this state encodes)"
         )
+    _fused_pgm_state = (hasattr(_st, "get")
+                        and _st.get("kind") == "nmf_pgm_fused")
+    if _fused_pgm_state:
+        if mesh is not None:
+            raise ValueError(
+                "state= is an nmf_pgm_fused resume state (single-device "
+                "fused engine); it does not resume under mesh= — "
+                "continue on one device with engine='pallas'"
+            )
+        # the state pins the engine that produced it (the XLA driver
+        # has no counterpart for the fused loop's carried step state)
+        # — same rule as sharded states routing the explicit mesh path
+        # regardless of the default engine kwarg
+        engine = "pallas"
 
     if mesh is not None:
         # one-call scale-out: pgm routes to the explicit-collective
@@ -1604,17 +1733,18 @@ def nmf(
                 "callback; use engine='xla'"
             )
         if "state" in algorithm_args:
-            # the fused PGM loop carries no cross-iteration solver state
-            # (plain PGM, exact per-iteration steps): continuation is
-            # just re-calling with the previous result's iterates, and a
-            # momentum/stepper state from an XLA solve has no
-            # counterpart here
-            raise ValueError(
-                "the fused PGM engine has no resumable solver state "
-                "(plain PGM with exact per-iteration steps) — continue "
-                "by re-calling with the previous iterates, or resume "
-                "accelerated/strided solves with engine='xla'"
-            )
+            _fst = algorithm_args["state"]
+            if not (hasattr(_fst, "get")
+                    and _fst.get("kind") == "nmf_pgm_fused"):
+                # an XLA momentum/stepper state or a sharded state has
+                # no counterpart in the fused loop
+                raise ValueError(
+                    "state= is not an nmf_pgm_fused resume state — the "
+                    "fused PGM engine resumes only its own states "
+                    "(kernel Gram / frozen weighted steps); resume "
+                    "accelerated/strided XLA solves with engine='xla' "
+                    "and sharded solves with mesh="
+                )
         W_k = None
         if not _is_unweighted(W):
             W_k = _promote_W(W, Y)
@@ -1625,11 +1755,18 @@ def nmf(
                 "iteration (tiny K x K eigensolves) so there is nothing "
                 "to amortize"
             )
+        fused_pgm_kw = {k: v for k, v in algorithm_args.items()
+                        if k in ("tile_n", "store_dtype", "state")}
+        if set(algorithm_args) - set(fused_pgm_kw):
+            raise ValueError(
+                "unsupported fused-PGM options: "
+                f"{sorted(set(algorithm_args) - set(fused_pgm_kw))}"
+            )
         return nmf_pgm_fused(
             Y, A, S, W=W_k, prox_A=prox_A, prox_S=prox_S,
             e_rel=e_rel, max_iter=max_iter, step_stride=step_stride,
             step_adapt=step_adapt,
-            **algorithm_args,
+            **fused_pgm_kw,
         )
     elif engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")

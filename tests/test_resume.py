@@ -553,6 +553,129 @@ def test_nmf_adaprox_fused_cross_engine_state(rng):
                                np.asarray(ref.x[1]), atol=5e-5)
 
 
+@pytest.mark.parametrize("cfg", ["unweighted", "unweighted_bf16s",
+                                 "weighted_stride", "weighted_adapt",
+                                 "weighted_stride_bf16s"])
+def test_nmf_pgm_fused_midsolve_resume_bit_exact(cfg):
+    """The fused PGM engine's state= resume: the kernel's S Sᵀ Gram
+    (unweighted) or the frozen Lipschitz steps + warm power iterate +
+    refresh schedule (weighted) carry, so a killed solve continues the
+    uninterrupted trajectory bit-exactly — including the weighted
+    bf16-store capacity configurations no other engine can run."""
+    from proxmin_tpu.nmf import nmf_pgm_fused
+
+    rng = np.random.default_rng(13005)
+    C, K, N = 5, 3, 256
+    A_t = rng.random((C, K)).astype(np.float32)
+    S_t = rng.random((K, N)).astype(np.float32)
+    Y = (A_t @ S_t).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    kw = dict(e_rel=1e-3, tile_n=128)
+    if cfg.startswith("weighted"):
+        kw["W"] = (rng.random((C, N)) + 0.5).astype(np.float32)
+        if "stride" in cfg:
+            kw["step_stride"] = 4
+        if "adapt" in cfg:
+            kw["step_adapt"] = True
+    if "bf16s" in cfg:
+        kw["store_dtype"] = jnp.bfloat16
+    total, k = 30, 11  # k NOT on the stride boundary
+    full = nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                         max_iter=total, **kw)
+    half = nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                         max_iter=k, **kw)
+    res = nmf_pgm_fused(Y, jnp.asarray(half.x[0]),
+                        jnp.asarray(half.x[1]),
+                        max_iter=total - k, state=half.state, **kw)
+    np.testing.assert_array_equal(np.asarray(res.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(res.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_nmf_pgm_fused_state_config_mismatches_rejected(rng):
+    """Weighting / stride / store_dtype mismatches between the state
+    and the resuming call fail loudly in both directions, and nmf()
+    routes fused-pgm states to the engine that produced them."""
+    from proxmin_tpu.nmf import nmf_pgm_fused
+
+    Y, A0, S0 = _nmf_problem32(rng)
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+    half = nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                         W=W, step_stride=4, max_iter=6, e_rel=0.0,
+                         tile_n=128)
+    with pytest.raises(ValueError, match="weighting"):
+        nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0), max_iter=6,
+                      state=half.state, tile_n=128)
+    with pytest.raises(ValueError, match="stride"):
+        nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0), W=W,
+                      step_stride=7, max_iter=6, state=half.state,
+                      tile_n=128)
+    with pytest.raises(ValueError, match="store_dtype"):
+        nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0), W=W,
+                      step_stride=4, max_iter=6, state=half.state,
+                      store_dtype=jnp.bfloat16, tile_n=128)
+    # an XLA pgm state has no fused counterpart
+    xla_half = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), e_rel=0.0,
+                   max_iter=6)
+    with pytest.raises(ValueError, match="nmf_pgm_fused"):
+        nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0), max_iter=6,
+                      state=xla_half.state, tile_n=128)
+    # nmf() routing: a fused state pins the fused engine (like sharded
+    # states pin the explicit mesh path), whatever engine= says
+    for eng in ({}, {"engine": "xla"}, {"engine": "auto"}):
+        cont = nmf(Y, jnp.asarray(half.x[0]), jnp.asarray(half.x[1]),
+                   W=W, step_stride=4, max_iter=6, state=half.state,
+                   tile_n=128, e_rel=0.0, **eng)
+        assert "steps" in cont.state \
+            and cont.state["kind"] == "nmf_pgm_fused"
+    # ...but it cannot resume under a mesh
+    from proxmin_tpu.parallel import make_mesh
+    with pytest.raises(ValueError, match="mesh"):
+        nmf(Y, jnp.asarray(half.x[0]), jnp.asarray(half.x[1]), W=W,
+            step_stride=4, max_iter=6, state=half.state,
+            mesh=make_mesh(), e_rel=0.0)
+
+
+def test_nmf_pgm_fused_resume_after_stop_stays_stopped():
+    """Fused PGM terminal flags: converged and diverged solves resume
+    as no-ops."""
+    from proxmin_tpu.nmf import nmf_pgm_fused
+
+    rng = np.random.default_rng(7)
+    C, K, N = 6, 3, 256
+    A_t = rng.random((C, K)).astype(np.float32)
+    S_t = rng.random((K, N)).astype(np.float32)
+    Y = (A_t @ S_t).astype(np.float32)
+    A0 = np.abs(A_t * (1 + 0.2 * rng.standard_normal((C, K)))) \
+        .astype(np.float32)
+    S0 = np.abs(S_t * (1 + 0.2 * rng.standard_normal((K, N)))) \
+        .astype(np.float32)
+    kw = dict(e_rel=0.05, tile_n=128)
+    full = nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                         max_iter=400, **kw)
+    assert all(full.converged), "test needs a converging config"
+    half = nmf_pgm_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                         max_iter=full.iterations + 10, **kw)
+    res = nmf_pgm_fused(Y, jnp.asarray(half.x[0]),
+                        jnp.asarray(half.x[1]),
+                        max_iter=50, state=half.state, **kw)
+    assert res.iterations == 0 and res.status == "converged"
+    np.testing.assert_array_equal(np.asarray(res.x[1]),
+                                  np.asarray(full.x[1]))
+
+    Y_bad = Y.copy()
+    Y_bad[0, 0] = np.nan
+    dead = nmf_pgm_fused(Y_bad, jnp.asarray(A0), jnp.asarray(S0),
+                         max_iter=50, **kw)
+    assert dead.status == "diverged"
+    res2 = nmf_pgm_fused(Y_bad, jnp.asarray(dead.x[0]),
+                         jnp.asarray(dead.x[1]),
+                         max_iter=50, state=dead.state, **kw)
+    assert res2.iterations == 0 and res2.status == "diverged"
+
+
 @pytest.mark.parametrize("weighted,mdt", [(True, None),
                                           (True, "bfloat16"),
                                           (False, "bfloat16")])
