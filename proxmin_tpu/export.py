@@ -219,7 +219,8 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
                       prox_S=operators.prox_plus,
                       e_rel=1e-3, tile_n=8192, dtype=jnp.float32,
                       store_dtype=None, weighted=False, step_stride=None,
-                      step_adapt=False):
+                      step_adapt=False, resume=False,
+                      return_carries=None):
     """Serialize the fused PGM-NMF solver for a fixed (C, K, N) shape.
 
     Returns the serialized bytes. The embedded executable has the
@@ -230,6 +231,21 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     adaptive stride growth). ``prox_S=None`` means identity (same
     convention as ``nmf``); ``step_adapt`` pairs with weighted;
     ``store_dtype`` works on both (weighted: S/Y/W all stored reduced).
+
+    Artifact-only preemption (the single-chip mirror of
+    :func:`export_nmf_pgm_sharded`'s ``resume=``): ``resume=True``
+    exports the exact-continuation variant, whose carry inputs after
+    ``max_iter`` are exactly a carry-returning artifact's OUTPUTS from
+    position 2 on — ``it0: i32, conv_A: bool, conv_S: bool, loss:
+    f32`` then the step state (unweighted: ``SSt: (K,K) f32``, the
+    kernel Gram; weighted: ``step_A, step_S: f32, v: (N,K) f32,
+    stride, next_refresh: i32``). ``return_carries=True`` (implied by
+    ``resume``) appends those carries to the outputs, so a chain is
+    ``fresh(return_carries=True)`` -> ``cont(..., max_iter2,
+    *outs[2:])`` -> ... — bit-exact vs the uninterrupted solve, and a
+    solve that already stopped (converged / nan-loss diverged) stays
+    stopped. Default fresh artifacts keep the documented 6-output
+    signature.
     """
     if step_adapt and not weighted:
         raise ValueError(
@@ -241,9 +257,10 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
-    # the runners' trailing step-state outputs (SSt Gram / frozen
-    # weighted steps) are live-driver exact-resume details (``state=``);
-    # the artifacts keep the documented 6-output signature
+    resume = bool(resume)
+    weighted = bool(weighted)
+    if return_carries is None:
+        return_carries = resume
     if weighted:
         run_full = _make_fused_weighted_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
@@ -251,28 +268,66 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
             adapt=bool(step_adapt),
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
-        run = jax.jit(lambda *a: run_full(*a)[:6])
-        args = (
-            jax.ShapeDtypeStruct((C, K), dtype),
-            jax.ShapeDtypeStruct((K, N), dtype),
-            jax.ShapeDtypeStruct((C, N), dtype),
-            jax.ShapeDtypeStruct((C, N), dtype),
-            jax.ShapeDtypeStruct((), jnp.int32),
+    else:
+        run_full = _make_fused_pgm_runner(
+            prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
+            int(N), jnp.dtype(dtype),
+            store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
         )
-        return jax_export.export(run)(*args).serialize()
-    run_full = _make_fused_pgm_runner(
-        prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K), int(N),
-        jnp.dtype(dtype),
-        store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
-    )
-    run = jax.jit(lambda *a: run_full(*a)[:6])
-    args = (
+
+    def run(A, S, Y, *rest):
+        if weighted:
+            W, max_iter, *rargs = rest
+            data = (A, S, Y, W, max_iter)
+        else:
+            max_iter, *rargs = rest
+            data = (A, S, Y, max_iter)
+        kw = {}
+        it0 = jnp.int32(0)
+        if resume:
+            it0, cA0, cS0, loss0, *steps = rargs
+            it0 = jnp.asarray(it0, jnp.int32)
+            # a carried nan loss after >=1 prior iteration means the
+            # solve already diverged — it stays stopped (fresh chains
+            # start with it0=0, loss0=inf, which never trips this)
+            div0 = jnp.logical_and(
+                it0 > 0, jnp.logical_not(jnp.isfinite(loss0)))
+            kw = dict(conv_A0=cA0, conv_S0=cS0, div0=div0)
+            if weighted:
+                kw["it0"] = it0
+                kw["steps0"] = tuple(steps)
+            else:
+                (kw["SSt0"],) = steps
+        outs = run_full(*data, **kw)
+        # global clock: the weighted runner counts from it0 already,
+        # the unweighted one counts locally
+        it_out = outs[2] if weighted and resume else outs[2] + it0
+        head = (outs[0], outs[1], it_out) + tuple(outs[3:6])
+        return head + (tuple(outs[6:]) if return_carries else ())
+
+    f32 = jnp.dtype(jnp.float32)
+    args = [
         jax.ShapeDtypeStruct((C, K), dtype),
         jax.ShapeDtypeStruct((K, N), dtype),
         jax.ShapeDtypeStruct((C, N), dtype),
-        jax.ShapeDtypeStruct((), jnp.int32),
-    )
-    return jax_export.export(run)(*args).serialize()
+    ]
+    if weighted:
+        args.append(jax.ShapeDtypeStruct((C, N), dtype))
+    args.append(jax.ShapeDtypeStruct((), jnp.int32))
+    if resume:
+        args += [jax.ShapeDtypeStruct((), jnp.int32),    # it0
+                 jax.ShapeDtypeStruct((), jnp.bool_),    # conv_A0
+                 jax.ShapeDtypeStruct((), jnp.bool_),    # conv_S0
+                 jax.ShapeDtypeStruct((), f32)]          # loss0
+        if weighted:
+            args += [jax.ShapeDtypeStruct((), f32),      # step_A
+                     jax.ShapeDtypeStruct((), f32),      # step_S
+                     jax.ShapeDtypeStruct((N, K), f32),  # v
+                     jax.ShapeDtypeStruct((), jnp.int32),   # stride
+                     jax.ShapeDtypeStruct((), jnp.int32)]   # next refresh
+        else:
+            args.append(jax.ShapeDtypeStruct((K, K), f32))  # SSt
+    return jax_export.export(jax.jit(run))(*args).serialize()
 
 
 def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
@@ -281,7 +336,8 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
                               dtype=jnp.float32, b1=0.9, b2=0.999,
                               eps=1e-8, moment_dtype=None,
                               store_dtype=None,
-                              warm_start=False, weighted=False):
+                              warm_start=False, weighted=False,
+                              resume=False, return_carries=None):
     """Serialize the fused proximal-Adam NMF solver (``scheme='adam'``,
     separable proxs — see :func:`proxmin_tpu.nmf.nmf_adaprox_fused`)
     for a fixed (C, K, N) shape.
@@ -296,6 +352,18 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
     ``algorithms.py:347-359`` semantics). ``moment_dtype`` (e.g.
     ``jnp.bfloat16``) bakes the reduced-precision moment storage into
     the artifact — the fastest measured adaprox engine on v5e.
+
+    Artifact-only EXACT preemption (vs ``warm_start``'s
+    clock-restarting reference semantics): ``resume=True`` exports the
+    continuation variant whose carry inputs after ``max_iter`` are
+    exactly a carry-returning artifact's OUTPUTS from position 2 on —
+    ``it0, conv_A, conv_S, loss, M_A, V_A, M_S, V_S, rowsum: (K,) f32``
+    (the kernel's step-heuristic row-sum carry). ``return_carries=True``
+    (implied by ``resume``) appends ``rowsum`` to the outputs, so a
+    chain is ``fresh(return_carries=True)`` -> ``cont(..., max_iter2,
+    *outs[2:])`` — bit-exact vs the uninterrupted solve, with the
+    global bias-correction clock continued and stopped solves staying
+    stopped. ``resume`` and ``warm_start`` are mutually exclusive.
     """
     from .solvers.common import separable_blocks
 
@@ -317,19 +385,49 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
         prox_S = operators.prox_id
     elif prox_S is operators.prox_plus:
         prox_S = None  # kernel builtin
+    resume = bool(resume)
+    weighted = bool(weighted)
+    if resume and warm_start:
+        raise ValueError(
+            "resume= (exact continuation) and warm_start= (reference "
+            "M=/V= clock-restart semantics) are mutually exclusive"
+        )
+    if return_carries is None:
+        return_carries = resume
     mdt = jnp.dtype(moment_dtype) if moment_dtype else jnp.dtype(jnp.float32)
     run_full = _make_fused_adaprox_runner(
         prox_A, prox_S, float(e_rel), int(tile_n), int(C), int(K),
         int(N), jnp.dtype(dtype), float(b1), float(b2), float(eps),
         moment_dtype=jnp.dtype(moment_dtype) if moment_dtype else None,
-        warm=bool(warm_start), weighted=bool(weighted),
+        warm=bool(warm_start) or resume, weighted=weighted,
         store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
     )
-    # drop the runner's trailing step-heuristic row-sum carry: it is a
-    # live-driver exact-resume detail (``state=``), and the warm_start
-    # artifact's M=/V= semantics restart the step recursion anyway —
-    # keeping the artifact at the documented 10-output signature
-    run = jax.jit(lambda *a: run_full(*a)[:10])
+
+    def run(A, S, Y, *rest):
+        if weighted:
+            W, max_iter, *rargs = rest
+            data = (A, S, Y, W, max_iter)
+        else:
+            max_iter, *rargs = rest
+            data = (A, S, Y, max_iter)
+        kw = {}
+        it0 = jnp.int32(0)
+        if resume:
+            it0, cA0, cS0, loss0, MA, VA, MS, VS, rowsum0 = rargs
+            it0 = jnp.asarray(it0, jnp.int32)
+            div0 = jnp.logical_and(
+                it0 > 0, jnp.logical_not(jnp.isfinite(loss0)))
+            data = data + (MA, VA, MS, VS)  # warm moment extras
+            kw = dict(it0=it0, conv_A0=cA0, conv_S0=cS0, div0=div0,
+                      rowsum0=rowsum0[:, None])
+        elif rargs:
+            data = data + tuple(rargs)  # warm_start moments
+        outs = run_full(*data, **kw)
+        # the runner's clock is local; report the global one
+        head = (outs[0], outs[1], outs[2] + it0) + tuple(outs[3:10])
+        return head + ((outs[10][:, 0],) if return_carries else ())
+
+    f32 = jnp.dtype(jnp.float32)
     args = [
         jax.ShapeDtypeStruct((C, K), dtype),
         jax.ShapeDtypeStruct((K, N), dtype),
@@ -338,14 +436,21 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
     if weighted:
         args.append(jax.ShapeDtypeStruct((C, N), dtype))
     args.append(jax.ShapeDtypeStruct((), jnp.int32))
-    if warm_start:
+    if warm_start or resume:
+        if resume:
+            args += [jax.ShapeDtypeStruct((), jnp.int32),  # it0
+                     jax.ShapeDtypeStruct((), jnp.bool_),  # conv_A0
+                     jax.ShapeDtypeStruct((), jnp.bool_),  # conv_S0
+                     jax.ShapeDtypeStruct((), f32)]        # loss0
         args += [
             jax.ShapeDtypeStruct((C, K), jnp.float32),
             jax.ShapeDtypeStruct((C, K), jnp.float32),
             jax.ShapeDtypeStruct((K, N), mdt),
             jax.ShapeDtypeStruct((K, N), mdt),
         ]
-    return jax_export.export(run)(*args).serialize()
+        if resume:
+            args.append(jax.ShapeDtypeStruct((K,), f32))   # rowsum
+    return jax_export.export(jax.jit(run))(*args).serialize()
 
 
 def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
@@ -580,12 +685,16 @@ def load_solver(blob):
     Works for any of the export functions in this module: the returned
     callable forwards its arguments to the embedded executable (Python
     ints are converted to i32 scalars, e.g. the NMF artifact's
-    ``max_iter``)."""
+    ``max_iter``; Python bools to bool scalars, e.g. the resume
+    artifacts' terminal flags — bool is an int subtype, so the order
+    of these checks matters)."""
     exported = jax_export.deserialize(blob)
 
     def solve(*args):
         args = tuple(
-            jnp.int32(a) if isinstance(a, int) else a for a in args
+            jnp.asarray(a) if isinstance(a, bool)
+            else jnp.int32(a) if isinstance(a, int) else a
+            for a in args
         )
         return exported.call(*args)
 

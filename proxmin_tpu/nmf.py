@@ -694,9 +694,12 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             conv_S0=False, div0=False, steps0=None):
         # ``steps0`` (exact resume) carries the refresh-loop state:
         # (step_A, step_S, v, stride, next_refresh) — the frozen
-        # Lipschitz steps, the warm-started power iterate (PADDED
-        # (Np, Kp) internal layout), and the segment schedule. ``it0``
-        # continues the global clock the schedule is phased against.
+        # Lipschitz steps, the warm-started power iterate (cropped
+        # (N, K): padding components die after one in-refresh operator
+        # application, so crop + zero re-pad is exact and the state
+        # stays tile-layout independent), and the segment schedule.
+        # ``it0`` continues the global clock the schedule is phased
+        # against.
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(store_dtype),
                       ((0, Kp - K), (0, Np - N)))
@@ -788,7 +791,8 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             sA0, sS0, v0, stride0, nxt0 = steps0
             sA_in = jnp.asarray(sA0, jnp.float32)
             sS_in = jnp.asarray(sS0, jnp.float32)
-            v0 = jnp.asarray(v0, jnp.float32)
+            v0 = jnp.pad(jnp.asarray(v0, jnp.float32),
+                         ((0, Np - N), (0, Kp - K)))
             stride_in = jnp.asarray(stride0, jnp.int32)
             nxt_in = jnp.asarray(nxt0, jnp.int32)
         init = (A_p, S_p, sA_in, sS_in, v0, stride_in, nxt_in,
@@ -801,7 +805,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         )
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
                 it, conv_A, conv_S, loss,
-                out[2], out[3], out[4], out[5], out[6])
+                out[2], out[3], out[4][:N, :K], out[5], out[6])
 
     return run
 

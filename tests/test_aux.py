@@ -1012,6 +1012,84 @@ def test_summarize_convergence_warnings_through_driver():
         logger.setLevel(old_level)
 
 
+def test_export_nmf_solver_artifact_only_resume(rng):
+    """Single-chip artifact-only preemption (the export_nmf_pgm_sharded
+    resume story on one chip): a carry-returning fresh artifact runs 10
+    iterations, its outputs[2:] feed the resume artifact for 15 more,
+    and the result matches the live uninterrupted fused solve exactly —
+    on the weighted strided configuration whose frozen steps and power
+    iterate a plain re-call would lose."""
+    from proxmin_tpu.export import export_nmf_solver, load_solver
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    W = (0.5 + rng.random((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    kw = dict(e_rel=0.0, tile_n=128, weighted=True, step_stride=4)
+    fresh = load_solver(export_nmf_solver(C, K, N, return_carries=True,
+                                          **kw))
+    cont = load_solver(export_nmf_solver(C, K, N, resume=True, **kw))
+
+    outs = fresh(A0, S0, Y, W, 10)
+    assert len(outs) == 11 and int(outs[2]) == 10
+    outs2 = cont(outs[0], outs[1], Y, W, 15, *outs[2:])
+    assert int(outs2[2]) == 25
+
+    live = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                                max_iter=25, tile_n=128, step_stride=4)
+    np.testing.assert_array_equal(np.asarray(outs2[0]),
+                                  np.asarray(live.x[0]))
+    np.testing.assert_array_equal(np.asarray(outs2[1]),
+                                  np.asarray(live.x[1]))
+
+    # unweighted: the SSt Gram carry rides the artifact boundary
+    fresh_u = load_solver(export_nmf_solver(C, K, N, e_rel=0.0,
+                                            tile_n=128,
+                                            return_carries=True))
+    cont_u = load_solver(export_nmf_solver(C, K, N, e_rel=0.0,
+                                           tile_n=128, resume=True))
+    o = fresh_u(A0, S0, Y, 7)
+    assert len(o) == 7
+    o2 = cont_u(o[0], o[1], Y, 8, *o[2:])
+    live_u = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                  max_iter=15, tile_n=128)
+    np.testing.assert_array_equal(np.asarray(o2[1]),
+                                  np.asarray(live_u.x[1]))
+
+
+def test_export_nmf_adaprox_solver_artifact_only_resume(rng):
+    """Exact artifact-only adaprox continuation (vs warm_start's
+    clock-restarting semantics): outputs[2:] — clock, flags, loss,
+    moments, rowsum — feed the resume artifact; bit-exact vs live."""
+    from proxmin_tpu.export import export_nmf_adaprox_solver, load_solver
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    kw = dict(e_rel=0.0, tile_n=128, moment_dtype=jnp.bfloat16)
+    fresh = load_solver(export_nmf_adaprox_solver(
+        C, K, N, return_carries=True, **kw))
+    cont = load_solver(export_nmf_adaprox_solver(C, K, N, resume=True,
+                                                 **kw))
+    outs = fresh(A0, S0, Y, 9)
+    assert len(outs) == 11 and int(outs[2]) == 9
+    outs2 = cont(outs[0], outs[1], Y, 11, *outs[2:])
+    assert int(outs2[2]) == 20
+
+    live = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                    max_iter=20, tile_n=128,
+                                    moment_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(outs2[1]),
+                                  np.asarray(live.x[1]))
+    np.testing.assert_array_equal(np.asarray(outs2[0]),
+                                  np.asarray(live.x[0]))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_nmf_adaprox_solver(C, K, N, resume=True, warm_start=True)
+
+
 def test_export_nmf_adaprox_solver(tmp_path, rng):
     """AOT export/restore of the fused proximal-Adam solver, cold and
     warm-start artifacts: exported solves match the live runner, and a
