@@ -728,48 +728,35 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             return (jnp.asarray(sA, jnp.float32),
                     jnp.asarray(1.0 / LS, jnp.float32), v)
 
-        def body(carry):
-            A, S, sA, sS, v, stride_c, nxt, it, _, _, _ = carry
-            if adapt:
-                def refresh(args):
-                    sA_o, sS_o, v, stride_c, _ = args
-                    sA_, sS_, v = weighted_steps(A, S, v, it)
-                    sA_n, sS_n = safety * sA_, safety * sS_
-                    stride_n = utils.grow_stride(
-                        stride_c, (sA_o, sS_o), (sA_n, sS_n), budget,
-                        max_stride, first=(it == 0))
-                    return sA_n, sS_n, v, stride_n, it + stride_n
+        def make_body(frozen_steps):
+            """One fused-kernel iteration with FROZEN step scalars —
+            the refresh lives in the segmented outer loop (or, at
+            stride=1, in the per-iteration body below), never behind a
+            ``lax.cond`` carrying the (Np, Kp) power iterate: a cond
+            over big state in a hot loop breaks XLA's memory-space
+            assignment and lands its cost on EVERY iteration (the
+            r4 regression the XLA driver's ``_run_segmented`` and the
+            sharded builder already architect around)."""
+            sA, sS = frozen_steps
 
-                sA, sS, v, stride_c, nxt = jax.lax.cond(
-                    it >= nxt, refresh, lambda args: args,
-                    (sA, sS, v, stride_c, nxt),
+            def body(st):
+                A, S, it, _, _, _ = st
+                gA, S_new, _, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
+                    A, S, Y_p, sS, W=W_p, prox_S=prox_S, tile_n=tile,
+                    dims=dims,
                 )
-            elif stride > 1:
-                def refresh(v):
-                    sA_, sS_, v = weighted_steps(A, S, v, it)
-                    return safety * sA_, safety * sS_, v
+                A_new = prox_A(A - sA * gA, sA) * a_mask
+                dA_sq = jnp.sum((A_new - A) ** 2)
+                nA_sq = jnp.sum(A_new ** 2)
+                conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
+                conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
+                loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
+                return (A_new, S_new, it + 1, conv_A, conv_S, loss)
 
-                sA, sS, v = jax.lax.cond(
-                    it % stride == 0, refresh, lambda v: (sA, sS, v), v
-                )
-            else:
-                sA, sS, v = weighted_steps(A, S, v, it)
-            gA, S_new, _, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
-                A, S, Y_p, sS, W=W_p, prox_S=prox_S, tile_n=tile,
-                dims=dims,
-            )
-            A_new = prox_A(A - sA * gA, sA) * a_mask
-            dA_sq = jnp.sum((A_new - A) ** 2)
-            nA_sq = jnp.sum(A_new ** 2)
-            conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
-            conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
-            loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
-            return (A_new, S_new, sA, sS, v, stride_c, nxt, it + 1,
-                    conv_A, conv_S, loss)
+            return body
 
-        def cond(carry):
-            it, conv_A, conv_S, loss = (carry[7], carry[8], carry[9],
-                                        carry[10])
+        def cond(st):
+            it, conv_A, conv_S, loss = st[2], st[3], st[4], st[5]
             done = jnp.logical_and(conv_A, conv_S)
             # failure detection: non-finite loss after >=1 iteration of
             # THIS call, or a carried diverged flag (a stopped solve
@@ -782,30 +769,78 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 it < it0 + max_iter,
                 jnp.logical_not(jnp.logical_or(done, bad)))
 
-        if steps0 is None:
-            z = jnp.zeros((), jnp.float32)
-            v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
-            sA_in, sS_in, stride_in, nxt_in = z, z, jnp.int32(stride), \
-                jnp.int32(0)
-        else:
-            sA0, sS0, v0, stride0, nxt0 = steps0
+        resume = steps0 is not None
+        if resume:
+            sA0, sS0, v0, stride0, seg0 = steps0
             sA_in = jnp.asarray(sA0, jnp.float32)
             sS_in = jnp.asarray(sS0, jnp.float32)
             v0 = jnp.pad(jnp.asarray(v0, jnp.float32),
                          ((0, Np - N), (0, Kp - K)))
             stride_in = jnp.asarray(stride0, jnp.int32)
-            nxt_in = jnp.asarray(nxt0, jnp.int32)
-        init = (A_p, S_p, sA_in, sS_in, v0, stride_in, nxt_in,
-                it0, jnp.asarray(conv_A0, bool),
-                jnp.asarray(conv_S0, bool),
-                jnp.asarray(jnp.inf, jnp.float32))
-        out = jax.lax.while_loop(cond, body, init)
-        A_f, S_f, it, conv_A, conv_S, loss = (
-            out[0], out[1], out[7], out[8], out[9], out[10]
-        )
+            seg_in = jnp.asarray(seg0, jnp.int32)
+        else:
+            z = jnp.zeros((), jnp.float32)
+            v0 = _weighted_lipschitz_S_v0(Np, Kp, jnp.float32)
+            sA_in, sS_in = z, z
+            stride_in, seg_in = jnp.int32(stride), it0
+
+        st = (A_p, S_p, it0, jnp.asarray(conv_A0, bool),
+              jnp.asarray(conv_S0, bool),
+              jnp.asarray(jnp.inf, jnp.float32))
+
+        if adapt or stride > 1:
+            # segmented strided mode (the _run_segmented / sharded
+            # builder architecture): refresh once per segment OUTSIDE
+            # the hot inner loop; the power iterate and refresh branch
+            # never enter the inner carry
+            if resume:
+                # statically-gated pre-loop: finish the interrupted
+                # segment with the carried frozen steps before any
+                # refresh — the continuation walks the exact iterations
+                # the uninterrupted solve would have
+                st = jax.lax.while_loop(
+                    lambda s: jnp.logical_and(cond(s), s[2] < seg_in),
+                    make_body((sA_in, sS_in)), st)
+
+            def outer_cond(carry):
+                return cond(carry[0])
+
+            def outer_body(carry):
+                s, sA_o, sS_o, v, stride_c, _ = carry
+                sA_, sS_, v = weighted_steps(s[0], s[1], v, s[2])
+                sA_n, sS_n = safety * sA_, safety * sS_
+                if adapt:
+                    stride_c = utils.grow_stride(
+                        stride_c, (sA_o, sS_o), (sA_n, sS_n), budget,
+                        max_stride, first=(s[2] == 0))
+                seg_end = s[2] + (stride_c if adapt
+                                  else jnp.int32(stride))
+                s = jax.lax.while_loop(
+                    lambda x: jnp.logical_and(cond(x), x[2] < seg_end),
+                    make_body((sA_n, sS_n)), s)
+                return (s, sA_n, sS_n, v, stride_c, seg_end)
+
+            st, sA_f, sS_f, v_f, stride_f, seg_f = jax.lax.while_loop(
+                outer_cond, outer_body,
+                (st, sA_in, sS_in, v0, stride_in, seg_in))
+        else:
+            # stride=1 (reference semantics): refresh every iteration,
+            # warm iterate in the carry — no branch anywhere
+            def body1(carry):
+                s, v = carry
+                sA_, sS_, v = weighted_steps(s[0], s[1], v, s[2])
+                s = make_body((sA_, sS_))(s)
+                return (s, v)
+
+            st, v_f = jax.lax.while_loop(
+                lambda c: cond(c[0]), body1, (st, v0))
+            sA_f, sS_f = sA_in, sS_in
+            stride_f, seg_f = stride_in, st[2]
+
+        A_f, S_f, it, conv_A, conv_S, loss = st
         return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
                 it, conv_A, conv_S, loss,
-                out[2], out[3], out[4][:N, :K], out[5], out[6])
+                sA_f, sS_f, v_f[:N, :K], stride_f, seg_f)
 
     return run
 
@@ -1445,9 +1480,12 @@ def nmf(
     Resume with the same data/weights/step configuration (a structure
     mismatch raises). The reference has no analogue — its ``nmf`` always
     restarts momentum, moments, and step caches from scratch
-    (``nmf.py:96-203``). Supported on ``engine="xla"`` and the fused
-    adaprox engine. Under ``mesh=``, a state produced by the
-    explicit-collective sharded pgm solve (``kind ==
+    (``nmf.py:96-203``). Supported on ``engine="xla"`` and BOTH fused
+    engines (a fused-PGM state pins the fused engine in the routing,
+    like sharded states pin the mesh path). Every state also carries
+    its terminal flags, so a solve that already stopped (converged or
+    diverged) resumes as a no-op. Under ``mesh=``, a state produced by
+    the explicit-collective sharded pgm solve (``kind ==
     'nmf_pgm_sharded'``) resumes that path exactly — iteration clock,
     frozen step scalars, refresh interval, segment boundary, and the
     sharded power iterate all carry through — while single-device
