@@ -289,10 +289,13 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
             it0 = jnp.asarray(it0, jnp.int32)
             # a carried nan loss after >=1 prior iteration means the
             # solve already diverged — it stays stopped (fresh chains
-            # start with it0=0, loss0=inf, which never trips this)
+            # start with it0=0, loss0=inf, which never trips this).
+            # loss0 rides into the loop init, so a NO-OP link (zero
+            # budget, already converged) outputs its real finite loss
+            # and the next link in the chain still runs
             div0 = jnp.logical_and(
                 it0 > 0, jnp.logical_not(jnp.isfinite(loss0)))
-            kw = dict(conv_A0=cA0, conv_S0=cS0, div0=div0)
+            kw = dict(conv_A0=cA0, conv_S0=cS0, div0=div0, loss0=loss0)
             if weighted:
                 kw["it0"] = it0
                 kw["steps0"] = tuple(steps)
@@ -418,8 +421,10 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
             div0 = jnp.logical_and(
                 it0 > 0, jnp.logical_not(jnp.isfinite(loss0)))
             data = data + (MA, VA, MS, VS)  # warm moment extras
+            # loss0 rides into the loop init so a no-op link outputs
+            # its real loss and the chain survives zero-budget links
             kw = dict(it0=it0, conv_A0=cA0, conv_S0=cS0, div0=div0,
-                      rowsum0=rowsum0[:, None])
+                      loss0=loss0, rowsum0=rowsum0[:, None])
         elif rargs:
             data = data + tuple(rargs)  # warm_start moments
         outs = run_full(*data, **kw)

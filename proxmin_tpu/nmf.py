@@ -584,11 +584,13 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
     @jax.jit
     def run(A, S, Y, max_iter, *, conv_A0=False, conv_S0=False,
-            div0=False, SSt0=None):
+            div0=False, loss0=jnp.inf, SSt0=None):
         # the resume kwargs (``state=`` continuation) carry the terminal
-        # flags and the kernel's own S S^T Gram — a fresh Gram has a
-        # different contraction order, and the ULP difference in the
-        # step sizes compounds over iterations
+        # flags, the last loss (so a no-op continuation of a stopped
+        # solve reports the real loss, not the inf init), and the
+        # kernel's own S S^T Gram — a fresh Gram has a different
+        # contraction order, and the ULP difference in the step sizes
+        # compounds over iterations
         A_p = jnp.pad(A.astype(jnp.float32),
                       ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(store_dtype),
@@ -639,7 +641,7 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                              ((0, Kp - K), (0, Kp - K)))
         init = (A_p, S_p, SSt_in, jnp.int32(0),
                 jnp.asarray(conv_A0, bool), jnp.asarray(conv_S0, bool),
-                jnp.asarray(jnp.inf, jnp.float32))
+                jnp.asarray(loss0, jnp.float32))
         A_f, S_f, SSt_f, it, conv_A, conv_S, loss = jax.lax.while_loop(
             cond, body, init
         )
@@ -691,7 +693,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
     @jax.jit
     def run(A, S, Y, W, max_iter, *, it0=0, conv_A0=False,
-            conv_S0=False, div0=False, steps0=None):
+            conv_S0=False, div0=False, loss0=jnp.inf, steps0=None):
         # ``steps0`` (exact resume) carries the refresh-loop state:
         # (step_A, step_S, v, stride, next_refresh) — the frozen
         # Lipschitz steps, the warm-started power iterate (cropped
@@ -786,7 +788,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
         st = (A_p, S_p, it0, jnp.asarray(conv_A0, bool),
               jnp.asarray(conv_S0, bool),
-              jnp.asarray(jnp.inf, jnp.float32))
+              jnp.asarray(loss0, jnp.float32))
 
         if adapt or stride > 1:
             # segmented strided mode (the _run_segmented / sharded
@@ -925,10 +927,17 @@ def nmf_pgm_fused(
     weighted = W is not None and not _is_unweighted(W)
     stride_cfg = ((0 if step_stride is None else int(step_stride),
                    bool(step_adapt)) if weighted else (0, False))
+    # a full-width store_dtype IS the default layout: normalize it away
+    # so f32 ≡ None everywhere (matching nmf()'s auto-routing rule — a
+    # state produced through that normalization must resume with the
+    # same kwargs)
+    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
+        store_dtype = None
     sdt_name = jnp.dtype(store_dtype).name if store_dtype else None
     it0 = 0
     conv0 = np.zeros(2, bool)
     div0 = False
+    loss0 = np.inf
     steps0 = None
     if state is not None:
         if not (hasattr(state, "get")
@@ -961,9 +970,18 @@ def nmf_pgm_fused(
                 "step state computed from them) would not round-trip"
                 .format(state.get("store_dtype"), sdt_name)
             )
+        if int(state.get("tile_n", tile_n)) != int(tile_n):
+            raise ValueError(
+                "state= was produced under tile_n={} but this call "
+                "uses {} — the carried step state is tile-accumulated, "
+                "so a different tiling would drift the continued "
+                "trajectory by compounding ULPs; resume with the same "
+                "tile_n".format(state.get("tile_n"), tile_n)
+            )
         it0 = int(state["it"])
         conv0 = np.asarray(state.get("converged", conv0), bool)
         div0 = bool(np.asarray(state.get("diverged", False)))
+        loss0 = float(state.get("loss", np.inf))
         steps0 = state.get("steps")
     if weighted:
         run = _make_fused_weighted_pgm_runner(
@@ -975,7 +993,7 @@ def nmf_pgm_fused(
          sA_f, sS_f, v_f, stride_f, nxt_f) = run(
             A, S, Y, _promote_W(W, Y), max_iter, it0=it0,
             conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
-            steps0=steps0,
+            loss0=loss0, steps0=steps0,
         )
         extra_state = {"steps": (sA_f, sS_f, v_f, stride_f, nxt_f)}
         iterations = int(it) - it0
@@ -986,8 +1004,6 @@ def nmf_pgm_fused(
                 "only (the unweighted kernel's K x K eigensolves are "
                 "exact and cheap every iteration)"
             )
-        if state is not None and state["weighted"]:
-            raise AssertionError  # unreachable: weighted checked above
         run = _make_fused_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
@@ -995,7 +1011,7 @@ def nmf_pgm_fused(
         A_f, S_f, it, conv_A, conv_S, loss, SSt_f = run(
             A, S, Y, max_iter,
             conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
-            SSt0=None if steps0 is None else steps0,
+            loss0=loss0, SSt0=None if steps0 is None else steps0,
         )
         extra_state = {"steps": SSt_f}
         iterations = int(it)
@@ -1010,8 +1026,10 @@ def nmf_pgm_fused(
     resume_state = {
         "kind": "nmf_pgm_fused", "weighted": weighted,
         "stride_config": stride_cfg, "store_dtype": sdt_name,
+        "tile_n": int(tile_n),
         "it": it0 + iterations,
         "converged": np.asarray(converged, bool), "diverged": diverged,
+        "loss": loss,
         **extra_state,
     }
     return SolverResult(
@@ -1074,7 +1092,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
 
     @jax.jit
     def run(A, S, Y, *rest, it0=0, conv_A0=False, conv_S0=False,
-            div0=False, rowsum0=None):
+            div0=False, loss0=jnp.inf, rowsum0=None):
         # weighted signature: (A, S, Y, W, max_iter, *moments) — W
         # directly after the data, matching export_nmf_solver's
         # weighted artifact ordering; unweighted: (A, S, Y, max_iter,
@@ -1188,7 +1206,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
             A_p, S_p, MS0, VS0, MA0, VA0, rs0,
             jnp.int32(0), jnp.asarray(conv_A0, bool),
             jnp.asarray(conv_S0, bool),
-            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(loss0, jnp.float32),
         )
         out = jax.lax.while_loop(cond, body, init)
         (A_f, S_f, MS_f, VS_f, MA_f, VA_f, rowsum_f, it, conv_A, conv_S,
@@ -1283,18 +1301,51 @@ def nmf_adaprox_fused(
     weighted = W is not None and not _is_unweighted(W)
     if weighted:
         W = _promote_W(W, Y)
+    # full-width store/moment dtypes ARE the default layout: normalize
+    # so f32 ≡ None (matching nmf()'s auto-routing rule)
+    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
+        store_dtype = None
+    if moment_dtype is not None and jnp.dtype(moment_dtype).itemsize >= 4:
+        moment_dtype = None
+    fused_cfg = {
+        "tile_n": int(tile_n),
+        "store_dtype": jnp.dtype(store_dtype).name if store_dtype
+        else None,
+        "moment_dtype": jnp.dtype(moment_dtype).name if moment_dtype
+        else None,
+    }
     it0 = 0
     conv0 = np.zeros(2, bool)
     div0 = False
+    loss0 = np.inf
     rowsum0 = None
     if state is not None:
         assert M is None and V is None, \
             "state= (exact resume) and M=/V= (moment warm start) are " \
             "mutually exclusive"
+        if hasattr(state, "get") and state.get("kind") is not None:
+            # an nmf_pgm_fused or sharded state reached the adaprox
+            # engine (e.g. nmf(algorithm='adaprox', state=<pgm state>))
+            raise ValueError(
+                "state= is a {!r} resume state, not an adaprox one — "
+                "adaprox states carry M/V moments (fused and XLA "
+                "drivers interchangeably); resume this state with the "
+                "solver/engine that produced it".format(state["kind"])
+            )
+        if "fused_config" in state and state["fused_config"] != fused_cfg:
+            raise ValueError(
+                "state= was produced under the fused configuration {} "
+                "but this call uses {} — the carried row sums and "
+                "moments are tile/dtype-accumulated, so the continued "
+                "trajectory would drift; resume with the same tile_n/"
+                "store_dtype/moment_dtype".format(
+                    state["fused_config"], fused_cfg)
+            )
         # terminal flags (absent on pre-r4-final checkpoints: default
         # "not stopped"): a stopped solve stays stopped on resume
         conv0 = np.asarray(state.get("converged", conv0), bool)
         div0 = bool(np.asarray(state.get("diverged", False)))
+        loss0 = float(state.get("loss", np.inf))
         # the kernel's own step-heuristic row-sum carry: present on
         # fused states (bit-exact resume); XLA-driver states have none
         # (their steps recompute from S, so a fresh sum is their exact
@@ -1336,7 +1387,7 @@ def nmf_adaprox_fused(
      MA_f, VA_f, MS_f, VS_f, rowsum_f) = run(
         A, S, Y, *extra, it0=it0,
         conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
-        rowsum0=rowsum0)
+        loss0=loss0, rowsum0=rowsum0)
 
     converged = (bool(conv_A), bool(conv_S))
     iterations = int(it)
@@ -1362,6 +1413,11 @@ def nmf_adaprox_fused(
         # jnp.sum's different reduction order drifts the trajectory by
         # ULPs that compound over iterations)
         "rowsum": rowsum_f,
+        # the no-op-resume loss report + the fused-config validation
+        # key (the XLA driver ignores both; its states carry neither,
+        # and resume of those recomputes/approximates as documented)
+        "loss": loss,
+        "fused_config": fused_cfg,
     }
     return SolverResult(
         converged,
@@ -1560,6 +1616,13 @@ def nmf(
     _fused_pgm_state = (hasattr(_st, "get")
                         and _st.get("kind") == "nmf_pgm_fused")
     if _fused_pgm_state:
+        if algorithm is not algorithms.pgm:
+            raise ValueError(
+                "state= is an nmf_pgm_fused resume state but "
+                "algorithm={!r} was requested — a PGM state does not "
+                "resume a different algorithm's solve".format(
+                    getattr(algorithm, "__name__", algorithm))
+            )
         if mesh is not None:
             raise ValueError(
                 "state= is an nmf_pgm_fused resume state (single-device "

@@ -1086,6 +1086,17 @@ def test_export_nmf_adaprox_solver_artifact_only_resume(rng):
     np.testing.assert_array_equal(np.asarray(outs2[0]),
                                   np.asarray(live.x[0]))
 
+    # a ZERO-budget middle link must not brick the chain: the carried
+    # loss rides through the no-op (r4 review finding — the inf loop
+    # init used to leak out and the next link's div0 heuristic then
+    # stopped everything)
+    noop = cont(outs[0], outs[1], Y, 0, *outs[2:])
+    assert int(noop[2]) == 9 and np.isfinite(float(noop[5]))
+    outs3 = cont(noop[0], noop[1], Y, 11, *noop[2:])
+    assert int(outs3[2]) == 20
+    np.testing.assert_array_equal(np.asarray(outs3[1]),
+                                  np.asarray(live.x[1]))
+
     with pytest.raises(ValueError, match="mutually exclusive"):
         export_nmf_adaprox_solver(C, K, N, resume=True, warm_start=True)
 

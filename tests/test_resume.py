@@ -638,6 +638,66 @@ def test_nmf_pgm_fused_state_config_mismatches_rejected(rng):
             mesh=make_mesh(), e_rel=0.0)
 
 
+def test_nmf_fused_resume_review_findings(rng):
+    """r4 self-review regressions: (a) a no-op resume of a stopped
+    fused solve reports the solve's REAL loss, not the inf loop init;
+    (b) resuming with the exact kwargs that produced the state through
+    engine='auto' store_dtype normalization is accepted (f32 ≡ None);
+    (c) a fused-PGM state into algorithm='adaprox' is rejected clearly;
+    (d) a tile_n mismatch is rejected instead of silently drifting."""
+    from proxmin_tpu.nmf import nmf_adaprox_fused, nmf_pgm_fused
+
+    Y, A0, S0 = _nmf_problem32(rng)
+
+    # (a) no-op resume keeps the real loss
+    rng2 = np.random.default_rng(7)
+    A_t = rng2.random((4, 3)).astype(np.float32)
+    S_t = rng2.random((3, 256)).astype(np.float32)
+    Yc = (A_t @ S_t).astype(np.float32)
+    A0c = np.abs(A_t * (1 + 0.1 * rng2.standard_normal(A_t.shape))) \
+        .astype(np.float32)
+    S0c = np.abs(S_t * (1 + 0.1 * rng2.standard_normal(S_t.shape))) \
+        .astype(np.float32)
+    full = nmf_pgm_fused(Yc, jnp.asarray(A0c), jnp.asarray(S0c),
+                         e_rel=0.1, max_iter=200, tile_n=128)
+    assert all(full.converged)
+    res = nmf_pgm_fused(Yc, jnp.asarray(full.x[0]), jnp.asarray(full.x[1]),
+                        e_rel=0.1, max_iter=50, state=full.state,
+                        tile_n=128)
+    assert res.iterations == 0
+    assert np.isfinite(res.loss) and res.loss == full.loss
+
+    # (b) engine='auto' normalizes a full-width store_dtype away; the
+    # state must resume with the identical kwargs
+    h = nmf(Y, jnp.asarray(A0), jnp.asarray(S0), e_rel=0.0, max_iter=5,
+            store_dtype=jnp.float32, tile_n=128, engine="auto")
+    assert h.state["kind"] == "nmf_pgm_fused"
+    assert h.state["store_dtype"] is None
+    r2 = nmf(Y, jnp.asarray(h.x[0]), jnp.asarray(h.x[1]), e_rel=0.0,
+             max_iter=5, store_dtype=jnp.float32, tile_n=128,
+             engine="auto", state=h.state)
+    assert r2.iterations == 5
+
+    # (c) cross-kind: a fused-PGM state cannot resume adaprox
+    with pytest.raises(ValueError, match="nmf_pgm_fused"):
+        nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                          max_iter=5, state=h.state, tile_n=128)
+    with pytest.raises(ValueError, match="algorithm"):
+        nmf(Y, jnp.asarray(A0), jnp.asarray(S0), algorithm="adaprox",
+            max_iter=5, state=h.state)
+
+    # (d) tile_n mismatches are rejected on both fused engines
+    with pytest.raises(ValueError, match="tile_n"):
+        nmf_pgm_fused(Y, jnp.asarray(h.x[0]), jnp.asarray(h.x[1]),
+                      e_rel=0.0, max_iter=5, state=h.state, tile_n=64)
+    ha = nmf_adaprox_fused(Y, jnp.asarray(A0), jnp.asarray(S0),
+                           e_rel=0.0, max_iter=5, tile_n=128)
+    with pytest.raises(ValueError, match="fused configuration"):
+        nmf_adaprox_fused(Y, jnp.asarray(ha.x[0]), jnp.asarray(ha.x[1]),
+                          e_rel=0.0, max_iter=5, state=ha.state,
+                          tile_n=64)
+
+
 def test_nmf_pgm_fused_resume_after_stop_stays_stopped():
     """Fused PGM terminal flags: converged and diverged solves resume
     as no-ops."""
