@@ -234,10 +234,8 @@ def make_bsdmm_solver(proxs_f, steps_f_cb, proxs_g=None, steps_g=None,
                 steps_g_update=steps_g_update, e_rel=e_rel, e_abs=e_abs,
                 max_iter=max_iter, steps_f_stride=steps_f_stride,
             )
-        body, init_zu = prog.make_body(prog.data_leaves)
-        st = jax.lax.while_loop(
-            prog.cond, body, prog.init_state(x_blocks, init_zu=init_zu)
-        )
+        loop, init_zu = prog.make_loop(prog.data_leaves)
+        st = loop(prog.init_state(x_blocks, init_zu=init_zu))
         return st.x, st.it, st.converged
 
     return solve

@@ -424,6 +424,20 @@ class WeightedBSDMMStepper(_WeightedStepperBase):
         return (v0, jnp.full((2,), self.stride, jnp.int32),
                 jnp.zeros((2,), jnp.int32))
 
+    @property
+    def segmented_bsdmm(self):
+        """Opt into the driver's segmented loop when refreshes are
+        actually strided: mid-segment sweeps then run with frozen steps
+        and WITHOUT the power iterate in the hot carry (a refresh
+        ``lax.cond`` threading the (N, K) iterate costs every
+        iteration, not every refresh — the r4 hot-loop trap)."""
+        return self.stride > 1 or self.adapt
+
+    def state_seg_end(self, state):
+        """Segmented-loop hook: the next sweep at which ANY block is
+        due a refresh (per-block next-refresh clocks, ``state[2]``)."""
+        return jnp.min(state[2])
+
     def _grow(self, stride_j, cached, step_new, it):
         """Per-block ApproximateCache growth/shrink (identity when not
         adaptive); suppressed on the first sweep (the carried step

@@ -79,11 +79,14 @@ class _BsdmmProgram(NamedTuple):
     """The pure pieces of a bsdmm solve, shared by the host driver, the
     AOT exporter and :func:`proxmin_tpu.functional.make_bsdmm_solver`
     (so the factory cannot drift from the in-process semantics):
-    ``make_body(leaves) -> (body, init_zu)``, ``init_state(xs,
-    init_zu=...) -> BSDMMState``, the partial-bound ``data_leaves`` to
-    pass/bake, and the driver-cache ingredients."""
+    ``make_body(leaves) -> (body, init_zu)``, ``make_loop(leaves) ->
+    (loop, init_zu)`` (the full while-loop, segmented when the stepper
+    opts in), ``init_state(xs, init_zu=...) -> BSDMMState``, the
+    partial-bound ``data_leaves`` to pass/bake, and the driver-cache
+    ingredients."""
 
     make_body: Any
+    make_loop: Any
     init_state: Any
     data_leaves: Any
     cond: Any
@@ -210,7 +213,12 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
         tuple(Ls),
     )
 
-    def make_body(leaves):
+    def make_body(leaves, frozen=False):
+        """``frozen=True`` builds the mid-segment body: the stepper is
+        never called — every block uses its carried step — so the
+        segmented inner loop carries no stepper state (the warm-start
+        power iterate etc. stays in the outer carry, and no per-block
+        refresh ``lax.cond`` runs in the hot loop)."""
         proxs_f = pf_rb(leaves[0])
         steps_f_cb = sf_rb(leaves[1])
         proxs_g_l = [
@@ -243,7 +251,13 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
 
                 # slack is identically 1.0 in the reference (never updated,
                 # algorithms.py:794)
-                if stateful_steps:
+                if frozen:
+                    # mid-segment: no block is due a refresh (the
+                    # segment boundary is min over blocks of the next
+                    # refresh), so the carried step IS the value the
+                    # per-block cond would have returned
+                    steps_f_j = steps_f_arr[j]
+                elif stateful_steps:
                     steps_f_j, steps_state = steps_f_cb(
                         xs_now, j=j, state=steps_state,
                         it=it, cached=steps_f_arr[j],
@@ -388,8 +402,51 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                             jnp.logical_not(s.diverged)),
         )
 
+    # segmented mode (opt-in stepper protocol): a stateful stepper with
+    # strided/adaptive refresh exposes ``state_seg_end(state)`` — the
+    # next iteration at which ANY block refreshes — and sets
+    # ``segmented_bsdmm``. The loop then runs one refresh sweep (the
+    # ordinary body: its per-block conds fire only for due blocks, so
+    # the trajectory is IDENTICAL to the flat loop) followed by an
+    # inner while of frozen-step sweeps that carries NO stepper state:
+    # the warm-start power iterate and the refresh ``lax.cond`` stay
+    # out of the hot loop (a cond over big carried state in a hot loop
+    # breaks XLA's memory-space assignment and lands its cost on every
+    # iteration — the r4 weighted-pgm regression).
+    segmented = (stateful_steps
+                 and getattr(steps_f_cb, "segmented_bsdmm", False)
+                 and hasattr(steps_f_cb, "state_seg_end"))
+
+    def make_loop(leaves):
+        body, init_zu_l = make_body(leaves)
+        if not segmented:
+            def loop(st):
+                return jax.lax.while_loop(cond, body, st)
+
+            return loop, init_zu_l
+        fbody, _ = make_body(leaves, frozen=True)
+        seg_end_fn = steps_f_cb.state_seg_end
+
+        def loop(st):
+            def outer_body(s):
+                s = body(s)  # refresh sweep (due blocks only)
+                seg_end = seg_end_fn(s.steps_state)
+                ss = s.steps_state
+                inner = s._replace(steps_state=())
+                inner = jax.lax.while_loop(
+                    lambda t: jnp.logical_and(cond(t), t.it < seg_end),
+                    fbody, inner)
+                return inner._replace(steps_state=ss)
+
+            # resume mid-segment needs no pre-loop: the refresh sweep's
+            # per-block conds self-gate on the carried next-refresh
+            # clocks, so a not-yet-due sweep is exactly a frozen sweep
+            return jax.lax.while_loop(cond, outer_body, st)
+
+        return loop, init_zu_l
+
     return _BsdmmProgram(
-        make_body=make_body, init_state=init_state,
+        make_body=make_body, make_loop=make_loop, init_state=init_state,
         data_leaves=data_leaves, cond=cond,
         stateful_steps=stateful_steps,
     )
@@ -486,11 +543,10 @@ def bsdmm(
     if _export_runner:
         # AOT-export path (export.py): pure ``*x_blocks -> final state``
         # with the data leaves baked as trace constants
-        body, _ = make_body(data_leaves)
+        loop, _ = prog.make_loop(data_leaves)
 
         def runner(*x_blocks):
-            return jax.lax.while_loop(prog.cond, body,
-                                      init_state(x_blocks))
+            return loop(init_state(x_blocks))
 
         return runner
 
@@ -511,9 +567,9 @@ def bsdmm(
             # construction dispatches several host->device ops per
             # solve; see the pgm driver)
             def run(x, leaves, resume):
-                body, init_zu_l = make_body(leaves)
+                loop, init_zu_l = prog.make_loop(leaves)
                 state = init_state(x, init_zu=init_zu_l, resume=resume)
-                return jax.lax.while_loop(prog.cond, body, state)
+                return loop(state)
 
             # not donated: donation pins the carry to HBM buffers and
             # defeats VMEM residency (2.6x slower on the pgm driver)
