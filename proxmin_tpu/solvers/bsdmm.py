@@ -417,20 +417,35 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
                  and getattr(steps_f_cb, "segmented_bsdmm", False)
                  and hasattr(steps_f_cb, "state_seg_end"))
 
+    plain_strided = (not stateful_steps and steps_f_stride is not None
+                     and steps_f_stride > 1)
+
     def make_loop(leaves):
         body, init_zu_l = make_body(leaves)
-        if not segmented:
+        if not (segmented or plain_strided):
             def loop(st):
                 return jax.lax.while_loop(cond, body, st)
 
             return loop, init_zu_l
         fbody, _ = make_body(leaves, frozen=True)
-        seg_end_fn = steps_f_cb.state_seg_end
+        if segmented:
+            _stepper_seg_end = steps_f_cb.state_seg_end
+
+            def seg_end_fn(ss, it):
+                return _stepper_seg_end(ss)
+        else:
+            # plain strided mode refreshes on `it % stride == 0`: the
+            # segment ends at the next multiple >= the (post-sweep)
+            # clock — ceil, not floor+1, so a resume sweep landing one
+            # short of a boundary still refreshes ON the boundary
+            def seg_end_fn(_, it):
+                s = jnp.int32(steps_f_stride)
+                return ((it + s - 1) // s) * s
 
         def loop(st):
             def outer_body(s):
                 s = body(s)  # refresh sweep (due blocks only)
-                seg_end = seg_end_fn(s.steps_state)
+                seg_end = seg_end_fn(s.steps_state, s.it)
                 ss = s.steps_state
                 inner = s._replace(steps_state=())
                 inner = jax.lax.while_loop(

@@ -380,6 +380,48 @@ def test_step_stride_bsdmm_stride_cadence(rng):
                                rtol=1e-6)
 
 
+def test_step_stride_bsdmm_segmented_bit_exact(rng):
+    """The plain-strided bsdmm path runs a SEGMENTED loop (refresh sweep
+    + frozen inner sweeps); its trajectory must be bit-identical to the
+    flat per-sweep body (callback mode drives exactly that body), and a
+    kill/resume at EVERY sweep — including one short of a refresh
+    boundary, where the ceil-based seg_end matters — must continue
+    bit-exactly."""
+    from proxmin_tpu import bsdmm
+
+    c0 = jnp.asarray([2.0, -1.0, 0.5])
+    c1 = jnp.asarray([[0.3, 1.2], [-0.7, 0.1]])
+
+    def proxs_f(x, step, Xs=None, j=None):
+        tgt = c0 if j == 0 else c1
+        other = jnp.sum(Xs[1 - j] ** 2)
+        return (x + step * (tgt + 0.01 * other)) / (1 + step)
+
+    def steps_cb(Xs, j=None):
+        # iterate-dependent: frozen vs refreshed steps genuinely differ
+        return 0.3 / (1.0 + 0.1 * jnp.sum(Xs[j] ** 2))
+
+    x0 = (jnp.zeros(3), jnp.zeros((2, 2)))
+    kw = dict(e_rel=0.0, steps_f_stride=4)
+    T = 11  # crosses refresh boundaries at it = 4 and 8
+
+    full = bsdmm(x0, proxs_f, steps_cb, max_iter=T, **kw)
+
+    # oracle: callback mode steps the flat (unfrozen) body per sweep
+    cb_res = bsdmm(x0, proxs_f, steps_cb, max_iter=T,
+                   callback=lambda *X, it=None: None, **kw)
+    for a, b in zip(full.x, cb_res.x):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for k in range(1, T):
+        half = bsdmm(x0, proxs_f, steps_cb, max_iter=k, **kw)
+        res = bsdmm(half.x, proxs_f, steps_cb, max_iter=T - k,
+                    state=half.state, **kw)
+        for a, b in zip(full.x, res.x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"kill at sweep {k}")
+
+
 def test_step_stride_adaprox_runs(rng):
     C, N, K = 5, 30, 2
     Y = rng.random((C, K)) @ rng.random((K, N))
