@@ -312,9 +312,12 @@ def bench_tpu_weighted(Y, A0, S0, W):
 
     out = {}
     variants = (
-        ("xla-stride", dict(step_stride=STRIDE)),
-        ("xla-adapt", dict(step_stride=STRIDE, step_adapt=True)),
+        ("xla-stride", dict(step_stride=STRIDE, engine="xla")),
+        ("xla-adapt", dict(step_stride=STRIDE, step_adapt=True,
+                           engine="xla")),
         ("pallas-stride", dict(step_stride=STRIDE, engine="pallas")),
+        ("pallas-adapt", dict(step_stride=STRIDE, step_adapt=True,
+                              engine="pallas")),
     )
     for name, kw in variants:
         def call(n, _kw=kw):

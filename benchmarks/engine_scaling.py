@@ -79,7 +79,13 @@ def weighted_engines_at(C, K, N, stride=10):
     S = jnp.asarray(rng.random((K, N)).astype(np.float32))
 
     times = {}
-    for name, kw in (("xla", {}), ("pallas", dict(engine="pallas"))):
+    rows = (
+        ("xla", dict(engine="xla")),
+        ("pallas", dict(engine="pallas")),
+        ("xla-adapt", dict(engine="xla", step_adapt=True)),
+        ("pallas-adapt", dict(engine="pallas", step_adapt=True)),
+    )
+    for name, kw in rows:
         def call(n, _kw=kw):
             res = pt.nmf.nmf(Y, A, S, W=W, e_rel=0, max_iter=n,
                              step_stride=stride, **_kw)
@@ -89,7 +95,10 @@ def weighted_engines_at(C, K, N, stride=10):
     print(f"weighted C={C:4d} K={K:3d} N={N:8d}: "
           f"xla {times['xla'] * 1e3:7.3f} ms/iter  "
           f"pallas {times['pallas'] * 1e3:7.3f} ms/iter  "
-          f"xla/pallas {times['xla'] / times['pallas']:4.2f}x")
+          f"xla/pallas {times['xla'] / times['pallas']:4.2f}x  |  "
+          f"adapt: xla {times['xla-adapt'] * 1e3:7.3f}  "
+          f"pallas {times['pallas-adapt'] * 1e3:7.3f}  "
+          f"xla/pallas {times['xla-adapt'] / times['pallas-adapt']:4.2f}x")
     return times
 
 

@@ -257,6 +257,55 @@ def _promote_W(W, Y):
     return W.astype(Y.dtype)
 
 
+def _fused_prox_safe(prox, block):
+    """Can ``engine='auto'`` route this prox onto the fused PGM kernel?
+
+    The kernel applies ``prox_S`` per pixel TILE (anything coupling
+    pixels — e.g. ``prox_unity(axis=1)`` on S — would silently compute
+    tile-local sums), and ``prox_A`` on the sublane-PADDED factor (zero
+    rows/cols; sums are padding-invariant but arbitrary user callables
+    may not be). Auto-routing therefore requires *known* library
+    operators; everything else stays on the XLA engine. Explicit
+    ``engine='pallas'`` keeps the documented trust-the-caller contract
+    (``nmf_pgm_fused`` docstring).
+    """
+    if prox is None:
+        return True
+    kw = {}
+    if isinstance(prox, functools.partial):
+        if prox.args:  # positionally-bound step/thresh: be conservative
+            return False
+        kw = dict(prox.keywords)
+        prox = prox.func
+    if prox in (operators.prox_id, operators.prox_zero,
+                operators.prox_plus, operators.prox_min,
+                operators.prox_max, operators.prox_hard,
+                operators.prox_hard_plus, operators.prox_soft,
+                operators.prox_soft_plus, operators.prox_max_entropy):
+        return True  # elementwise for every kwarg combination
+    if prox in (operators.prox_unity, operators.prox_unity_plus):
+        # zero padding preserves sums, so A (applied whole) is safe on
+        # either axis; S is proxed per pixel tile, so only the factor
+        # axis (0) is tile-local — axis=1 would normalize per tile
+        return True if block == "A" else kw.get("axis", 0) == 0
+    if isinstance(prox, operators.AlternatingProjections):
+        return all(_fused_prox_safe(p, block) for p in prox.operators)
+    return False
+
+
+def _weighted_fused_wins(C, K, N):
+    """Measured v5e speed region of the weighted fused PGM kernel under
+    a strided/adaptive refresh policy (r4 adapt-policy sweep,
+    ``benchmarks/engine_scaling.py`` / ``docs/BENCHMARKS.md``): the XLA
+    driver wins while its loop-invariant working set stays
+    VMEM-resident (its per-iteration time jumps ~4x across that cliff
+    while the kernel's explicit tiling scales linearly), and C < 8
+    sublane padding moves the cliff down for XLA. The boundary shapes
+    measured within ~10% either way; misrouting there costs little."""
+    stream_bytes = 8 * (C + K) * N  # naive f32 per-iteration traffic
+    return stream_bytes >= (90e6 if C < 8 else 110e6)
+
+
 def step_pgm(*X, it=None, W=1):
     """Lipschitz PGM step sizes ``(step_A, step_S)`` for the Gaussian model
     (reference ``nmf.py:52-88``). Weighted case uses implicit batched power
@@ -1482,10 +1531,16 @@ def nmf(
             :func:`nmf_adaprox_fused` for adaprox — adam scheme +
             separable proxs; add ``moment_dtype=jnp.bfloat16`` for the
             fastest measured adaprox path, 0.13 vs 0.19 ms/iter at the
-            flagship), or "auto": pgm routes to pallas for unweighted
-            channel counts >= 64 where it measures faster on v5e
-            (weighted pgm always runs xla — the r4 C-sweep measured no
-            weighted crossover through C=128); adaprox with a
+            flagship), or "auto": pgm routes to pallas where the fused
+            kernel measures faster on v5e — unweighted channel counts
+            >= 64, and weighted problems under a strided/adaptive
+            refresh once the XLA loop's working set falls off VMEM
+            residency (~110 MB/iter naive traffic; the r4 segmented
+            weighted runner wins 1.2-1.7x there, including the 1e6-px
+            flagship) — provided both proxs are library operators the
+            kernel is known to apply correctly per pixel tile
+            (custom proxs: force with ``engine='pallas'``); adaprox
+            with a
             reduced-precision ``moment_dtype`` (e.g. ``jnp.bfloat16``)
             and fused-compatible options routes to the fused kernel,
             the fastest measured engine for that request (the XLA
@@ -1757,38 +1812,55 @@ def nmf(
             engine = "pallas"
         else:
             pallas_only = set(algorithm_args) & {"tile_n", "store_dtype"}
-            # weighted problems reach the fused kernel only on an
-            # explicit reduced store_dtype (the capacity option the XLA
-            # driver cannot honor); the weighted fused runner supports
-            # strided/adaptive refresh, the unweighted one has no
-            # stride to amortize
-            weighted_store = (not _is_unweighted(W)
-                              and "store_dtype" in algorithm_args)
+            weighted = not _is_unweighted(W)
+            # a strided/adaptive refresh policy is what makes the
+            # weighted fused runner competitive (per-iteration exact
+            # refreshes dominate either engine); a reduced store_dtype
+            # is a capacity request only the fused kernels can honor
+            weighted_strided = weighted and (
+                (step_stride is not None and step_stride > 1)
+                or step_adapt)
+            weighted_store = weighted and "store_dtype" in algorithm_args
             pallas_ok = (
                 algorithm is algorithms.pgm and step is None
                 and callback is None
                 and set(algorithm_args) <= {"tile_n", "store_dtype"}
-                and (weighted_store
-                     or (_is_unweighted(W) and step_stride is None
+                and _fused_prox_safe(prox_A, "A")
+                and _fused_prox_safe(prox_S, "S")
+                and (weighted_store or weighted_strided
+                     or (not weighted and step_stride is None
                          and not step_adapt))
             )
             if pallas_only and not pallas_ok:
                 raise ValueError(
                     f"{sorted(pallas_only)} are pallas-engine options "
-                    "but the call is not pallas-compatible (pgm needs "
-                    "default steps and no callback — unweighted also "
-                    "no step_stride; adaprox needs the adam scheme "
-                    "and separable proxs)"
+                    "but the call is not auto-routable to the fused "
+                    "kernels (pgm needs default steps, no callback, "
+                    "and library proxs the kernel can apply per pixel "
+                    "tile — custom-but-tile-local proxs can force the "
+                    "engine with engine='pallas'; unweighted pgm also "
+                    "takes no step_stride; adaprox needs the adam "
+                    "scheme and separable proxs)"
                 )
-            # measured crossover on v5e (benchmarks/engine_scaling.py):
-            # XLA's loop fusion wins for few-channel problems, the
-            # fused kernel from C ~ 64 up — UNWEIGHTED only (the r4
-            # weighted C-sweep measured no crossover through C=128, so
-            # pallas_ok requiring _is_unweighted is the measured
-            # answer, not a gap); explicit pallas-only kwargs force
-            # pallas
-            engine = "pallas" if (pallas_ok and (
-                pallas_only or np.shape(Y)[0] >= 64)) else "xla"
+            # measured crossovers on v5e (r4 sweeps,
+            # benchmarks/engine_scaling.py / docs/BENCHMARKS.md):
+            # unweighted — XLA's loop fusion wins below C ~ 64, the
+            # fused kernel from C ~ 64 up; weighted under a strided/
+            # adaptive refresh — the kernel wins once the XLA loop's
+            # working set falls off VMEM residency
+            # (_weighted_fused_wins); explicit pallas-only kwargs
+            # force pallas
+            if pallas_ok and pallas_only:
+                engine = "pallas"
+            elif pallas_ok and not weighted:
+                engine = "pallas" if np.shape(Y)[0] >= 64 else "xla"
+            elif pallas_ok and weighted_strided:
+                C_, N_ = np.shape(Y)
+                engine = ("pallas"
+                          if _weighted_fused_wins(C_, np.shape(A)[1], N_)
+                          else "xla")
+            else:
+                engine = "xla"
 
     if engine == "pallas":
         if (algorithm is getattr(algorithms, "adaprox", None)

@@ -909,6 +909,169 @@ def test_engine_auto_store_dtype_routing(rng):
                                    np.asarray(rb.x[1]), rtol=1e-6)
 
 
+def test_fused_prox_safe_predicate():
+    """The auto-routing prox guard (r4 late): only library proxs the
+    kernel provably applies correctly per pixel tile may auto-route;
+    pixel-coupled or unknown proxs must not."""
+    from functools import partial
+
+    from proxmin_tpu.nmf import _fused_prox_safe
+
+    # identity / elementwise library operators: safe on either block
+    for p in (None, op.prox_id, op.prox_plus, op.prox_soft,
+              partial(op.prox_soft, thresh=0.1),
+              partial(op.prox_min, thresh=0.2, type="absolute"),
+              op.prox_hard_plus, op.prox_max_entropy):
+        assert _fused_prox_safe(p, "A") and _fused_prox_safe(p, "S")
+
+    # prox_unity: the factor axis (0) is tile-local for S (padded
+    # columns are select-masked after the prox); the pixel axis (1)
+    # would normalize per tile -> unsafe for S. A rides whole (zero
+    # padding preserves sums) -> either axis.
+    for p in (op.prox_unity, op.prox_unity_plus,
+              partial(op.prox_unity, axis=0),
+              partial(op.prox_unity_plus, axis=0)):
+        assert _fused_prox_safe(p, "S")
+    for p in (partial(op.prox_unity, axis=1),
+              partial(op.prox_unity_plus, axis=1)):
+        assert _fused_prox_safe(p, "A")
+        assert not _fused_prox_safe(p, "S")
+
+    # POCS combinator: safe iff every member is
+    assert _fused_prox_safe(
+        op.AlternatingProjections([op.prox_plus,
+                                   partial(op.prox_unity, axis=0)]), "S")
+    assert not _fused_prox_safe(
+        op.AlternatingProjections([op.prox_plus,
+                                   partial(op.prox_unity, axis=1)]), "S")
+
+    # unknown callables and positional binds: conservative no
+    assert not _fused_prox_safe(lambda X, step: X, "S")
+    assert not _fused_prox_safe(partial(op.prox_soft, 0.5), "S")
+
+
+def test_weighted_fused_wins_measured_map():
+    """_weighted_fused_wins reproduces the r4 adapt-policy sweep's
+    winners (docs/BENCHMARKS.md table; the ~tie at C=16/N=1M is an
+    accepted boundary miss, excluded here)."""
+    from proxmin_tpu.nmf import _weighted_fused_wins as wins
+
+    assert not wins(5, 7, 500_000)        # xla 1.43x
+    assert not wins(5, 7, 750_000)        # xla 1.08x
+    assert wins(5, 7, 1_000_000)          # pallas 1.2-1.3x (flagship)
+    assert not wins(8, 7, 500_000)        # xla 1.51x
+    assert wins(8, 7, 1_000_000)          # pallas 1.19x
+    assert not wins(16, 8, 500_000)       # xla 1.07x
+    assert wins(16, 8, 2_000_000)         # pallas 1.49x
+    assert not wins(32, 12, 250_000)      # xla 1.16x
+    assert wins(32, 12, 1_000_000)        # pallas 1.15x
+    assert wins(48, 12, 250_000)          # pallas 1.21x
+    assert wins(64, 16, 250_000)          # pallas 1.69x
+    assert wins(128, 32, 125_000)         # pallas 1.30x
+
+
+def test_weighted_auto_routes_fused_by_measured_region(rng, monkeypatch):
+    """engine='auto' wiring for weighted strided/adaptive pgm: routes to
+    the fused engine exactly when _weighted_fused_wins says so, stays
+    on xla otherwise, and never fuses weighted solves without a
+    strided/adaptive policy (exact per-iteration refreshes measured
+    slower on either engine than strided xla)."""
+    from proxmin_tpu import nmf as nmf_mod
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    W = (0.5 + rng.random(Y.shape)).astype(np.float32)
+
+    calls = []
+    orig = nmf_mod.nmf_pgm_fused
+    monkeypatch.setattr(
+        nmf_mod, "nmf_pgm_fused",
+        lambda *a, **k: (calls.append(k.get("step_adapt")),
+                         orig(*a, **k))[1])
+
+    kw = dict(W=W, e_rel=0, max_iter=5, engine="auto")
+    # tiny problem: below the measured region -> xla, fused not called
+    for policy in (dict(step_stride=3), dict(step_adapt=True)):
+        r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, **policy)
+        assert np.isfinite(np.asarray(r.x[1])).all()
+    assert calls == []
+
+    # force the region decision to True: strided/adaptive now fuse
+    monkeypatch.setattr(nmf_mod, "_weighted_fused_wins",
+                        lambda *a: True)
+    r_str = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, step_stride=3)
+    r_ad = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, step_adapt=True)
+    assert calls == [False, True]
+    assert np.isfinite(np.asarray(r_str.x[1])).all()
+    assert np.isfinite(np.asarray(r_ad.x[1])).all()
+    # ... and the fused strided result tracks the xla strided result
+    r_xla = pt.nmf.nmf(Y, A0.copy(), S0.copy(), W=W, e_rel=0,
+                       max_iter=5, engine="xla", step_stride=3)
+    np.testing.assert_allclose(np.asarray(r_str.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=2e-4,
+                               atol=2e-5)
+
+    # no strided/adaptive policy -> xla even inside the "win" region
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw)
+    assert calls == [False, True]
+
+
+def test_auto_prox_guard_blocks_pixel_coupled_prox(rng, monkeypatch):
+    """Correctness hole closed (r4 late): a pixel-coupled prox_S (e.g.
+    prox_unity(axis=1)) must keep engine='auto' off the fused kernel —
+    tile-local application would silently normalize per tile — while a
+    factor-axis prox_unity still fuses; explicit pallas-only kwargs
+    with an unknown prox raise instead of silently misrouting."""
+    from functools import partial
+
+    from proxmin_tpu import nmf as nmf_mod
+
+    C, K, N = 64, 3, 256   # C >= 64: the unweighted auto-pallas region
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    calls = []
+    orig = nmf_mod.nmf_pgm_fused
+    monkeypatch.setattr(
+        nmf_mod, "nmf_pgm_fused",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    kw = dict(e_rel=0, max_iter=5, engine="auto")
+    # default proxs at C >= 64 -> fused
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw)
+    assert calls == [1]
+
+    # pixel-coupled prox_S -> xla, and the result is the CORRECT
+    # (global) normalization, matching the explicit xla engine
+    p_pix = partial(op.prox_unity_plus, axis=1)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_S=p_pix, **kw)
+    assert calls == [1]
+    r_xla = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_S=p_pix,
+                       e_rel=0, max_iter=5, engine="xla")
+    np.testing.assert_allclose(np.asarray(r.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=1e-6)
+
+    # factor-axis prox_unity (tile-local) still fuses, and agrees with
+    # the xla engine through the padding masks
+    p_fac = partial(op.prox_unity_plus, axis=0)
+    r_f = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_S=p_fac, **kw)
+    assert calls == [1, 1]
+    r_fx = pt.nmf.nmf(Y, A0.copy(), S0.copy(), prox_S=p_fac,
+                      e_rel=0, max_iter=5, engine="xla")
+    np.testing.assert_allclose(np.asarray(r_f.x[1]),
+                               np.asarray(r_fx.x[1]), rtol=2e-4,
+                               atol=2e-5)
+
+    # unknown prox + pallas-only kwarg: loud error pointing at the
+    # engine='pallas' escape hatch, not a silent misroute
+    with pytest.raises(ValueError, match="pallas"):
+        pt.nmf.nmf(Y, A0.copy(), S0.copy(), tile_n=128,
+                   prox_S=lambda X, s: jnp.maximum(X, 0), **kw)
+
+
 def test_fused_divergence_detected_on_final_iteration(rng):
     """Review finding (r4 late): the carried loss is pre-update, so a
     divergence on the LAST allowed iteration used to escape detection;
