@@ -168,6 +168,10 @@ if __name__ == "__main__":
         engines_at(16, 8, 500_000)
         engines_at(64, 16, 250_000)
         engines_at(128, 32, 125_000)
+        # the unweighted residency cliff (xla wins <= ~176 MB stream,
+        # the kernel from ~200 MB up at ANY channel count)
+        engines_at(16, 8, 2_000_000)
+        engines_at(5, 7, 4_000_000)
         weighted_engines_at(5, 7, 1_000_000)
         weighted_engines_at(16, 8, 500_000)
         weighted_engines_at(64, 16, 250_000)

@@ -306,6 +306,18 @@ def _weighted_fused_wins(C, K, N):
     return stream_bytes >= (90e6 if C < 8 else 110e6)
 
 
+def _unweighted_fused_wins(C, K, N):
+    """Measured v5e speed region of the UNWEIGHTED fused PGM kernel
+    (r4 sweeps): wide-channel problems from C ~ 64 up (MXU tiling +
+    sublane padding favor the kernel even at small working sets), and —
+    the same residency cliff as the weighted case, at a higher
+    threshold since there is no W stream — any channel count once the
+    naive per-iteration stream (read Y + read/write S) passes ~200 MB
+    (measured: xla wins 1.1-1.3x at <= 128 MB, ~ties at 150-176 MB,
+    kernel wins 1.5x+ at >= 256 MB)."""
+    return C >= 64 or 4 * (C + 2 * K) * N >= 200e6
+
+
 def step_pgm(*X, it=None, W=1):
     """Lipschitz PGM step sizes ``(step_A, step_S)`` for the Gaussian model
     (reference ``nmf.py:52-88``). Weighted case uses implicit batched power
@@ -1533,7 +1545,8 @@ def nmf(
             fastest measured adaprox path, 0.13 vs 0.19 ms/iter at the
             flagship), or "auto": pgm routes to pallas where the fused
             kernel measures faster on v5e — unweighted channel counts
-            >= 64, and weighted problems under a strided/adaptive
+            >= 64 or naive streams >= ~200 MB/iter at any C (1.5x+),
+            and weighted problems under a strided/adaptive
             refresh once the XLA loop's working set falls off VMEM
             residency (~110 MB/iter naive traffic; the r4 segmented
             weighted runner wins 1.2-1.7x there, including the 1e6-px
@@ -1844,16 +1857,19 @@ def nmf(
                 )
             # measured crossovers on v5e (r4 sweeps,
             # benchmarks/engine_scaling.py / docs/BENCHMARKS.md):
-            # unweighted — XLA's loop fusion wins below C ~ 64, the
-            # fused kernel from C ~ 64 up; weighted under a strided/
-            # adaptive refresh — the kernel wins once the XLA loop's
+            # the fused kernel wins wide-channel problems (C >= 64)
+            # and — weighted or not — any shape once the XLA loop's
             # working set falls off VMEM residency
-            # (_weighted_fused_wins); explicit pallas-only kwargs
-            # force pallas
+            # (_unweighted_fused_wins / _weighted_fused_wins);
+            # explicit pallas-only kwargs force pallas
             if pallas_ok and pallas_only:
                 engine = "pallas"
             elif pallas_ok and not weighted:
-                engine = "pallas" if np.shape(Y)[0] >= 64 else "xla"
+                C_, N_ = np.shape(Y)
+                engine = ("pallas"
+                          if _unweighted_fused_wins(C_, np.shape(A)[1],
+                                                    N_)
+                          else "xla")
             elif pallas_ok and weighted_strided:
                 C_, N_ = np.shape(Y)
                 engine = ("pallas"

@@ -970,6 +970,52 @@ def test_weighted_fused_wins_measured_map():
     assert wins(128, 32, 125_000)         # pallas 1.30x
 
 
+def test_unweighted_fused_wins_measured_map():
+    """_unweighted_fused_wins reproduces the r4 unweighted sweeps:
+    C >= 64 always; below that, the residency cliff at ~200 MB naive
+    stream (ties at 150-176 MB route xla, costing <= ~4%)."""
+    from proxmin_tpu.nmf import _unweighted_fused_wins as wins
+
+    assert wins(64, 16, 250_000)          # pallas 1.15-1.47x
+    assert wins(128, 32, 125_000)
+    assert not wins(5, 7, 1_000_000)      # xla 1.29x (76 MB)
+    assert not wins(5, 7, 2_000_000)      # ~tie (152 MB) -> xla
+    assert wins(5, 7, 4_000_000)          # pallas 1.57x (304 MB)
+    assert not wins(16, 8, 1_000_000)     # xla 1.11x (128 MB)
+    assert wins(16, 8, 2_000_000)         # pallas 1.54x (256 MB)
+    assert not wins(8, 7, 2_000_000)      # ~tie (176 MB) -> xla
+
+
+def test_unweighted_auto_routes_fused_past_cliff(rng, monkeypatch):
+    """engine='auto' wiring for unweighted pgm now consults the
+    residency-cliff rule, not just C >= 64."""
+    from proxmin_tpu import nmf as nmf_mod
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    calls = []
+    orig = nmf_mod.nmf_pgm_fused
+    monkeypatch.setattr(
+        nmf_mod, "nmf_pgm_fused",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    kw = dict(e_rel=0, max_iter=5, engine="auto")
+    pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw)      # tiny: xla
+    assert calls == []
+    monkeypatch.setattr(nmf_mod, "_unweighted_fused_wins",
+                        lambda *a: True)
+    r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw)  # forced region
+    assert calls == [1] and np.isfinite(np.asarray(r.x[1])).all()
+    r_xla = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=5,
+                       engine="xla")
+    np.testing.assert_allclose(np.asarray(r.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_weighted_auto_routes_fused_by_measured_region(rng, monkeypatch):
     """engine='auto' wiring for weighted strided/adaptive pgm: routes to
     the fused engine exactly when _weighted_fused_wins says so, stays
