@@ -293,6 +293,43 @@ def bench_tpu(Y, A0, S0):
     return t_xla, "xla", gbs, compile_time
 
 
+def bench_tpu_unweighted_strided(Y, A0, S0):
+    """Unweighted flagship with the STRIDED step policy on both engines
+    (``step_adapt=True``, in-carry ApproximateCache growth): the XLA
+    driver skips its per-iteration ``S S^T`` Gram + eigensolves between
+    refreshes (a full extra S read below the residency cliff it no
+    longer pays), the fused runner's segmented frozen-step inner loop
+    drops its in-loop eigensolves. The adaptive rows are the fastest
+    unweighted configurations measured (r4 follow-up); the headline
+    stays the per-iteration-exact engines (same algorithm as the NumPy
+    baseline)."""
+    import jax.numpy as jnp
+    import proxmin_tpu as pt
+
+    Y_dev = jnp.asarray(Y)
+    A = jnp.asarray(A0)
+    S = jnp.asarray(S0)
+    bytes_naive = (C * N + 2 * K * N) * 4
+
+    out = {}
+    for name, kw in (
+        ("xla-adapt", dict(step_adapt=True, engine="xla")),
+        ("pallas-adapt", dict(step_adapt=True, engine="pallas")),
+    ):
+        def call(n, _kw=kw):
+            res = pt.nmf.nmf(Y_dev, A, S, e_rel=0, max_iter=n, **_kw)
+            return np.asarray(res.x[0])
+
+        call(ITERS_LO)  # compile
+        t_s, first = _timed(call, ITERS_LO, ITERS_HI)
+        fixed = max(first - ITERS_LO * t_s, 0.0)
+        log(f"tpu/unweighted[{name}]: {t_s * 1e3:.3f} ms/iter "
+            f"(marginal; ~{fixed * 1e3:.0f} ms fixed/call)")
+        roofline(f"tpu/unweighted[{name}]", t_s, bytes_naive)
+        out[name] = t_s
+    return out
+
+
 def bench_tpu_weighted(Y, A0, S0, W):
     """Weighted flagship through the production ``nmf()`` driver, three
     engines: (a) XLA driver with the warm-started
@@ -462,6 +499,7 @@ def main():
     with summarize_convergence_warnings():
         t_tpu, engine, gbs, compile_s = bench_tpu(Y, A0, S0)
         log(f"tpu best ({engine}): {t_tpu * 1e3:.3f} ms/iter")
+        t_us = bench_tpu_unweighted_strided(Y, A0, S0)
         t_ws = bench_tpu_weighted(Y, A0, S0, W)
         t_tpu_w = min(t_ws.values())
         t_as = bench_tpu_adaprox(Y, A0, S0)
@@ -489,6 +527,11 @@ def main():
         "driver_marginal_ms_per_iter": round(t_drv * 1e3, 4),
         "driver_fixed_ms_per_call": round(fixed_drv * 1e3, 1),
         "xla_ms_per_iter": round(t_tpu * 1e3, 4),
+        "unweighted_strided_variants_ms_per_iter": {
+            k: round(v * 1e3, 4) for k, v in t_us.items()
+        },
+        "unweighted_best_any_policy_ms_per_iter": round(
+            min(t_tpu, min(t_us.values())) * 1e3, 4),
         "adaprox_separable_ms_per_iter": round(t_tpu_a * 1e3, 4),
         "adaprox_variants_ms_per_iter": {
             k: round(v * 1e3, 4) for k, v in t_as.items()

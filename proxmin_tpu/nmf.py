@@ -318,6 +318,21 @@ def _unweighted_fused_wins(C, K, N):
     return C >= 64 or 4 * (C + 2 * K) * N >= 200e6
 
 
+def _unweighted_strided_fused_wins(C, K, N):
+    """Measured v5e speed region of the unweighted STRIDED fused runner
+    (segmented frozen-step inner loop, kernel-Gram refreshes) vs the
+    XLA driver under the same ``StridedStepper`` policy — the SAME
+    region as the exact engines' (:func:`_unweighted_fused_wins`),
+    kept separate because it was measured separately: striding speeds
+    the XLA driver up as much as the kernel (it drops a whole
+    per-iteration ``S S^T`` read + eigensolve, the kernel drops only
+    its in-loop eigensolves), so the residency cliff does not move
+    (r4 adapt sweep: xla wins 0.056 vs 0.089 at 76 MB and 0.30 vs 0.45
+    at 152 MB; pallas wins 0.37 vs 0.64 at 256 MB and 1.01 vs 1.30 at
+    304 MB)."""
+    return C >= 64 or 4 * (C + 2 * K) * N >= 200e6
+
+
 def step_pgm(*X, it=None, W=1):
     """Lipschitz PGM step sizes ``(step_A, step_S)`` for the Gaussian model
     (reference ``nmf.py:52-88``). Weighted case uses implicit batched power
@@ -727,6 +742,170 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
 
 
 @_cached_runner
+def _make_fused_strided_pgm_runner(prox_A, prox_S, e_rel, tile_n,
+                                   C, K, N, dtype, stride, adapt=False,
+                                   store_dtype=None):
+    """UNWEIGHTED strided/segmented variant of the fused-PGM runner:
+    the same frozen-step segmented architecture as
+    :func:`_make_fused_weighted_pgm_runner` (refresh once per segment
+    OUTSIDE the hot inner loop, 0.9 safety shrink, in-carry
+    :func:`utils.grow_stride` adaptivity) — but the refresh is EXACT
+    and free of pixel-data traffic: the kernel already accumulates the
+    just-produced iterate's ``S S^T`` Gram on every step
+    (:func:`ops.nmf_kernels.fused_nmf_pgm_step`), so each segment
+    boundary only pays two tiny K×K ``eigvalsh`` calls on operands the
+    inner loop carries anyway. Per-iteration this drops the exact
+    runner's in-loop eigensolves AND its step/Gram data dependence —
+    the inner loop is pure fused-kernel streaming, the structure the
+    r4 segmentation study measured fastest (``_run_segmented``,
+    weighted runner, sharded builder).
+
+    Step semantics match the XLA engine's ``StridedStepper(step_pgm)``
+    (reference ``ApproximateCache`` policy, ``utils.py:124-190``):
+    bounds refreshed from the CURRENT iterate every ``stride``
+    iterations, held frozen in between, shrunk by the 0.9 safety
+    factor against inter-refresh Lipschitz growth. ``store_dtype``
+    behaves as in the exact runner (bf16 S/Y stores, f32 compute;
+    refresh Grams come from the kernel's f32 accumulator either way).
+    """
+    import jax
+    from .ops.nmf_kernels import (
+        _SUBLANE, _auto_tile, _round_up, fused_nmf_pgm_step,
+    )
+
+    store_dtype = jnp.dtype(store_dtype or jnp.float32)
+    sub = 16 if store_dtype == jnp.bfloat16 else _SUBLANE
+    Cp = _round_up(max(C, sub), sub)
+    Kp = _round_up(max(K, sub), sub)
+    tile = _auto_tile(Cp, Kp, False, tile_n, N)
+    Np = _round_up(N, tile)
+    dims = (C, K, N)
+    stride = max(int(stride or 1), 1)
+    safety = 0.9
+    budget = (1.0 - safety) / 2   # ApproximateCache growth threshold
+    max_stride = 100
+
+    @jax.jit
+    def run(A, S, Y, max_iter, *, it0=0, conv_A0=False, conv_S0=False,
+            div0=False, loss0=jnp.inf, steps0=None):
+        # ``steps0`` (exact resume) carries (step_A, step_S, SSt,
+        # stride, next_refresh): the frozen steps, the kernel's own
+        # (K, K) Gram of the current S (a fresh Gram has a different
+        # contraction order; the ULP difference in the next refresh's
+        # steps would compound), and the segment schedule phased
+        # against the ``it0`` global clock.
+        A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
+        S_p = jnp.pad(S.astype(store_dtype),
+                      ((0, Kp - K), (0, Np - N)))
+        Y_p = jnp.pad(Y.astype(store_dtype),
+                      ((0, Cp - C), (0, Np - N)))
+        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        it0 = jnp.asarray(it0, jnp.int32)
+        div0_t = jnp.asarray(div0, bool)
+
+        def exact_steps(A, SSt):
+            # padded rows/cols are zero -> zero eigenvalues; lambda_max
+            # of the true blocks is unchanged
+            sA = 1.0 / jnp.linalg.eigvalsh(SSt)[-1]
+            sS = 1.0 / jnp.linalg.eigvalsh(
+                jnp.dot(A.T, A, preferred_element_type=jnp.float32))[-1]
+            return (jnp.asarray(sA, jnp.float32),
+                    jnp.asarray(sS, jnp.float32))
+
+        def make_body(frozen_steps):
+            # frozen step scalars; the (Kp, Kp) Gram rides the carry so
+            # the segment refresh needs no extra pass over S (it is a
+            # kernel output either way — 1 KB of carry, not the big-
+            # operand lax.cond the segmented architecture exists to
+            # avoid)
+            sA, sS = frozen_steps
+
+            def body(st):
+                A, S, SSt, it, _, _, _ = st
+                gA, S_new, SSt_new, loss, dS_sq, nS_sq = (
+                    fused_nmf_pgm_step(
+                        A, S, Y_p, sS, prox_S=prox_S, tile_n=tile,
+                        dims=dims,
+                    ))
+                A_new = prox_A(A - sA * gA, sA) * a_mask
+                dA_sq = jnp.sum((A_new - A) ** 2)
+                nA_sq = jnp.sum(A_new ** 2)
+                conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
+                conv_S = _fused_fp_conv(dS_sq, nS_sq, e_rel)
+                loss = _poison_loss(loss, dA_sq, nA_sq, dS_sq, nS_sq)
+                return (A_new, S_new, SSt_new, it + 1,
+                        conv_A, conv_S, loss)
+
+            return body
+
+        def cond(st):
+            it, conv_A, conv_S, loss = st[3], st[4], st[5], st[6]
+            done = jnp.logical_and(conv_A, conv_S)
+            bad = jnp.logical_or(
+                jnp.logical_and(it > it0,
+                                jnp.logical_not(jnp.isfinite(loss))),
+                div0_t)
+            return jnp.logical_and(
+                it < it0 + max_iter,
+                jnp.logical_not(jnp.logical_or(done, bad)))
+
+        resume = steps0 is not None
+        if resume:
+            sA0, sS0, SSt0, stride0, seg0 = steps0
+            sA_in = jnp.asarray(sA0, jnp.float32)
+            sS_in = jnp.asarray(sS0, jnp.float32)
+            SSt_in = jnp.pad(SSt0.astype(jnp.float32),
+                             ((0, Kp - K), (0, Kp - K)))
+            stride_in = jnp.asarray(stride0, jnp.int32)
+            seg_in = jnp.asarray(seg0, jnp.int32)
+        else:
+            z = jnp.zeros((), jnp.float32)
+            SSt_in = jnp.dot(S_p.astype(jnp.float32), S_p.T,
+                             preferred_element_type=jnp.float32)
+            sA_in, sS_in = z, z
+            stride_in, seg_in = jnp.int32(stride), it0
+
+        st = (A_p, S_p, SSt_in, it0, jnp.asarray(conv_A0, bool),
+              jnp.asarray(conv_S0, bool),
+              jnp.asarray(loss0, jnp.float32))
+
+        if resume:
+            # statically-gated pre-loop: finish the interrupted segment
+            # with the carried frozen steps before any refresh
+            st = jax.lax.while_loop(
+                lambda s: jnp.logical_and(cond(s), s[3] < seg_in),
+                make_body((sA_in, sS_in)), st)
+
+        def outer_cond(carry):
+            return cond(carry[0])
+
+        def outer_body(carry):
+            s, sA_o, sS_o, stride_c, _ = carry
+            sA_, sS_ = exact_steps(s[0], s[2])
+            sA_n, sS_n = safety * sA_, safety * sS_
+            if adapt:
+                stride_c = utils.grow_stride(
+                    stride_c, (sA_o, sS_o), (sA_n, sS_n), budget,
+                    max_stride, first=(s[3] == 0))
+            seg_end = s[3] + (stride_c if adapt else jnp.int32(stride))
+            s = jax.lax.while_loop(
+                lambda x: jnp.logical_and(cond(x), x[3] < seg_end),
+                make_body((sA_n, sS_n)), s)
+            return (s, sA_n, sS_n, stride_c, seg_end)
+
+        st, sA_f, sS_f, stride_f, seg_f = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (st, sA_in, sS_in, stride_in, seg_in))
+
+        A_f, S_f, SSt_f, it, conv_A, conv_S, loss = st
+        return (A_f[:C, :K].astype(dtype), S_f[:K, :N].astype(dtype),
+                it, conv_A, conv_S, loss,
+                sA_f, sS_f, SSt_f[:K, :K], stride_f, seg_f)
+
+    return run
+
+
+@_cached_runner
 def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                                     C, K, N, dtype, stride, adapt=False,
                                     store_dtype=None):
@@ -956,6 +1135,20 @@ def nmf_pgm_fused(
     1 = every iteration, the reference's semantics) via implicit power
     iteration outside the kernel.
 
+    ``step_stride > 1`` (or ``step_adapt=True``) on an UNWEIGHTED
+    problem selects the segmented frozen-step runner instead of the
+    exact recursion: steps refresh once per segment from the
+    kernel-carried Gram (two K×K eigensolves, zero extra pixel
+    traffic) with the ``StridedStepper`` policy (0.9 safety shrink;
+    ``step_adapt`` grows the interval in-carry). The inner loop
+    becomes pure kernel streaming — the fastest FUSED configuration
+    measured on v5e (0.089 vs 0.109 exact at the flagship), and the
+    fastest engine outright past XLA's residency cliff (~200 MB
+    naive stream) — at the price of the strided policy's
+    slightly-lagged steps. Unweighted ``step_stride=1``
+    without ``step_adapt`` normalizes to the exact engine (current
+    steps beat stride-1-lagged ones at identical cost).
+
     ``store_dtype=jnp.bfloat16`` halves the S/Y (weighted: also W) HBM
     **footprint** (compute stays f32) — for problems near the 16GB HBM
     capacity. Measured on v5e the unweighted variant does not beat f32
@@ -971,10 +1164,11 @@ def nmf_pgm_fused(
     previous ``nmf_pgm_fused`` call's ``.state`` (same weighting /
     stride / ``store_dtype`` configuration) together with its final
     iterates, and the continuation walks the uninterrupted trajectory
-    bit-exactly — the kernel's own S Sᵀ Gram (unweighted) or the
-    frozen Lipschitz steps + warm power iterate + refresh schedule
-    (weighted) carry through, and a solve that already stopped
-    (converged/diverged) stays stopped. This matters most for the
+    bit-exactly — the kernel's own S Sᵀ Gram (unweighted exact), the
+    frozen steps + carried Gram + refresh schedule (unweighted
+    strided) or the frozen Lipschitz steps + warm power iterate +
+    refresh schedule (weighted) carry through, and a solve that
+    already stopped (converged/diverged) stays stopped. This matters most for the
     weighted ``store_dtype`` capacity solves, which no other engine
     can run. ``max_iter`` counts the additional iterations.
 
@@ -1000,8 +1194,15 @@ def nmf_pgm_fused(
     C, K = A.shape
     N = S.shape[1]
     weighted = W is not None and not _is_unweighted(W)
+    # unweighted stride=1 without adapt IS the exact engine (its
+    # per-iteration kernel-Gram steps are current, not lagged — strictly
+    # better than stride-1-lagged with a safety shrink), so it
+    # normalizes to the plain configuration
+    strided_u = ((step_stride is not None and int(step_stride) > 1)
+                 or bool(step_adapt))
     stride_cfg = ((0 if step_stride is None else int(step_stride),
-                   bool(step_adapt)) if weighted else (0, False))
+                   bool(step_adapt)) if (weighted or strided_u)
+                  else (0, False))
     # a full-width store_dtype IS the default layout: normalize it away
     # so f32 ≡ None everywhere (matching nmf()'s auto-routing rule — a
     # state produced through that normalization must resume with the
@@ -1072,13 +1273,21 @@ def nmf_pgm_fused(
         )
         extra_state = {"steps": (sA_f, sS_f, v_f, stride_f, nxt_f)}
         iterations = int(it) - it0
+    elif strided_u:
+        run = _make_fused_strided_pgm_runner(
+            prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
+            step_stride, adapt=bool(step_adapt),
+            store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
+        )
+        (A_f, S_f, it, conv_A, conv_S, loss,
+         sA_f, sS_f, SSt_f, stride_f, nxt_f) = run(
+            A, S, Y, max_iter, it0=it0,
+            conv_A0=bool(conv0[0]), conv_S0=bool(conv0[1]), div0=div0,
+            loss0=loss0, steps0=steps0,
+        )
+        extra_state = {"steps": (sA_f, sS_f, SSt_f, stride_f, nxt_f)}
+        iterations = int(it) - it0
     else:
-        if step_adapt:
-            raise ValueError(
-                "step_adapt applies to the weighted Lipschitz refresh "
-                "only (the unweighted kernel's K x K eigensolves are "
-                "exact and cheap every iteration)"
-            )
         run = _make_fused_pgm_runner(
             prox_A, prox_S, float(e_rel), int(tile_n), C, K, N, A.dtype,
             store_dtype=jnp.dtype(store_dtype) if store_dtype else None,
@@ -1830,9 +2039,9 @@ def nmf(
             # weighted fused runner competitive (per-iteration exact
             # refreshes dominate either engine); a reduced store_dtype
             # is a capacity request only the fused kernels can honor
-            weighted_strided = weighted and (
-                (step_stride is not None and step_stride > 1)
-                or step_adapt)
+            strided = ((step_stride is not None and step_stride > 1)
+                       or step_adapt)
+            weighted_strided = weighted and strided
             weighted_store = weighted and "store_dtype" in algorithm_args
             pallas_ok = (
                 algorithm is algorithms.pgm and step is None
@@ -1840,9 +2049,7 @@ def nmf(
                 and set(algorithm_args) <= {"tile_n", "store_dtype"}
                 and _fused_prox_safe(prox_A, "A")
                 and _fused_prox_safe(prox_S, "S")
-                and (weighted_store or weighted_strided
-                     or (not weighted and step_stride is None
-                         and not step_adapt))
+                and (weighted_store or weighted_strided or not weighted)
             )
             if pallas_only and not pallas_ok:
                 raise ValueError(
@@ -1851,24 +2058,25 @@ def nmf(
                     "kernels (pgm needs default steps, no callback, "
                     "and library proxs the kernel can apply per pixel "
                     "tile — custom-but-tile-local proxs can force the "
-                    "engine with engine='pallas'; unweighted pgm also "
-                    "takes no step_stride; adaprox needs the adam "
-                    "scheme and separable proxs)"
+                    "engine with engine='pallas'; adaprox needs the "
+                    "adam scheme and separable proxs)"
                 )
             # measured crossovers on v5e (r4 sweeps,
             # benchmarks/engine_scaling.py / docs/BENCHMARKS.md):
             # the fused kernel wins wide-channel problems (C >= 64)
             # and — weighted or not — any shape once the XLA loop's
-            # working set falls off VMEM residency
-            # (_unweighted_fused_wins / _weighted_fused_wins);
-            # explicit pallas-only kwargs force pallas
+            # working set falls off VMEM residency; unweighted
+            # striding speeds BOTH engines up (the cliff stays put)
+            # (_unweighted_fused_wins / _weighted_fused_wins /
+            # _unweighted_strided_fused_wins); explicit pallas-only
+            # kwargs force pallas
             if pallas_ok and pallas_only:
                 engine = "pallas"
             elif pallas_ok and not weighted:
                 C_, N_ = np.shape(Y)
-                engine = ("pallas"
-                          if _unweighted_fused_wins(C_, np.shape(A)[1],
-                                                    N_)
+                wins = (_unweighted_strided_fused_wins if strided
+                        else _unweighted_fused_wins)
+                engine = ("pallas" if wins(C_, np.shape(A)[1], N_)
                           else "xla")
             elif pallas_ok and weighted_strided:
                 C_, N_ = np.shape(Y)
@@ -1955,13 +2163,6 @@ def nmf(
         W_k = None
         if not _is_unweighted(W):
             W_k = _promote_W(W, Y)
-        if step_adapt and W_k is None:
-            raise ValueError(
-                "step_adapt applies to the weighted Lipschitz refresh; "
-                "the unweighted pallas engine computes exact steps every "
-                "iteration (tiny K x K eigensolves) so there is nothing "
-                "to amortize"
-            )
         fused_pgm_kw = {k: v for k, v in algorithm_args.items()
                         if k in ("tile_n", "store_dtype", "state")}
         if set(algorithm_args) - set(fused_pgm_kw):

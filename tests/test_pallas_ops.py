@@ -1064,6 +1064,73 @@ def test_weighted_auto_routes_fused_by_measured_region(rng, monkeypatch):
     assert calls == [False, True]
 
 
+def test_fused_unweighted_strided_matches_xla_strided(rng):
+    """Unweighted strided fused runner (frozen-step segments, refreshes
+    from the kernel-carried Gram) matches the XLA ``StridedStepper``
+    path iterate-for-iterate over a short horizon — same refresh
+    schedule, same 0.9 safety shrink, steps equal modulo contraction
+    order."""
+    C, K, N = 5, 3, 300
+    Y = (rng.random((C, K)) @ rng.random((K, N))
+         + 0.01 * rng.standard_normal((C, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    for policy in (dict(step_stride=3), dict(step_adapt=True)):
+        r_xla = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0),
+                           jnp.asarray(S0), e_rel=0, max_iter=8,
+                           engine="xla", **policy)
+        r_pal = pt.nmf.nmf(jnp.asarray(Y), jnp.asarray(A0),
+                           jnp.asarray(S0), e_rel=0, max_iter=8,
+                           engine="pallas", **policy)
+        np.testing.assert_allclose(np.asarray(r_pal.x[0]),
+                                   np.asarray(r_xla.x[0]), rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r_pal.x[1]),
+                                   np.asarray(r_xla.x[1]), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_unweighted_auto_routes_strided_by_measured_region(rng,
+                                                           monkeypatch):
+    """engine='auto' wiring for UNWEIGHTED strided/adaptive pgm: routes
+    by _unweighted_strided_fused_wins (a lower crossover than the exact
+    engines' rule — the frozen-step inner loop drops the fused path's
+    in-loop eigensolves), stays on xla below the region."""
+    from proxmin_tpu import nmf as nmf_mod
+
+    C, K, N = 4, 3, 256
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+
+    calls = []
+    orig = nmf_mod.nmf_pgm_fused
+    monkeypatch.setattr(
+        nmf_mod, "nmf_pgm_fused",
+        lambda *a, **k: (calls.append(k.get("step_adapt")),
+                         orig(*a, **k))[1])
+
+    kw = dict(e_rel=0, max_iter=5, engine="auto")
+    # tiny problem: below the measured region -> xla, fused not called
+    for policy in (dict(step_stride=3), dict(step_adapt=True)):
+        r = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, **policy)
+        assert np.isfinite(np.asarray(r.x[1])).all()
+    assert calls == []
+
+    monkeypatch.setattr(nmf_mod, "_unweighted_strided_fused_wins",
+                        lambda *a: True)
+    r_str = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, step_stride=3)
+    r_ad = pt.nmf.nmf(Y, A0.copy(), S0.copy(), **kw, step_adapt=True)
+    assert calls == [False, True]
+    r_xla = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=5,
+                       engine="xla", step_stride=3)
+    np.testing.assert_allclose(np.asarray(r_str.x[1]),
+                               np.asarray(r_xla.x[1]), rtol=2e-4,
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(r_ad.x[1])).all()
+
+
 def test_auto_prox_guard_blocks_pixel_coupled_prox(rng, monkeypatch):
     """Correctness hole closed (r4 late): a pixel-coupled prox_S (e.g.
     prox_unity(axis=1)) must keep engine='auto' off the fused kernel —

@@ -554,14 +554,18 @@ def test_nmf_adaprox_fused_cross_engine_state(rng):
 
 
 @pytest.mark.parametrize("cfg", ["unweighted", "unweighted_bf16s",
+                                 "unweighted_stride", "unweighted_adapt",
+                                 "unweighted_stride_bf16s",
                                  "weighted_stride", "weighted_adapt",
                                  "weighted_stride_bf16s"])
 def test_nmf_pgm_fused_midsolve_resume_bit_exact(cfg):
     """The fused PGM engine's state= resume: the kernel's S Sᵀ Gram
-    (unweighted) or the frozen Lipschitz steps + warm power iterate +
-    refresh schedule (weighted) carry, so a killed solve continues the
-    uninterrupted trajectory bit-exactly — including the weighted
-    bf16-store capacity configurations no other engine can run."""
+    (unweighted exact), the frozen steps + carried Gram + refresh
+    schedule (unweighted strided) or the frozen Lipschitz steps + warm
+    power iterate + refresh schedule (weighted) carry, so a killed
+    solve continues the uninterrupted trajectory bit-exactly —
+    including the bf16-store capacity configurations no other engine
+    can run."""
     from proxmin_tpu.nmf import nmf_pgm_fused
 
     rng = np.random.default_rng(13005)
@@ -574,10 +578,10 @@ def test_nmf_pgm_fused_midsolve_resume_bit_exact(cfg):
     kw = dict(e_rel=1e-3, tile_n=128)
     if cfg.startswith("weighted"):
         kw["W"] = (rng.random((C, N)) + 0.5).astype(np.float32)
-        if "stride" in cfg:
-            kw["step_stride"] = 4
-        if "adapt" in cfg:
-            kw["step_adapt"] = True
+    if "stride" in cfg:
+        kw["step_stride"] = 4
+    if "adapt" in cfg:
+        kw["step_adapt"] = True
     if "bf16s" in cfg:
         kw["store_dtype"] = jnp.bfloat16
     total, k = 30, 11  # k NOT on the stride boundary
