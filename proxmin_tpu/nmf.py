@@ -323,14 +323,16 @@ def _unweighted_strided_fused_wins(C, K, N):
     (segmented frozen-step inner loop, kernel-Gram refreshes) vs the
     XLA driver under the same ``StridedStepper`` policy — the SAME
     region as the exact engines' (:func:`_unweighted_fused_wins`),
-    kept separate because it was measured separately: striding speeds
-    the XLA driver up as much as the kernel (it drops a whole
-    per-iteration ``S S^T`` read + eigensolve, the kernel drops only
-    its in-loop eigensolves), so the residency cliff does not move
-    (r4 adapt sweep: xla wins 0.056 vs 0.089 at 76 MB and 0.30 vs 0.45
-    at 152 MB; pallas wins 0.37 vs 0.64 at 256 MB and 1.01 vs 1.30 at
-    304 MB)."""
-    return C >= 64 or 4 * (C + 2 * K) * N >= 200e6
+    kept as a separate NAME because it was measured separately:
+    striding speeds the XLA driver up as much as the kernel (it drops
+    a whole per-iteration ``S S^T`` read + eigensolve, the kernel
+    drops only its in-loop eigensolves), so the residency cliff does
+    not move (r4 adapt sweep: xla wins 0.056 vs 0.089 at 76 MB and
+    0.30 vs 0.45 at 152 MB; pallas wins 0.37 vs 0.64 at 256 MB and
+    1.01 vs 1.30 at 304 MB). Delegates so the cliff has ONE source of
+    truth; if a future sweep finds the strided crossover genuinely
+    moved, replace the delegation with the new measured region."""
+    return _unweighted_fused_wins(C, K, N)
 
 
 def step_pgm(*X, it=None, W=1):

@@ -1094,9 +1094,10 @@ def test_fused_unweighted_strided_matches_xla_strided(rng):
 def test_unweighted_auto_routes_strided_by_measured_region(rng,
                                                            monkeypatch):
     """engine='auto' wiring for UNWEIGHTED strided/adaptive pgm: routes
-    by _unweighted_strided_fused_wins (a lower crossover than the exact
-    engines' rule — the frozen-step inner loop drops the fused path's
-    in-loop eigensolves), stays on xla below the region."""
+    by _unweighted_strided_fused_wins (the SAME region as the exact
+    engines' rule, measured separately — striding speeds both engines
+    up equally, so the residency cliff does not move), stays on xla
+    below the region."""
     from proxmin_tpu import nmf as nmf_mod
 
     C, K, N = 4, 3, 256
