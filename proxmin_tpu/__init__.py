@@ -47,6 +47,7 @@ from . import special  # noqa: F401
 from . import checkpoint  # noqa: F401
 from . import export  # noqa: F401
 from . import functional  # noqa: F401
+from .utils import set_matmul_precision  # noqa: F401
 
 __version__ = "0.1.0"
 

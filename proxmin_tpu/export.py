@@ -24,6 +24,8 @@ on TPU). For multi-shape serving, export one artifact per shape bucket.
 """
 
 import jax
+
+from .utils import with_matmul_precision
 import jax.numpy as jnp
 from jax import export as jax_export
 
@@ -50,6 +52,7 @@ def _block_shapes(x_shapes):
     return tuple(tuple(int(d) for d in s) for s in x_shapes)
 
 
+@with_matmul_precision
 def export_pgm_solver(x_shapes, grad, step, prox=None, accelerated=False,
                       restart=False, backtracking=False, f=None,
                       e_rel=1e-6, max_iter=1000, dtype=jnp.float32):
@@ -82,6 +85,7 @@ def export_pgm_solver(x_shapes, grad, step, prox=None, accelerated=False,
     return jax_export.export(jax.jit(run))(*args).serialize()
 
 
+@with_matmul_precision
 def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
                           b1=0.9, b2=0.999, eps=1e-8, p=0.25,
                           check_convergence=True, e_rel=1e-6, max_iter=1000,
@@ -126,6 +130,7 @@ def export_adaprox_solver(x_shapes, grad, step, prox=None, scheme="adam",
     return jax_export.export(jax.jit(run))(*args).serialize()
 
 
+@with_matmul_precision
 def export_admm_solver(x_shape, prox_f, step_f, prox_g=None, step_g=None,
                        L=None, e_rel=1e-6, e_abs=0, max_iter=1000,
                        dtype=jnp.float32):
@@ -157,6 +162,7 @@ def export_admm_solver(x_shape, prox_f, step_f, prox_g=None, step_g=None,
     return jax_export.export(jax.jit(run))(arg).serialize()
 
 
+@with_matmul_precision
 def export_sdmm_solver(x_shape, prox_f, step_f, proxs_g, steps_g=None,
                        Ls=None, e_rel=1e-6, e_abs=0, max_iter=1000,
                        dtype=jnp.float32):
@@ -186,6 +192,7 @@ def export_sdmm_solver(x_shape, prox_f, step_f, proxs_g, steps_g=None,
     return jax_export.export(jax.jit(run))(arg).serialize()
 
 
+@with_matmul_precision
 def export_bsdmm_solver(x_shapes, proxs_f, steps_f_cb, proxs_g=None,
                         steps_g=None, Ls=None, update_order=None,
                         steps_g_update="steps_f", e_rel=1e-6, e_abs=0,
@@ -215,6 +222,7 @@ def export_bsdmm_solver(x_shapes, proxs_f, steps_f_cb, proxs_g=None,
     return jax_export.export(jax.jit(run))(*args).serialize()
 
 
+@with_matmul_precision
 def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
                       prox_S=operators.prox_plus,
                       e_rel=1e-3, tile_n=8192, dtype=jnp.float32,
@@ -333,6 +341,7 @@ def export_nmf_solver(C, K, N, prox_A=operators.prox_plus,
     return jax_export.export(jax.jit(run))(*args).serialize()
 
 
+@with_matmul_precision
 def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
                               prox_S=operators.prox_plus,
                               e_rel=1e-3, tile_n=8192,
@@ -458,6 +467,7 @@ def export_nmf_adaprox_solver(C, K, N, prox_A=operators.prox_plus,
     return jax_export.export(jax.jit(run))(*args).serialize()
 
 
+@with_matmul_precision
 def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
                            prox_S=operators.prox_plus, e_rel=1e-3,
                            weighted=False, step_stride=None,
@@ -569,6 +579,7 @@ def export_nmf_pgm_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
     return jax_export.export(jax.jit(run), **kwargs)(*args).serialize()
 
 
+@with_matmul_precision
 def export_nmf_adaprox_sharded(mesh, C, K, N, prox_A=operators.prox_plus,
                                prox_S=operators.prox_plus, scheme="adam",
                                b1=0.9, b2=0.999, eps=1e-8, p=0.25,

@@ -30,6 +30,8 @@ differentiable program (hyperparameter gradients, bilevel problems).
 import jax
 import jax.numpy as jnp
 
+from .utils import with_matmul_precision
+
 from . import utils
 from .utils import make_stepper
 
@@ -72,7 +74,7 @@ def make_pgm_solver(grad, step, prox=None, accelerated=False,
         x = st.x[0] if n == 1 else st.x
         return x, st.it, st.converged, st.diverged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
@@ -125,7 +127,7 @@ def make_adaprox_solver(grad, step, prox=None, scheme="adam", b1=0.9,
         x = st.x[0] if n == 1 else st.x
         return x, st.M, st.V, st.Vhat, st.it, st.converged, st.diverged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
@@ -165,7 +167,7 @@ def make_admm_solver(prox_f, step_f, prox_g=None, step_g=None, L=None,
         st = runner(x0)
         return st.x, st.it, st.converged, st.errors
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None, Ls=None,
@@ -198,7 +200,7 @@ def make_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None, Ls=None,
         st = runner(x0)
         return st.x, st.it, st.converged, st.errors
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_bsdmm_solver(proxs_f, steps_f_cb, proxs_g=None, steps_g=None,
@@ -238,7 +240,7 @@ def make_bsdmm_solver(proxs_f, steps_f_cb, proxs_g=None, steps_g=None,
         st = loop(prog.init_state(x_blocks, init_zu=init_zu))
         return st.x, st.it, st.converged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_differentiable_pgm_solver(grad, step, prox=None, e_rel=1e-9,
@@ -382,7 +384,7 @@ def _implicit_fixed_point_solver(T, e_rel, max_iter, vjp_iters, vjp_rtol,
         return (tree.tree_map(jnp.zeros_like, x),) + tuple(outs[1:])
 
     solve.defvjp(fwd, bwd)
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_differentiable_adaprox_solver(grad, step, prox=None, b1=0.9,
@@ -534,7 +536,7 @@ def make_differentiable_admm_solver(prox_f, step_f, prox_g, step_g=None,
         w, converged = inner((x0, z0, u0), *theta)
         return w[0], converged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_differentiable_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None,
@@ -598,7 +600,7 @@ def make_differentiable_sdmm_solver(prox_f, step_f, proxs_g, steps_g=None,
         w, converged = inner((x0, tuple(z0), tuple(u0)), *theta)
         return w[0], converged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_differentiable_bsdmm_solver(proxs_f, steps_f, proxs_g=None,
@@ -715,7 +717,7 @@ def make_differentiable_bsdmm_solver(proxs_f, steps_f, proxs_g=None,
         w, converged = inner((tuple(x0), tuple(z0), tuple(u0)), *theta)
         return w[0], converged
 
-    return solve
+    return with_matmul_precision(solve)
 
 
 def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
@@ -822,4 +824,5 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
         )
         return A, S, it, conv
 
-    return solve_weighted if weighted else solve_unweighted
+    return with_matmul_precision(
+        solve_weighted if weighted else solve_unweighted)

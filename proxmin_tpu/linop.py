@@ -18,6 +18,8 @@ matches the reference exactly.
 """
 
 import jax
+
+from .precision import with_matmul_precision
 import jax.numpy as jnp
 import numpy as np
 
@@ -454,6 +456,7 @@ def MatrixAdapter(L, axis=None):
     return as_linear_operator(L, axis=axis)
 
 
+@with_matmul_precision
 def get_spectral_norm(L):
     """Reference-compatible: ``lambda_max(L^T L)`` for ``None``/matrix/operator
     (``/root/reference/proxmin/utils.py:14-35``)."""

@@ -1103,6 +1103,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
     return run
 
 
+@utils.with_matmul_precision
 def nmf_pgm_fused(
     Y,
     A,
@@ -1505,6 +1506,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
     return run
 
 
+@utils.with_matmul_precision
 def nmf_adaprox_fused(
     Y,
     A,
@@ -1713,6 +1715,7 @@ def nmf_adaprox_fused(
     )
 
 
+@utils.with_matmul_precision
 def nmf(
     Y,
     A,

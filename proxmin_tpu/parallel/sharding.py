@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .. import operators
+from ..utils import with_matmul_precision
 from ..solvers.common import SolverResult
 
 logger = logging.getLogger("proxmin")
@@ -587,6 +588,7 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
     return jax.jit(smapped)
 
 
+@with_matmul_precision
 def nmf_pgm_sharded(
     Y, A, S, W=None, mesh=None,
     prox_A=operators.prox_plus, prox_S=operators.prox_plus,

@@ -363,6 +363,7 @@ def _make_adaprox_body(grad, stepper, prox, has_prox, phi_psi, b1, b2, eps,
     return body
 
 
+@utils.with_matmul_precision
 def adaprox(
     X,
     grad,

@@ -444,6 +444,7 @@ def _sdmm_core(
     return state
 
 
+@utils.with_matmul_precision
 def admm(
     X,
     prox_f,
@@ -536,6 +537,7 @@ def admm(
     )
 
 
+@utils.with_matmul_precision
 def sdmm(
     X,
     prox_f,

@@ -467,6 +467,7 @@ def _build_bsdmm(n_blocks, dtype, proxs_f, steps_f_cb, proxs_g=None,
     )
 
 
+@utils.with_matmul_precision
 def bsdmm(
     X,
     proxs_f,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .. import utils
 from ..utils import (make_stepper, nesterov_next, fixed_point_norms,
-                     fixed_point_verdict)
+                     fixed_point_verdict, with_matmul_precision)
 from .common import (
     DriverCache,
     SolverResult,
@@ -445,6 +445,7 @@ def _run_segmented(state, grad, stepper, prox, e_rel, accelerated,
     return jax.lax.while_loop(go, outer_body, state)
 
 
+@with_matmul_precision
 def pgm(
     X,
     grad,

@@ -46,7 +46,20 @@ __all__ = [
     "get_step_g", "get_step_f",
     "get_variable_errors", "check_constraint_convergence", "check_convergence",
     "fixed_point_converged",
+    "set_matmul_precision", "matmul_precision_scope",
+    "with_matmul_precision",
 ]
+
+
+# ---------------------------------------------------------------------------
+# matmul precision policy (see precision.py for the rationale — the
+# policy lives there so linop, which this module imports, can share it)
+
+from .precision import (  # noqa: F401  (re-exported)
+    matmul_precision_scope,
+    set_matmul_precision,
+    with_matmul_precision,
+)
 
 
 # ---------------------------------------------------------------------------
