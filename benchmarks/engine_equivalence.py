@@ -73,6 +73,24 @@ ACCEPTANCE = {
 # --------------------------------------------------------------------------
 # Problem generation (engine-neutral, NumPy host side)
 
+def config_proxs(cfg):
+    """The prox pair for a study configuration. ``unity_A`` is the
+    reference unmixing anchor (``/root/reference/examples/unmixing.py:
+    93-175``): rows of A projected onto the simplex, which breaks the
+    A<->S scale symmetry so random-init problems reach the fixed-point
+    tolerance (measured: 1794 iterations at seed 1000 on CPU f32 AND on
+    TPU under the 'highest' matmul-precision policy — identical to the
+    reference implementation). ``plain`` is non-negativity only
+    (separable, so every adaprox engine is eligible)."""
+    from functools import partial
+
+    from proxmin_tpu import operators as op
+
+    if cfg.get("prox", "unity_A") == "unity_A":
+        return partial(op.prox_unity_plus, axis=1), op.prox_plus
+    return op.prox_plus, op.prox_plus
+
+
 def make_problem(C, K, N, seed, weighted=False, planted=False,
                  noise=0.02, dtype=np.float32):
     """Planted NMF problem. ``planted=True`` initializes near the truth
@@ -122,7 +140,7 @@ TPU_CONFIGS = {
     # init (converges at this size), reference unmixing tolerance.
     "pgm-unw-c64": dict(
         C=64, K=8, N=16384, weighted=False, planted=False,
-        algorithm=None, e_rel=1e-4, max_iter=20000,
+        prox="unity_A", algorithm=None, e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla"),
             "pallas": dict(engine="pallas"),
@@ -132,7 +150,7 @@ TPU_CONFIGS = {
     # threshold (here 205 MB). Planted init (see make_problem).
     "pgm-unw-cliff": dict(
         C=16, K=8, N=1_600_000, weighted=False, planted=True,
-        algorithm=None, e_rel=1e-3, max_iter=6000,
+        prox="unity_A", algorithm=None, e_rel=1e-3, max_iter=6000,
         engines={
             "xla": dict(engine="xla"),
             "pallas": dict(engine="pallas"),
@@ -142,7 +160,7 @@ TPU_CONFIGS = {
     # (BENCH_r04 pallas-adapt 0.1522 vs xla-adapt 0.1547 ms/iter).
     "pgm-w-adapt": dict(
         C=5, K=7, N=1_000_000, weighted=True, planted=True,
-        algorithm=None, e_rel=1e-3, max_iter=6000,
+        prox="unity_A", algorithm=None, e_rel=1e-3, max_iter=6000,
         engines={
             "xla": dict(engine="xla", step_stride=10, step_adapt=True),
             "pallas": dict(engine="pallas", step_stride=10,
@@ -153,7 +171,7 @@ TPU_CONFIGS = {
     # tile_n opt-ins; all four engine x moment-precision corners.
     "adaprox": dict(
         C=16, K=8, N=16384, weighted=False, planted=False,
-        algorithm="adaprox", e_rel=1e-4, max_iter=30000,
+        prox="plain", algorithm="adaprox", e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla", separable_prox="auto"),
             "xla-bf16m": dict(engine="xla", separable_prox="auto",
@@ -170,7 +188,7 @@ TPU_CONFIGS = {
 CPU_CONFIGS = {
     "pgm-unw": dict(
         C=16, K=4, N=512, weighted=False, planted=False,
-        algorithm=None, e_rel=1e-4, max_iter=20000,
+        prox="unity_A", algorithm=None, e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla"),
             "pallas": dict(engine="pallas", tile_n=256),
@@ -178,7 +196,7 @@ CPU_CONFIGS = {
     ),
     "pgm-w-adapt": dict(
         C=16, K=4, N=512, weighted=True, planted=False,
-        algorithm=None, e_rel=1e-4, max_iter=20000,
+        prox="unity_A", algorithm=None, e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla", step_stride=10, step_adapt=True),
             "pallas": dict(engine="pallas", step_stride=10,
@@ -187,7 +205,7 @@ CPU_CONFIGS = {
     ),
     "adaprox": dict(
         C=16, K=4, N=512, weighted=False, planted=False,
-        algorithm="adaprox", e_rel=1e-4, max_iter=30000,
+        prox="plain", algorithm="adaprox", e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla", separable_prox="auto"),
             "pallas-f32": dict(engine="pallas", separable_prox="auto",
@@ -214,10 +232,12 @@ def run_one(cfg, engine_kwargs, problem):
     mdt = kw.pop("moment_dtype", None)
     if mdt is not None:
         kw["moment_dtype"] = jnp.dtype(mdt)
+    prox_A, prox_S = config_proxs(cfg)
     t0 = time.perf_counter()
     res = pt.nmf.nmf(
         jnp.asarray(Y), jnp.asarray(A0), jnp.asarray(S0),
         W=jnp.asarray(W) if W is not None else 1,
+        prox_A=prox_A, prox_S=prox_S,
         algorithm=cfg["algorithm"], e_rel=cfg["e_rel"],
         max_iter=cfg["max_iter"], **kw,
     )
@@ -351,9 +371,9 @@ def run_study(configs, seeds, log=print):
                 + ("EQUIVALENT" if v["ok"] else "NOT EQUIVALENT")
                 + f" {json.dumps(v['checks'], default=float)[:300]}")
         results["configs"][name] = {
-            "problem": {k: cfg[k] for k in
-                        ("C", "K", "N", "weighted", "planted", "e_rel",
-                         "max_iter", "algorithm")},
+            "problem": {k: cfg.get(k) for k in
+                        ("C", "K", "N", "weighted", "planted", "prox",
+                         "e_rel", "max_iter", "algorithm")},
             "rows": rows,
             "stats": stats,
             "verdicts": {e: v for e, v in verdicts.items()},

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .utils import with_matmul_precision
+from .precision import STREAM_PRECISION, TINY_PRECISION
 
 from . import utils
 from .utils import make_stepper
@@ -764,20 +765,22 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
         v = jnp.ones((k,), G.dtype) + 0.01 * jnp.arange(k, dtype=G.dtype)
 
         def body(_, v):
-            w = G @ v
+            w = jnp.dot(G, v, precision=TINY_PRECISION)
             return w * jax.lax.rsqrt(jnp.maximum(jnp.sum(w * w),
                                                  jnp.finfo(G.dtype).tiny))
 
         v = jax.lax.fori_loop(0, iters, body, v)
-        return (v @ G @ v) / jnp.maximum(jnp.sum(v * v),
+        return (v @ jnp.dot(G, v, precision=TINY_PRECISION)) / jnp.maximum(jnp.sum(v * v),
                                          jnp.finfo(G.dtype).tiny)
 
     def solve_unweighted(A0, S0, Y):
         def body(c):
             A, S, it, _ = c
             gA, gS = grad_likelihood(A, S, Y=Y)
-            sA = 1.0 / lam_max(S @ S.T)
-            sS = 1.0 / lam_max(A.T @ A)
+            sA = 1.0 / lam_max(jnp.dot(S, S.T,
+                                       precision=STREAM_PRECISION))
+            sS = 1.0 / lam_max(jnp.dot(A.T, A,
+                                       precision=TINY_PRECISION))
             A_new = pA(A - sA * gA, sA)
             S_new = pS(S - sS * gS, sS)
             conv = jnp.logical_and(
@@ -798,7 +801,8 @@ def make_nmf_solver(prox_A=None, prox_S=None, e_rel=1e-3, max_iter=1000,
         def body(c):
             A, S, v, it, _ = c
             gA, gS = grad_likelihood(A, S, Y=Y, W=W)
-            H = jnp.einsum("kn,cn,ln->ckl", S, W, S)
+            H = jnp.einsum("kn,cn,ln->ckl", S, W, S,
+                           precision=STREAM_PRECISION)
             LA = _lam_max_psd_batch(H, cold_iters)
             LS, v = _weighted_lipschitz_S(
                 A, W, jnp.where(it == 0, cold_iters, warm_iters),

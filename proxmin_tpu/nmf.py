@@ -37,6 +37,12 @@ import jax
 import jax.numpy as jnp
 
 from . import algorithms, operators, utils
+from .precision import (
+    KERNEL_RESIDUAL_PRECISION,
+    RESIDUAL_PRECISION,
+    STREAM_PRECISION,
+    TINY_PRECISION,
+)
 from .solvers.common import asarray_cached
 
 import logging
@@ -61,7 +67,8 @@ def log_likelihood(*X, Y=0, W=1):
     """Gaussian NMF log-likelihood ``sum(W * (Y - A S)^2) / 2``
     (reference ``nmf.py:13-25``)."""
     A, S = X
-    R = Y - jnp.dot(A, S, preferred_element_type=jnp.result_type(A, S))
+    R = Y - jnp.dot(A, S, preferred_element_type=jnp.result_type(A, S),
+                    precision=RESIDUAL_PRECISION)
     return jnp.sum(W * R ** 2) / 2
 
 
@@ -71,10 +78,17 @@ def grad_likelihood(*X, Y=0, W=1):
     (reference ``nmf.py:28-41``)."""
     A, S = X
     dt = jnp.result_type(A, S)
-    D = W * (jnp.dot(A, S, preferred_element_type=dt) - Y)
+    # precision split (see precision.py): the K-axis product A S is
+    # absolute-error-critical (its bf16-pass noise floor stalls the
+    # fixed-point test on TPU); the pixel-axis contractions are
+    # relative-error ops and stay on the fast single-pass MXU path
+    D = W * (jnp.dot(A, S, preferred_element_type=dt,
+                     precision=RESIDUAL_PRECISION) - Y)
     return (
-        jnp.dot(D, S.T, preferred_element_type=dt),
-        jnp.dot(A.T, D, preferred_element_type=dt),
+        jnp.dot(D, S.T, preferred_element_type=dt,
+                precision=STREAM_PRECISION),
+        jnp.dot(A.T, D, preferred_element_type=dt,
+                precision=STREAM_PRECISION),
     )
 
 
@@ -85,12 +99,12 @@ def _lambda_max(G):
 
 def step_A(A, S):
     """``1 / ||S^T||_s^2 = 1 / lambda_max(S S^T)`` (reference ``nmf.py:44-45``)."""
-    return 1.0 / _lambda_max(S @ S.T)
+    return 1.0 / _lambda_max(jnp.dot(S, S.T, precision=STREAM_PRECISION))
 
 
 def step_S(A, S):
     """``1 / ||A||_s^2 = 1 / lambda_max(A^T A)`` (reference ``nmf.py:48-49``)."""
-    return 1.0 / _lambda_max(A.T @ A)
+    return 1.0 / _lambda_max(jnp.dot(A.T, A, precision=TINY_PRECISION))
 
 
 def _lam_max_psd_batch(H, iters):
@@ -104,13 +118,13 @@ def _lam_max_psd_batch(H, iters):
     u = jnp.ones((c, k), H.dtype) + 0.01 * jnp.arange(k, dtype=H.dtype)
 
     def body(_, u):
-        w = jnp.einsum("ckl,cl->ck", H, u)
+        w = jnp.einsum("ckl,cl->ck", H, u, precision=TINY_PRECISION)
         ssq = jnp.sum(w * w, axis=1, keepdims=True)
         return w * jax.lax.rsqrt(jnp.maximum(ssq,
                                              jnp.finfo(H.dtype).tiny))
 
     u = jax.lax.fori_loop(0, iters, body, u)
-    hu = jnp.einsum("ckl,cl->ck", H, u)
+    hu = jnp.einsum("ckl,cl->ck", H, u, precision=TINY_PRECISION)
     ray = jnp.sum(u * hu, axis=1) / jnp.maximum(
         jnp.sum(u * u, axis=1), jnp.finfo(H.dtype).tiny)
     return jnp.max(ray)
@@ -133,16 +147,18 @@ def _weighted_lipschitz_A(S, W):
     K = S.shape[0]
     dtype = jnp.result_type(S, W)
     if C * K * K <= (1 << 20):
-        H = jnp.einsum("kn,cn,ln->ckl", S, W, S)
+        H = jnp.einsum("kn,cn,ln->ckl", S, W, S,
+                       precision=STREAM_PRECISION)
         return jnp.max(jnp.linalg.eigvalsh(H)[:, -1])
 
     v0 = jnp.ones((C, K), dtype) + 0.01 * jnp.arange(K, dtype=dtype)
     v0 = v0 / jnp.linalg.norm(v0, axis=1, keepdims=True)
 
     def Hv(v):
-        t = jnp.einsum("ck,kn->cn", v, S)
+        t = jnp.einsum("ck,kn->cn", v, S, precision=STREAM_PRECISION)
         u = W * t
-        return jnp.einsum("cn,kn->ck", u, S)
+        return jnp.einsum("cn,kn->ck", u, S,
+                          precision=STREAM_PRECISION)
 
     return jnp.max(utils.batched_lanczos_max(Hv, v0, min(K, 32) + 2))
 
@@ -187,9 +203,11 @@ def _weighted_lipschitz_S(A, W, num_iters=48, v0=None, return_v=False):
     tiny = jnp.finfo(dtype).tiny
 
     def Hv(v):
-        t = jnp.einsum("nk,ck->cn", v, A)           # A v   per pixel
+        t = jnp.einsum("nk,ck->cn", v, A,
+                       precision=STREAM_PRECISION)  # A v per pixel
         u = W * t                                    # diag(W_n) .
-        return jnp.einsum("cn,ck->nk", u, A)         # A^T .
+        return jnp.einsum("cn,ck->nk", u, A,
+                          precision=STREAM_PRECISION)  # A^T .
 
     def normalize(w):
         # rsqrt of the row sum-of-squares fuses into the producing pass
@@ -333,6 +351,56 @@ def _unweighted_strided_fused_wins(C, K, N):
     truth; if a future sweep finds the strided crossover genuinely
     moved, replace the delegation with the new measured region."""
     return _unweighted_fused_wins(C, K, N)
+
+
+def _calibrated_engine(Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
+                       step_adapt, algorithm_args, C, K, N, weighted,
+                       strided, static):
+    """Resolve the xla-vs-pallas routing decision for one auto-routed
+    PGM solve: the static tables far from the measured cliffs, a
+    one-shot runtime probe (cached per device kind + shape + policy)
+    inside the gray zone where session variance could flip the decision
+    — see :mod:`proxmin_tpu.calibrate` (VERDICT r4 #2)."""
+    from . import calibrate
+
+    if not calibrate.in_gray_zone(C, K, N, weighted, strided):
+        return static
+    key = (calibrate.device_kind(), C, K, N, weighted,
+           int(step_stride) if step_stride else 0, bool(step_adapt),
+           str(np.asarray(A).dtype))
+
+    # device copies: a probe must never write back into caller arrays
+    # (nmf's in-place contract applies to NumPy inputs only), and the
+    # content-keyed conversion means the real solve reuses these exact
+    # device buffers (zero extra transfers)
+    Yp = asarray_cached(Y)
+    Wp = 1 if _is_unweighted(W) else asarray_cached(_promote_W(W, Yp))
+    Ap = jnp.asarray(A)
+    Sp = jnp.asarray(S)
+    probe_kw = dict(algorithm_args)
+    probe_kw.pop("state", None)  # never leak a resume state into probes
+
+    def make_probe(eng):
+        def probe(n):
+            res = nmf(Yp, Ap, Sp, W=Wp, prox_A=prox_A, prox_S=prox_S,
+                      e_rel=0, max_iter=n, engine=eng,
+                      step_stride=step_stride, step_adapt=step_adapt,
+                      **probe_kw)
+            np.asarray(res.x[0])  # force completion
+        return probe
+
+    # fixed-iteration probes "fail to converge" by design — keep the
+    # real solve's logs clean
+    prev_level = logger.level
+    logger.setLevel(max(prev_level, logging.ERROR))
+    try:
+        return calibrate.measured_choice(
+            key,
+            {"xla": make_probe("xla"), "pallas": make_probe("pallas")},
+            static,
+        )
+    finally:
+        logger.setLevel(prev_level)
 
 
 def step_pgm(*X, it=None, W=1):
@@ -697,7 +765,8 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             # exact top eigenvalues of the tiny K×K Grams (padded zero
             # rows/cols only add zero eigenvalues; lambda_max unchanged)
             sA = 1.0 / jnp.linalg.eigvalsh(SSt)[-1]
-            sS = 1.0 / jnp.linalg.eigvalsh(A.T @ A)[-1]
+            sS = 1.0 / jnp.linalg.eigvalsh(
+                jnp.dot(A.T, A, precision=TINY_PRECISION))[-1]
             gA, S_new, SSt_new, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
                 A, S, Y_p, sS, prox_S=prox_S, tile_n=tile, dims=dims
             )
@@ -724,7 +793,7 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                 jnp.logical_not(jnp.logical_or(done, bad)))
 
         if SSt0 is None:
-            SSt_in = jnp.dot(S_p, S_p.T,
+            SSt_in = jnp.dot(S_p, S_p.T, precision=STREAM_PRECISION,
                              preferred_element_type=jnp.float32)
         else:
             # padded S rows are zero, so the padded Gram is the (K, K)
@@ -810,7 +879,8 @@ def _make_fused_strided_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             # of the true blocks is unchanged
             sA = 1.0 / jnp.linalg.eigvalsh(SSt)[-1]
             sS = 1.0 / jnp.linalg.eigvalsh(
-                jnp.dot(A.T, A, preferred_element_type=jnp.float32))[-1]
+                jnp.dot(A.T, A, preferred_element_type=jnp.float32,
+                        precision=TINY_PRECISION))[-1]
             return (jnp.asarray(sA, jnp.float32),
                     jnp.asarray(sS, jnp.float32))
 
@@ -863,7 +933,8 @@ def _make_fused_strided_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         else:
             z = jnp.zeros((), jnp.float32)
             SSt_in = jnp.dot(S_p.astype(jnp.float32), S_p.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=STREAM_PRECISION)
             sA_in, sS_in = z, z
             stride_in, seg_in = jnp.int32(stride), it0
 
@@ -2077,17 +2148,28 @@ def nmf(
             # kwargs force pallas
             if pallas_ok and pallas_only:
                 engine = "pallas"
-            elif pallas_ok and not weighted:
+            elif pallas_ok and (not weighted or weighted_strided):
                 C_, N_ = np.shape(Y)
-                wins = (_unweighted_strided_fused_wins if strided
-                        else _unweighted_fused_wins)
-                engine = ("pallas" if wins(C_, np.shape(A)[1], N_)
-                          else "xla")
-            elif pallas_ok and weighted_strided:
-                C_, N_ = np.shape(Y)
-                engine = ("pallas"
-                          if _weighted_fused_wins(C_, np.shape(A)[1], N_)
-                          else "xla")
+                K_ = np.shape(A)[1]
+                if weighted:
+                    static = ("pallas"
+                              if _weighted_fused_wins(C_, K_, N_)
+                              else "xla")
+                else:
+                    wins = (_unweighted_strided_fused_wins if strided
+                            else _unweighted_fused_wins)
+                    static = "pallas" if wins(C_, K_, N_) else "xla"
+                # one-shot runtime calibration inside the gray zone
+                # around the static cliffs (VERDICT r4 #2): both
+                # engines are probed over ~20 marginal iterations
+                # through this same entry (compiled executables are
+                # reused by the real solve) and the winner is cached
+                # per (device kind, shape, weighting, policy)
+                engine = _calibrated_engine(
+                    Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
+                    step_adapt, algorithm_args, C_, K_, N_, weighted,
+                    strided, static,
+                )
             else:
                 engine = "xla"
 

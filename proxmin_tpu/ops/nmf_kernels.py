@@ -21,6 +21,11 @@ no masking is needed (padding correctness argued in the tests).
 
 import functools
 
+from ..precision import (
+    KERNEL_RESIDUAL_PRECISION,
+    STREAM_PRECISION,
+)
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -31,6 +36,59 @@ __all__ = ["fused_nmf_grad", "fused_nmf_pgm_step", "fused_nmf_adaprox_step"]
 _SUBLANE = 8          # float32 sublane tile
 _LANE = 128
 _DEFAULT_TILE_N = 8192
+
+#: In-kernel implementation of the absolute-error-critical K-axis
+#: product ``A @ S`` (see precision.py). Mosaic has no HIGH (bf16x3)
+#: lowering and its HIGHEST (bf16x6) measured +55% on the v5e flagship,
+#: so the kernels compute the product as an explicit K-step FMA on the
+#: VPU: the operands are VMEM-resident per tile, the multiplies are
+#: exact f32 (better than HIGH/HIGHEST: no bf16 splitting at all), and
+#: it measured FASTEST of every converging variant (r5 residual-impl
+#: sweep: fma 0.1123 ms/iter flagship-adapt vs split3 0.1449,
+#: dot-highest 0.1547; dot-default 0.0908 but NON-CONVERGENT —
+#: benchmarks/results_r5.json). "split3" (the manual bf16 hi/lo
+#: 3-dot scheme, = XLA HIGH) remains available for very large C*K
+#: where the VPU loop would bind. bf16-STORED operands multiply
+#: exactly in one pass, so they use the plain dot either way.
+RESIDUAL_IMPL = "fma"  # "fma" | "split3" | "dot-highest" | "dot-default"
+
+
+def _residual_dot(A, S):
+    """``A @ S`` with f32-grade product accuracy inside a kernel.
+
+    ``A``/``S`` may be f32 or bf16 (store_dtype); bf16 inputs multiply
+    exactly on the MXU so the single-pass dot is already exact for
+    them."""
+    f32 = jnp.float32
+    if A.dtype != f32 and S.dtype != f32:
+        return jnp.dot(A, S, preferred_element_type=f32,
+                       precision=STREAM_PRECISION)
+    if RESIDUAL_IMPL == "dot-highest":
+        return jnp.dot(A, S, preferred_element_type=f32,
+                       precision=KERNEL_RESIDUAL_PRECISION)
+    if RESIDUAL_IMPL == "dot-default":
+        return jnp.dot(A, S, preferred_element_type=f32,
+                       precision=STREAM_PRECISION)
+    if RESIDUAL_IMPL == "fma":
+        # explicit K-step FMA on the VPU: exact f32, no MXU passes
+        A32 = A.astype(f32)
+        S32 = S.astype(f32)
+        acc = A32[:, 0:1] * S32[0:1, :]
+        for k in range(1, A.shape[1]):
+            acc = acc + A32[:, k : k + 1] * S32[k : k + 1, :]
+        return acc
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32,
+                       precision=STREAM_PRECISION)
+
+    A32 = A.astype(f32)
+    S32 = S.astype(f32)
+    A_hi = A32.astype(jnp.bfloat16)
+    A_lo = (A32 - A_hi.astype(f32)).astype(jnp.bfloat16)
+    S_hi = S32.astype(jnp.bfloat16)
+    S_lo = (S32 - S_hi.astype(f32)).astype(jnp.bfloat16)
+    return d(A_hi, S_hi) + (d(A_hi, S_lo) + d(A_lo, S_hi))
 
 
 def _pad_to(x, rows=None, cols=None):
@@ -80,7 +138,8 @@ def _kernel(A_ref, S_ref, Y_ref, *refs, weighted):
     S = S_ref[:]                     # (Kp, TN)
     Y = Y_ref[:]                     # (Cp, TN)
 
-    R = jnp.dot(A, S, preferred_element_type=jnp.float32) - Y
+    # K-axis product: absolute-error-critical (see _residual_dot)
+    R = _residual_dot(A, S) - Y
     D = W_ref[:] * R if weighted else R
 
     @pl.when(j == 0)
@@ -89,9 +148,12 @@ def _kernel(A_ref, S_ref, Y_ref, *refs, weighted):
         SSt_ref[:] = jnp.zeros_like(SSt_ref)
         loss_ref[0, 0] = jnp.float32(0.0)
 
-    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
-    gS_ref[:] = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
-    SSt_ref[:] += jnp.dot(S, S.T, preferred_element_type=jnp.float32)
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32,
+                         precision=STREAM_PRECISION)
+    gS_ref[:] = jnp.dot(A.T, D, preferred_element_type=jnp.float32,
+                        precision=STREAM_PRECISION)
+    SSt_ref[:] += jnp.dot(S, S.T, preferred_element_type=jnp.float32,
+                          precision=STREAM_PRECISION)
     # loss = sum(W R^2)/2 = sum(D R)/2 (reduces to sum(R^2)/2 unweighted)
     loss_ref[0, 0] += jnp.sum(D * R) / 2
 
@@ -192,11 +254,11 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
     S = S_raw.astype(jnp.float32)
     Y = Y_ref[:].astype(jnp.float32)
 
-    R = jnp.dot(A.astype(store_dt), S_raw,
-                preferred_element_type=jnp.float32) - Y
+    R = _residual_dot(A.astype(store_dt), S_raw) - Y
     D = W_ref[:].astype(jnp.float32) * R if weighted else R
 
-    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
+    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32,
+                 precision=STREAM_PRECISION)
     S_new = prox_S(S - sS * gS, sS)
 
     if mask_padding:
@@ -225,9 +287,11 @@ def _pgm_step_kernel(dims_ref, sS_ref, A_ref, S_ref, Y_ref, *refs,
     # actually be read back (post-rounding) so the recursion stays
     # self-consistent under bf16 storage
     S_next = S_new_stored.astype(jnp.float32)
-    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32,
+                         precision=STREAM_PRECISION)
     SSt_ref[:] += jnp.dot(S_next, S_next.T,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=STREAM_PRECISION)
     stats_ref[0] += jnp.sum(D * R) / 2
     dS = S_next - S
     stats_ref[1] += jnp.sum(dS * dS)
@@ -383,11 +447,11 @@ def _adaprox_step_kernel(dims_ref, sc_ref, alpha_ref, A_ref, S_ref, M_ref,
     Y = Y_ref[:].astype(jnp.float32)
     alpha = alpha_ref[:]                       # (Kp, 1) per-row step
 
-    R = jnp.dot(A.astype(store_dt), S_raw,
-                preferred_element_type=jnp.float32) - Y
+    R = _residual_dot(A.astype(store_dt), S_raw) - Y
     D = W_ref[:].astype(jnp.float32) * R if weighted else R
 
-    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32)
+    gS = jnp.dot(A.T, D, preferred_element_type=jnp.float32,
+                 precision=STREAM_PRECISION)
     M1 = (1.0 - b1_t) * gS + b1_t * M_ref[:].astype(jnp.float32)
     V1 = (1.0 - b2) * (gS * gS) + b2 * V_ref[:].astype(jnp.float32)
     Phi = M1 * bc1
@@ -423,7 +487,8 @@ def _adaprox_step_kernel(dims_ref, sc_ref, alpha_ref, A_ref, S_ref, M_ref,
     # back (post-rounding), keeping the recursion self-consistent under
     # bf16 storage — same rule as the PGM kernel's SSt
     S1_next = S1_stored.astype(jnp.float32)
-    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32)
+    gA_ref[:] += jnp.dot(D, S.T, preferred_element_type=jnp.float32,
+                         precision=STREAM_PRECISION)
     rowsum_ref[:] += jnp.sum(S1_next, axis=1, keepdims=True)
     stats_ref[0] += jnp.sum(D * R) / 2
     dS = S1_next - S

@@ -38,6 +38,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .. import operators
+from ..precision import (
+    RESIDUAL_PRECISION,
+    STREAM_PRECISION,
+    TINY_PRECISION,
+)
 from ..utils import with_matmul_precision
 from ..solvers.common import SolverResult
 
@@ -212,11 +217,11 @@ def _lambda_max_small(G, iters=32):
     v = v + 0.0 * G[0]
 
     def body(_, v):
-        w = G @ v
+        w = jnp.dot(G, v, precision=TINY_PRECISION)
         return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(G.dtype).tiny)
 
     v = jax.lax.fori_loop(0, iters, body, v)
-    return (v @ G @ v) / (v @ v)
+    return (v @ jnp.dot(G, v, precision=TINY_PRECISION)) / (v @ v)
 
 
 def _weighted_steps_v0(A, S, dt):
@@ -240,15 +245,16 @@ def _weighted_steps(A, S, W, data_axis, model_axis, dt, num_iters=48,
     strided refreshes (see ``nmf.WeightedPGMStepper``) — the per-pixel
     iterations are shard-local, so warm starting is collective-free on
     1-D meshes (each pass psums only over ``model_axis`` if present)."""
-    H_A = jax.lax.psum(jnp.einsum("kn,cn,ln->ckl", S, W, S), data_axis)
+    H_A = jax.lax.psum(jnp.einsum("kn,cn,ln->ckl", S, W, S,
+                                  precision=STREAM_PRECISION), data_axis)
     LA = jnp.max(jax.vmap(_lambda_max_small)(H_A))
     if model_axis is not None:
         LA = jax.lax.pmax(LA, model_axis)
 
     def Hv_S(v):
-        t = jnp.einsum("nk,ck->cn", v, A)
+        t = jnp.einsum("nk,ck->cn", v, A, precision=STREAM_PRECISION)
         u = W * t
-        hv = jnp.einsum("cn,ck->nk", u, A)
+        hv = jnp.einsum("cn,ck->nk", u, A, precision=STREAM_PRECISION)
         if model_axis is not None:
             hv = jax.lax.psum(hv, model_axis)
         return hv
@@ -275,8 +281,9 @@ def _weighted_steps(A, S, W, data_axis, model_axis, dt, num_iters=48,
 
 def _unweighted_steps(A, S, data_axis, model_axis):
     """Unweighted Lipschitz steps: K×K Grams with one psum each."""
-    SSt = jax.lax.psum(S @ S.T, data_axis)
-    AtA = A.T @ A
+    SSt = jax.lax.psum(jnp.dot(S, S.T, precision=STREAM_PRECISION),
+                       data_axis)
+    AtA = jnp.dot(A.T, A, precision=TINY_PRECISION)
     if model_axis is not None:
         AtA = jax.lax.psum(AtA, model_axis)
     return 1.0 / _lambda_max_small(SSt), 1.0 / _lambda_max_small(AtA)
@@ -300,13 +307,16 @@ def make_nmf_pgm_step(mesh, prox_A=operators.prox_plus,
 
     def local_step(A, S, Y, W):
         dt = jnp.result_type(A, S)
-        R = jnp.dot(A, S, preferred_element_type=dt) - Y
+        R = jnp.dot(A, S, preferred_element_type=dt,
+                            precision=RESIDUAL_PRECISION) - Y
         D = (W * R) if weighted else R
 
         grad_A = jax.lax.psum(
-            jnp.dot(D, S.T, preferred_element_type=dt), data_axis
+            jnp.dot(D, S.T, preferred_element_type=dt,
+                            precision=STREAM_PRECISION), data_axis
         )
-        grad_S = jnp.dot(A.T, D, preferred_element_type=dt)
+        grad_S = jnp.dot(A.T, D, preferred_element_type=dt,
+                            precision=STREAM_PRECISION)
         if model_axis is not None:
             grad_S = jax.lax.psum(grad_S, model_axis)
 
@@ -416,14 +426,17 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
 
             def body(state):
                 A, S = state.A, state.S
-                R = jnp.dot(A, S, preferred_element_type=dt) - Y
+                R = jnp.dot(A, S, preferred_element_type=dt,
+                            precision=RESIDUAL_PRECISION) - Y
                 D = W * R if weighted else R
 
                 grad_A = all_sum(
-                    jnp.dot(D, S.T, preferred_element_type=dt), data_axis
+                    jnp.dot(D, S.T, preferred_element_type=dt,
+                            precision=STREAM_PRECISION), data_axis
                 )
                 grad_S = all_sum(
-                    jnp.dot(A.T, D, preferred_element_type=dt), model_axis
+                    jnp.dot(A.T, D, preferred_element_type=dt,
+                            precision=STREAM_PRECISION), model_axis
                 )
 
                 if frozen_steps is not None:

@@ -26,6 +26,35 @@ import jax
 
 _MATMUL_PRECISION = "highest"
 
+# Per-dot annotations for the NMF data path (explicit ``precision=``
+# always overrides the ambient policy). The error analysis behind the
+# split, confirmed by measurement (r5 mixed-precision sweep,
+# /tmp-protocol recorded in benchmarks/results_r5.json):
+#
+# - The K-axis product ``A @ S`` inside the residual is
+#   ABSOLUTE-error-critical: one bf16 pass rounds A and S themselves,
+#   so the residual carries a noise floor ~eps_bf16 * |A S| that does
+#   NOT decay as the gradient does — it is exactly what stalls the
+#   fixed-point test. HIGH (bf16x3) restores f32-grade products;
+#   measured convergence is identical to HIGHEST (706 vs 706
+#   iterations) at 0.114 vs 0.136 ms/iter on the v5e flagship.
+# - Pixel-axis contractions (``D S^T``, ``A^T D``, ``S S^T`` Grams,
+#   weighted power-iteration matvecs) are RELATIVE-error ops: their
+#   bf16-pass error is proportional to the operand magnitudes, which
+#   shrink with the gradient/are protected by the steppers' 0.9 safety
+#   margins. DEFAULT keeps them on the fast single-pass MXU path
+#   (measured: grads at DEFAULT converge in the same iteration count
+#   as HIGHEST, 706 vs 700).
+# - Tiny Grams (K x K, C x K) cost nothing at HIGHEST.
+#
+# Mosaic (Pallas) rejects Precision.HIGH, so kernels use HIGHEST for
+# the residual dot — per-tile the operands are VMEM-resident and the
+# extra passes are MXU-only (no HBM cost).
+RESIDUAL_PRECISION = jax.lax.Precision.HIGH
+KERNEL_RESIDUAL_PRECISION = jax.lax.Precision.HIGHEST
+STREAM_PRECISION = jax.lax.Precision.DEFAULT
+TINY_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def set_matmul_precision(precision):
     """Set the matmul precision the solver drivers trace with.
