@@ -194,8 +194,13 @@ CPU_CONFIGS = {
             "pallas": dict(engine="pallas", tile_n=256),
         },
     ),
+    # C=5/K=7 are deliberately OFF the 8-sublane tile: the padded
+    # all-zero A columns/rows exercise prox_unity's 0/0 under padding,
+    # the r5 false-divergence bug (NaN-through-multiply-mask) that the
+    # original C=16/K=4 mirror could not see. Mirrors the TPU config's
+    # factor shape exactly.
     "pgm-w-adapt": dict(
-        C=16, K=4, N=512, weighted=True, planted=False,
+        C=5, K=7, N=512, weighted=True, planted=False,
         prox="unity_A", algorithm=None, e_rel=1e-4, max_iter=12000,
         engines={
             "xla": dict(engine="xla", step_stride=10, step_adapt=True),

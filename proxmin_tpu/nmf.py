@@ -757,7 +757,14 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                       ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
-        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        # boolean + where (NOT a multiply): proxs that normalize over
+        # an axis (prox_unity) produce 0/0 = NaN on the all-zero padded
+        # columns, and NaN * 0 is NaN — a multiply-mask would poison
+        # the convergence stats and falsely flag divergence (r5 bug:
+        # every weighted pallas solve with C or K off the sublane tile
+        # "diverged" at iteration 1 while its cropped iterates were
+        # finite and identical to XLA's)
+        a_mask = jnp.zeros((Cp, Kp), bool).at[:C, :K].set(True)
         div0_t = jnp.asarray(div0, bool)
 
         def body(carry):
@@ -770,7 +777,7 @@ def _make_fused_pgm_runner(prox_A, prox_S, e_rel, tile_n,
             gA, S_new, SSt_new, loss, dS_sq, nS_sq = fused_nmf_pgm_step(
                 A, S, Y_p, sS, prox_S=prox_S, tile_n=tile, dims=dims
             )
-            A_new = prox_A(A - sA * gA, sA) * a_mask
+            A_new = jnp.where(a_mask, prox_A(A - sA * gA, sA), 0.0)
             dA_sq = jnp.sum((A_new - A) ** 2)
             nA_sq = jnp.sum(A_new ** 2)
             conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
@@ -870,7 +877,14 @@ def _make_fused_strided_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                       ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
-        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        # boolean + where (NOT a multiply): proxs that normalize over
+        # an axis (prox_unity) produce 0/0 = NaN on the all-zero padded
+        # columns, and NaN * 0 is NaN — a multiply-mask would poison
+        # the convergence stats and falsely flag divergence (r5 bug:
+        # every weighted pallas solve with C or K off the sublane tile
+        # "diverged" at iteration 1 while its cropped iterates were
+        # finite and identical to XLA's)
+        a_mask = jnp.zeros((Cp, Kp), bool).at[:C, :K].set(True)
         it0 = jnp.asarray(it0, jnp.int32)
         div0_t = jnp.asarray(div0, bool)
 
@@ -899,7 +913,7 @@ def _make_fused_strided_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                         A, S, Y_p, sS, prox_S=prox_S, tile_n=tile,
                         dims=dims,
                     ))
-                A_new = prox_A(A - sA * gA, sA) * a_mask
+                A_new = jnp.where(a_mask, prox_A(A - sA * gA, sA), 0.0)
                 dA_sq = jnp.sum((A_new - A) ** 2)
                 nA_sq = jnp.sum(A_new ** 2)
                 conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
@@ -1038,7 +1052,14 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
         # exact zeros to D, the gradients, the loss and the norms
         W_p = jnp.pad(W.astype(store_dtype),
                       ((0, Cp - C), (0, Np - N)))
-        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        # boolean + where (NOT a multiply): proxs that normalize over
+        # an axis (prox_unity) produce 0/0 = NaN on the all-zero padded
+        # columns, and NaN * 0 is NaN — a multiply-mask would poison
+        # the convergence stats and falsely flag divergence (r5 bug:
+        # every weighted pallas solve with C or K off the sublane tile
+        # "diverged" at iteration 1 while its cropped iterates were
+        # finite and identical to XLA's)
+        a_mask = jnp.zeros((Cp, Kp), bool).at[:C, :K].set(True)
         it0 = jnp.asarray(it0, jnp.int32)
         div0_t = jnp.asarray(div0, bool)
 
@@ -1074,7 +1095,7 @@ def _make_fused_weighted_pgm_runner(prox_A, prox_S, e_rel, tile_n,
                     A, S, Y_p, sS, W=W_p, prox_S=prox_S, tile_n=tile,
                     dims=dims,
                 )
-                A_new = prox_A(A - sA * gA, sA) * a_mask
+                A_new = jnp.where(a_mask, prox_A(A - sA * gA, sA), 0.0)
                 dA_sq = jnp.sum((A_new - A) ** 2)
                 nA_sq = jnp.sum(A_new ** 2)
                 conv_A = _fused_fp_conv(dA_sq, nA_sq, e_rel)
@@ -1471,7 +1492,14 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
         A_p = jnp.pad(A.astype(jnp.float32), ((0, Cp - C), (0, Kp - K)))
         S_p = jnp.pad(S.astype(sdt), ((0, Kp - K), (0, Np - N)))
         Y_p = jnp.pad(Y.astype(sdt), ((0, Cp - C), (0, Np - N)))
-        a_mask = jnp.zeros((Cp, Kp), jnp.float32).at[:C, :K].set(1.0)
+        # boolean + where (NOT a multiply): proxs that normalize over
+        # an axis (prox_unity) produce 0/0 = NaN on the all-zero padded
+        # columns, and NaN * 0 is NaN — a multiply-mask would poison
+        # the convergence stats and falsely flag divergence (r5 bug:
+        # every weighted pallas solve with C or K off the sublane tile
+        # "diverged" at iteration 1 while its cropped iterates were
+        # finite and identical to XLA's)
+        a_mask = jnp.zeros((Cp, Kp), bool).at[:C, :K].set(True)
         if warm:
             # warm start (reference algorithms.py:347-359 semantics: the
             # moments carry over, the bias-correction clock restarts)
@@ -1522,7 +1550,7 @@ def _make_fused_adaprox_runner(prox_A, prox_S, e_rel, tile_n, C, K, N,
                 A1 = prox_A(A1, alpha_A[None, :] / PsiA_safe)
             else:
                 A1 = jnp.maximum(A1, 0.0)
-            A1 = A1 * a_mask
+            A1 = jnp.where(a_mask, A1, 0.0)
 
             dA_sq = jnp.sum((A1 - A) ** 2)
             nA_sq = jnp.sum(A1 ** 2)
@@ -1973,9 +2001,12 @@ def nmf(
     _st = algorithm_args.get("state")
     _sharded_state = (hasattr(_st, "get")
                       and _st.get("kind") == "nmf_pgm_sharded")
-    if _sharded_state and mesh is None:
+    _adaprox_sharded_state = (hasattr(_st, "get")
+                              and _st.get("kind")
+                              == "nmf_adaprox_sharded")
+    if (_sharded_state or _adaprox_sharded_state) and mesh is None:
         raise ValueError(
-            "state= is an nmf_pgm_sharded resume state, which resumes "
+            "state= is a sharded-solve resume state, which resumes "
             "the explicit-collective sharded solve only — pass the "
             "mesh= this solve runs on (single-device continuation is "
             "not what this state encodes)"
@@ -2033,6 +2064,52 @@ def nmf(
                 e_rel=e_rel, max_iter=max_iter, model_axis=model_axis,
                 step_stride=step_stride, step_adapt=step_adapt,
                 state=_st,
+            )
+        _adaprox_alg = getattr(algorithms, "adaprox", None)
+        if (algorithm is _adaprox_alg and engine in ("xla", "auto")
+                and step is None and callback is None
+                and step_stride is None and not step_adapt
+                and algorithm_args.get("scheme", "adam") == "adam"
+                and algorithm_args.get("separable_prox", "auto")
+                is not False
+                and set(algorithm_args) <= {
+                    "b1", "b2", "eps", "scheme", "separable_prox",
+                    "state"}
+                and (algorithm_args.get("state") is None
+                     or _adaprox_sharded_state)):
+            from .solvers.common import separable_blocks
+
+            prox_pair = (prox_A, prox_S)
+            has = tuple(pj is not None for pj in prox_pair)
+            try:
+                sep = separable_blocks(
+                    prox_pair, has,
+                    algorithm_args.get("separable_prox", "auto"))
+            except ValueError:
+                sep = (False,) * len(prox_pair)
+            if all(s or not h for s, h in zip(sep, has)):
+                # explicit-collective whole-solve (VERDICT r4 #5): the
+                # scheme='adam' + separable-prox subset mirrors the
+                # fused single-chip engine; everything else falls
+                # through to audited auto-SPMD below
+                from .parallel import nmf_adaprox_sharded
+
+                return nmf_adaprox_sharded(
+                    Y, A, S, W=None if _is_unweighted(W) else W,
+                    mesh=mesh, prox_A=prox_A, prox_S=prox_S,
+                    e_rel=e_rel, max_iter=max_iter,
+                    model_axis=model_axis,
+                    b1=algorithm_args.get("b1", 0.9),
+                    b2=algorithm_args.get("b2", 0.999),
+                    eps=algorithm_args.get("eps", 1e-8),
+                    state=_st,
+                )
+        if _adaprox_sharded_state:
+            raise ValueError(
+                "state= is an nmf_adaprox_sharded resume state but this "
+                "call does not route to the explicit sharded adaprox "
+                "solve (algorithm='adaprox', scheme='adam', separable "
+                "proxs, default steps, no callback required)"
             )
         if _sharded_state:
             # a sharded-solve state only resumes the explicit path — the
