@@ -1204,3 +1204,160 @@ def test_fused_divergence_detected_on_final_iteration(rng):
     r = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
                                  max_iter=1, tile_n=128)
     assert r.status == "diverged"
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive tile-safety oracle for the auto-routing prox guard
+# (VERDICT r4 #8): every library prox x {A, S} x kwargs variant is
+# applied exactly the way the fused kernel would apply it (S: per
+# column tile on the row-padded factor, masked after; A: whole on the
+# zero-padded factor, where-masked after) and compared against the
+# global prox. The router's verdict must never claim safety the oracle
+# refutes, and must match the oracle exactly on the library surface.
+
+def _kernel_style_S(prox, S, step, K, tile):
+    """Emulate _pgm_step_kernel's prox_S application: row-pad to the
+    sublane tile, apply per column tile, mask padding, crop."""
+    Kp = 8 * ((K + 7) // 8)
+    N = S.shape[1]
+    S_p = jnp.pad(jnp.asarray(S), ((0, Kp - K), (0, 0)))
+    outs = []
+    for j in range(0, N, tile):
+        blk = S_p[:, j:j + tile]
+        out = prox(blk, step)
+        rows = jnp.arange(Kp)[:, None] < K
+        outs.append(jnp.where(rows, out, 0.0))
+    return np.asarray(jnp.concatenate(outs, axis=1))[:K]
+
+
+def _runner_style_A(prox, A, step, C, K):
+    """Emulate the fused runners' prox_A application: zero-pad both
+    factor dims to the sublane tile, apply whole, where-mask, crop."""
+    Cp = 8 * ((C + 7) // 8)
+    Kp = 8 * ((K + 7) // 8)
+    A_p = jnp.pad(jnp.asarray(A), ((0, Cp - C), (0, Kp - K)))
+    mask = jnp.zeros((Cp, Kp), bool).at[:C, :K].set(True)
+    out = jnp.where(mask, prox(A_p, step), 0.0)
+    return np.asarray(out)[:C, :K]
+
+
+def _tile_safety_matrix():
+    """(label, prox, needs_positive_data, expected verdict on A,
+    expected verdict on S). Covers EVERY public prox in operators.py
+    plus the AlternatingProjections combinator (incl. recursion)."""
+    from functools import partial
+
+    ap = op.AlternatingProjections
+    elementwise = [
+        ("prox_id", op.prox_id, False, True, True),
+        ("prox_zero", op.prox_zero, False, True, True),
+        ("prox_plus", op.prox_plus, False, True, True),
+        ("prox_min_rel", partial(op.prox_min, thresh=0.2), False,
+         True, True),
+        ("prox_min_abs", partial(op.prox_min, thresh=-0.3,
+                                 type="absolute"), False, True, True),
+        ("prox_max_rel", partial(op.prox_max, thresh=0.4), False,
+         True, True),
+        ("prox_max_abs", partial(op.prox_max, thresh=0.8,
+                                 type="absolute"), False, True, True),
+        ("prox_hard", partial(op.prox_hard, thresh=0.1), False,
+         True, True),
+        ("prox_hard_abs", partial(op.prox_hard, thresh=0.1,
+                                  type="absolute"), False, True, True),
+        ("prox_hard_plus", partial(op.prox_hard_plus, thresh=0.1),
+         False, True, True),
+        ("prox_soft", partial(op.prox_soft, thresh=0.1), False,
+         True, True),
+        ("prox_soft_abs", partial(op.prox_soft, thresh=0.05,
+                                  type="absolute"), False, True, True),
+        ("prox_soft_plus", partial(op.prox_soft_plus, thresh=0.1),
+         False, True, True),
+        ("prox_max_entropy", partial(op.prox_max_entropy, gamma=0.2),
+         True, True, True),
+    ]
+    unity = [
+        ("prox_unity_default", op.prox_unity, True, True, True),
+        ("prox_unity_ax0", partial(op.prox_unity, axis=0), True,
+         True, True),
+        ("prox_unity_ax1", partial(op.prox_unity, axis=1), True,
+         True, False),
+        ("prox_unity_plus_ax0", partial(op.prox_unity_plus, axis=0),
+         True, True, True),
+        ("prox_unity_plus_ax1", partial(op.prox_unity_plus, axis=1),
+         True, True, False),
+    ]
+    combinators = [
+        ("pocs_elementwise", ap([op.prox_plus,
+                                 partial(op.prox_soft, thresh=0.1)]),
+         False, True, True),
+        ("pocs_unity_ax0", ap([op.prox_plus,
+                               partial(op.prox_unity, axis=0)]),
+         True, True, True),
+        ("pocs_unity_ax1", ap([op.prox_plus,
+                               partial(op.prox_unity, axis=1)]),
+         True, True, False),
+        ("pocs_nested", ap([ap([op.prox_plus]),
+                            partial(op.prox_unity, axis=1)]),
+         True, True, False),
+        # intentionally unrouted library callables: conservative False
+        # even though some instantiations are tile-invariant
+        ("prox_components", partial(op.prox_components,
+                                    prox=op.prox_plus), False,
+         False, False),
+        # positionally-bound partial args: conservative False
+        ("positional_partial", __import__("functools").partial(
+            op.prox_soft, 0.1), False, False, False),
+        # arbitrary user callable: conservative False
+        ("user_lambda", lambda x, s: jnp.minimum(x, 2.0), False,
+         False, False),
+    ]
+    return elementwise + unity + combinators
+
+
+@pytest.mark.parametrize(
+    "label,prox,positive,exp_A,exp_S",
+    _tile_safety_matrix(),
+    ids=[r[0] for r in _tile_safety_matrix()])
+def test_fused_prox_safe_matches_tile_oracle(label, prox, positive,
+                                             exp_A, exp_S, rng):
+    from proxmin_tpu.nmf import _fused_prox_safe
+
+    C, K, N, tile, step = 5, 3, 24, 8, 0.37
+    if positive:
+        A = (0.05 + rng.random((C, K))).astype(np.float32)
+        S = (0.05 + rng.random((K, N))).astype(np.float32)
+    else:
+        A = rng.standard_normal((C, K)).astype(np.float32)
+        S = rng.standard_normal((K, N)).astype(np.float32)
+
+    verdict_A = _fused_prox_safe(prox, "A")
+    verdict_S = _fused_prox_safe(prox, "S")
+    assert verdict_A == exp_A, f"{label}: A verdict {verdict_A}"
+    assert verdict_S == exp_S, f"{label}: S verdict {verdict_S}"
+
+    callable_prox = prox if prox is not None else op.prox_plus
+    global_A = np.asarray(callable_prox(jnp.asarray(A), step))
+    global_S = np.asarray(callable_prox(jnp.asarray(S), step))
+    kernel_A = _runner_style_A(callable_prox, A, step, C, K)
+    kernel_S = _kernel_style_S(callable_prox, S, step, K, tile)
+    finite = (np.isfinite(kernel_A).all() and np.isfinite(global_A).all()
+              and np.isfinite(kernel_S).all()
+              and np.isfinite(global_S).all())
+    measured_A = finite and np.allclose(kernel_A, global_A,
+                                        rtol=1e-6, atol=1e-7)
+    measured_S = finite and np.allclose(kernel_S, global_S,
+                                        rtol=1e-6, atol=1e-7)
+
+    # the hard invariant: the router may be conservative, but a True
+    # verdict MUST be backed by measured tile/padding invariance
+    assert not (verdict_A and not measured_A), (
+        f"{label}: routed as A-safe but padding changes the result")
+    assert not (verdict_S and not measured_S), (
+        f"{label}: routed as S-safe but tile-splitting changes the result")
+
+    # and where the router says no on a LIBRARY prox for coupling
+    # reasons (unity axis=1 on S), the oracle must agree it's coupled —
+    # proving the conservatism is load-bearing, not stale
+    if label.endswith("ax1") or label in ("pocs_unity_ax1",
+                                          "pocs_nested"):
+        assert not measured_S, f"{label}: expected pixel coupling"
