@@ -14,6 +14,7 @@ from .sharding import (  # noqa: F401
     make_mesh,
     shard_nmf_problem,
     make_nmf_pgm_step,
+    nmf_adaprox_sharded,
     nmf_pgm_sharded,
     prox_unity_sharded,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "make_mesh",
     "shard_nmf_problem",
     "make_nmf_pgm_step",
+    "nmf_adaprox_sharded",
     "nmf_pgm_sharded",
     "prox_unity_sharded",
     "initialize_distributed",

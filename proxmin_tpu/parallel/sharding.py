@@ -601,6 +601,256 @@ def _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel, max_iter,
     return jax.jit(smapped)
 
 
+class ShardedAdaproxState(NamedTuple):
+    A: Any
+    S: Any
+    MA: Any              # Adam moments, sharded like their block
+    VA: Any
+    MS: Any
+    VS: Any
+    it: Any
+    conv_A: Any
+    conv_S: Any
+    loss: Any
+
+
+def _build_adaprox_solve(mesh, weighted, prox_A, prox_S, e_rel,
+                         max_iter, data_axis, model_axis, b1, b2, eps,
+                         resume=False):
+    """Build the jitted whole-solve shard_map for
+    :func:`nmf_adaprox_sharded` (VERDICT r4 #5): the proximal-Adam
+    analogue of :func:`_build_pgm_solve`, with explicit hand-placed
+    collectives instead of trusting the auto-SPMD partitioner.
+
+    Iteration math mirrors the single-chip engines exactly
+    (``solvers/adaprox.py`` adam phi/psi + the separable closed-form
+    prox; ``nmf._make_fused_adaprox_runner``): ``step_adaprox`` row
+    means (reference ``nmf.py:91-93``), moment EMAs with
+    bias-corrected Phi/Psi, ``x - alpha * Phi/Psi`` then
+    ``prox(x, alpha/Psi)``. Collective layout:
+
+    - ``alpha_A``: C-axis mean -> one tiny (K,) psum over *model*;
+    - ``alpha_S``: N-axis mean -> one (K, 1) psum over *data*;
+    - ``grad_A = D S^T``: (C_l, K) psum over *data* (the one
+      pixel-axis contraction — identical to the PGM layout, so the
+      comm-volume table in docs/DESIGN.md applies unchanged);
+    - ``grad_S = A^T D``: (K, N_l) psum over *model* (2-D meshes);
+    - convergence norms / loss: replicated scalars psum'd over every
+      axis, so all shards stop on the same iteration.
+
+    The moments live in the carry sharded exactly like their blocks
+    (MA/VA as A, MS/VS as S) — they never cross the network.
+
+    ``resume=True`` additionally takes ``(it0, conv_A0, conv_S0,
+    loss0, MA0, VA0, MS0, VS0)`` and continues the global Adam
+    bias-correction clock bit-exactly; the moments are always
+    returned so every call's ``.state`` can resume."""
+    y_spec = P(model_axis, data_axis)
+    a_spec = P(model_axis, None)
+    s_spec = P(None, data_axis)
+    tiny = float(np.finfo(np.float32).tiny)
+
+    def all_sum(v, *axes):
+        for ax in axes:
+            if ax is not None:
+                v = jax.lax.psum(v, ax)
+        return v
+
+    def local_solve(A, S, Y, W, *rargs):
+        dt = jnp.result_type(A, S)
+        C = all_sum(jnp.asarray(A.shape[0], dt), model_axis)
+        N = all_sum(jnp.asarray(S.shape[1], dt), data_axis)
+        if resume:
+            it0_in, convA0, convS0, loss0, MA0, VA0, MS0, VS0 = rargs
+            it0 = jnp.asarray(it0_in, jnp.int32)
+            convA0 = jnp.asarray(convA0, bool)
+            convS0 = jnp.asarray(convS0, bool)
+            loss0 = jnp.asarray(loss0, dt)
+            it_lim = it0 + max_iter
+        else:
+            it0 = jnp.int32(0)
+            convA0 = convS0 = jnp.asarray(False)
+            loss0 = jnp.asarray(jnp.inf, dt)
+            it_lim = max_iter
+            MA0 = jnp.zeros_like(A)
+            VA0 = jnp.zeros_like(A)
+            MS0 = jnp.zeros_like(S)
+            VS0 = jnp.zeros_like(S)
+
+        b1_t = jnp.asarray(b1, dt)
+        b2_t = jnp.asarray(b2, dt)
+
+        def body(st):
+            A, S = st.A, st.S
+            t = (st.it + 1).astype(dt)  # global Adam clock (resume-safe)
+            bc1 = 1.0 / (1.0 - b1_t ** t)
+            bc2 = 1.0 / (1.0 - b2_t ** t)
+
+            # step_adaprox (reference nmf.py:91-93), mesh-reduced
+            alpha_A = all_sum(jnp.sum(A, axis=0), model_axis) / C / 10.0
+            alpha_S = all_sum(jnp.sum(S, axis=1, keepdims=True),
+                              data_axis) / N / 10.0
+
+            R = jnp.dot(A, S, preferred_element_type=dt,
+                        precision=RESIDUAL_PRECISION) - Y
+            D = W * R if weighted else R
+            gA = all_sum(jnp.dot(D, S.T, preferred_element_type=dt,
+                                 precision=STREAM_PRECISION), data_axis)
+            gS = all_sum(jnp.dot(A.T, D, preferred_element_type=dt,
+                                 precision=STREAM_PRECISION), model_axis)
+
+            def adam_block(x, g, M, V, alpha, prox):
+                M1 = (1.0 - b1_t) * g + b1_t * M
+                V1 = (1.0 - b2_t) * g ** 2 + b2_t * V
+                Phi = M1 * bc1
+                Psi = jnp.sqrt(V1 * bc2) + eps
+                Psi_safe = jnp.maximum(Psi, tiny)
+                x1 = x - alpha * Phi / Psi_safe
+                x1 = prox(x1, alpha / Psi_safe)
+                return x1, M1, V1
+
+            A1, MA1, VA1 = adam_block(A, gA, st.MA, st.VA,
+                                      alpha_A[None, :], prox_A)
+            S1, MS1, VS1 = adam_block(S, gS, st.MS, st.VS,
+                                      alpha_S, prox_S)
+
+            dA = all_sum(jnp.sum((A1 - A) ** 2), model_axis)
+            nA = all_sum(jnp.sum(A1 ** 2), model_axis)
+            dS = all_sum(jnp.sum((S1 - S) ** 2), data_axis, model_axis)
+            nS = all_sum(jnp.sum(S1 ** 2), data_axis, model_axis)
+            loss = all_sum(jnp.sum(D * R) / 2, data_axis, model_axis)
+            finite = jnp.logical_and(
+                jnp.logical_and(jnp.isfinite(dA), jnp.isfinite(nA)),
+                jnp.logical_and(jnp.isfinite(dS), jnp.isfinite(nS)))
+            loss = jnp.where(finite, loss, jnp.nan)
+
+            return ShardedAdaproxState(
+                A=A1, S=S1, MA=MA1, VA=VA1, MS=MS1, VS=VS1,
+                it=st.it + 1,
+                conv_A=dA <= e_rel ** 2 * nA,
+                conv_S=dS <= e_rel ** 2 * nS,
+                loss=loss,
+            )
+
+        def cond(st):
+            done = jnp.logical_and(st.conv_A, st.conv_S)
+            bad = jnp.logical_and(
+                jnp.logical_not(jnp.isfinite(st.loss)),
+                jnp.logical_or(st.it > it0, it0 > 0))
+            return jnp.logical_and(
+                st.it < it_lim,
+                jnp.logical_not(jnp.logical_or(done, bad)))
+
+        init = ShardedAdaproxState(
+            A=A, S=S, MA=MA0, VA=VA0, MS=MS0, VS=VS0,
+            it=it0, conv_A=convA0, conv_S=convS0, loss=loss0,
+        )
+        f = jax.lax.while_loop(cond, body, init)
+        return (f.A, f.S, f.it, f.conv_A, f.conv_S, f.loss,
+                f.MA, f.VA, f.MS, f.VS)
+
+    in_specs = (a_spec, s_spec, y_spec, y_spec)
+    if resume:
+        in_specs += (P(), P(), P(), P(),
+                     a_spec, a_spec, s_spec, s_spec)
+    out_specs = (a_spec, s_spec, P(), P(), P(), P(),
+                 a_spec, a_spec, s_spec, s_spec)
+    smapped = shard_map(
+        local_solve, mesh=mesh,
+        in_specs=in_specs, out_specs=out_specs,
+    )
+    return jax.jit(smapped)
+
+
+@with_matmul_precision
+def nmf_adaprox_sharded(
+    Y, A, S, W=None, mesh=None,
+    prox_A=operators.prox_plus, prox_S=operators.prox_plus,
+    e_rel=1e-3, max_iter=1000,
+    data_axis="data", model_axis=None,
+    b1=0.9, b2=0.999, eps=1e-8,
+    state=None,
+):
+    """Full sharded proximal-Adam NMF solve with explicit collectives
+    (the adaprox sibling of :func:`nmf_pgm_sharded`; VERDICT r4 #5 —
+    the live ``nmf(mesh=, algorithm='adaprox')`` path no longer
+    depends on the auto-SPMD partitioner's layout choice).
+
+    Supported configuration mirrors the fused single-chip engine:
+    ``scheme='adam'`` with SEPARABLE proxs applied in closed form
+    (non-separable proxs and the other five schemes stay on the
+    audited auto-SPMD route through ``nmf()``). ``state=`` is the
+    exact warm restart: moments, the global Adam bias-correction
+    clock, and the terminal flags carry through bit-exactly.
+
+    Returns a ``SolverResult`` with ``.x == (A, S)`` (sharded device
+    arrays), ``.iterations``, ``.converged``, ``.loss``, ``.state``.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    weighted = W is not None and getattr(W, "ndim", 0) == 2
+    if state is not None:
+        if not (hasattr(state, "get")
+                and state.get("kind") == "nmf_adaprox_sharded"):
+            raise ValueError(
+                "state= must be a previous nmf_adaprox_sharded .state "
+                "dict (single-device adaprox states do not resume the "
+                "explicit-collective path)"
+            )
+        if bool(state["weighted"]) != weighted:
+            raise ValueError(
+                "state= was produced under a different weighting"
+            )
+    Y, A0, S0, W_sh = shard_nmf_problem(
+        mesh, Y, A, S, W if weighted else None,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+    if not weighted:
+        sh = NamedSharding(mesh, P(model_axis, data_axis))
+        np_dt = np.dtype(Y.dtype)
+        W_sh = jax.make_array_from_callback(
+            Y.shape, sh,
+            lambda idx: np.ones(
+                tuple(len(range(*s.indices(d)))
+                      for s, d in zip(idx, Y.shape)), np_dt),
+        )
+
+    solve = _build_adaprox_solve(
+        mesh, weighted, prox_A or operators.prox_id,
+        prox_S or operators.prox_id, e_rel, max_iter,
+        data_axis, model_axis, b1, b2, eps,
+        resume=state is not None,
+    )
+    rargs = ()
+    if state is not None:
+        rargs = (jnp.int32(state["it"]),
+                 jnp.asarray(state.get("conv_A", False), bool),
+                 jnp.asarray(state.get("conv_S", False), bool),
+                 jnp.asarray(state.get("loss", 0.0)),
+                 state["MA"], state["VA"], state["MS"], state["VS"])
+    A_f, S_f, it, cA, cS, loss, MA, VA, MS, VS = solve(
+        A0, S0, Y, W_sh, *rargs)
+    loss = float(loss)
+    resume_state = {
+        "kind": "nmf_adaprox_sharded", "weighted": weighted, "it": it,
+        "conv_A": bool(cA), "conv_S": bool(cS), "loss": loss,
+        "MA": MA, "VA": VA, "MS": MS, "VS": VS,
+    }
+    it0 = int(state["it"]) if state is not None else 0
+    converged = (bool(cA), bool(cS))
+    iterations = int(it) - it0
+    diverged = not np.isfinite(loss) and (iterations > 0 or it0 > 0)
+    from ..solvers.common import status_from, writeback
+
+    status = status_from(all(converged), diverged, logger)
+    writeback((A, S), (A_f, S_f))
+    return SolverResult(
+        converged,
+        x=(A_f, S_f), iterations=iterations, converged=converged,
+        loss=loss, status=status, state=resume_state,
+    )
+
+
 @with_matmul_precision
 def nmf_pgm_sharded(
     Y, A, S, W=None, mesh=None,

@@ -850,3 +850,115 @@ def test_sharded_and_fused_divergence_detection(rng):
     r4 = nmf_pgm_sharded(Y, A0.copy(), S0.copy(), mesh=make_mesh(),
                          e_rel=0, max_iter=10)
     assert r4.status == "max_iter" and r4.iterations == 10
+
+
+# ---------------------------------------------------------------------------
+# Explicit-collective sharded adaprox (VERDICT r4 #5)
+
+def test_full_sharded_adaprox_matches_single_device(problem):
+    """The explicit shard_map proximal-Adam whole-solve must match the
+    single-device adaprox driver: same Jacobi update from one residual,
+    same alpha row/column means, same bias-corrected Phi/Psi."""
+    from proxmin_tpu.parallel import nmf_adaprox_sharded
+
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="adaprox", e_rel=0, max_iter=20)
+
+    res = nmf_adaprox_sharded(Y, A0.copy(), S0.copy(), mesh=make_mesh(),
+                              e_rel=0, max_iter=20)
+    np.testing.assert_allclose(np.asarray(res.x[0]), A1, rtol=1e-8,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(res.x[1]), S1, rtol=1e-8,
+                               atol=1e-11)
+    assert res.iterations == 20
+    assert res.state["kind"] == "nmf_adaprox_sharded"
+
+
+def test_full_sharded_adaprox_weighted_2d(problem, rng):
+    """Weighted + 2-D (model x data) mesh: gradients psum over the
+    correct axes; result matches the single-device weighted adaprox."""
+    from proxmin_tpu.parallel import nmf_adaprox_sharded
+
+    Y, A0, S0 = problem
+    W = 0.5 + rng.random(Y.shape)
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, W=W, algorithm="adaprox", e_rel=0, max_iter=20)
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("model", "data"))
+    res = nmf_adaprox_sharded(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                              model_axis="model", e_rel=0, max_iter=20)
+    np.testing.assert_allclose(np.asarray(res.x[0]), A1, rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x[1]), S1, rtol=1e-7,
+                               atol=1e-10)
+
+
+def test_sharded_adaprox_resume_bit_exact(problem):
+    """Kill-point drill: 12 iterations + state= continuation of 8 must
+    land bit-identically on the uninterrupted 20-iteration solve (the
+    moments and the global Adam bias-correction clock carry through)."""
+    from proxmin_tpu.parallel import nmf_adaprox_sharded
+
+    Y, A0, S0 = problem
+    mesh = make_mesh()
+    kw = dict(mesh=mesh, e_rel=0, max_iter=20)
+    full = nmf_adaprox_sharded(Y, A0.copy(), S0.copy(), **kw)
+
+    half = nmf_adaprox_sharded(Y, A0.copy(), S0.copy(), mesh=mesh,
+                               e_rel=0, max_iter=12)
+    resumed = nmf_adaprox_sharded(Y, half.x[0], half.x[1], mesh=mesh,
+                                  e_rel=0, max_iter=8, state=half.state)
+    assert resumed.iterations == 8
+    np.testing.assert_array_equal(np.asarray(resumed.x[0]),
+                                  np.asarray(full.x[0]))
+    np.testing.assert_array_equal(np.asarray(resumed.x[1]),
+                                  np.asarray(full.x[1]))
+
+
+def test_nmf_mesh_adaprox_routes_explicit(problem):
+    """nmf(mesh=, algorithm='adaprox') with the default adam scheme and
+    separable proxs rides the explicit-collective whole-solve (state
+    kind proves the route) and still matches the single-device run."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="adaprox", e_rel=0, max_iter=15)
+
+    A2, S2 = A0.copy(), S0.copy()
+    res = pt.nmf.nmf(Y, A2, S2, algorithm="adaprox", e_rel=0,
+                     max_iter=15, mesh=make_mesh())
+    assert res.state["kind"] == "nmf_adaprox_sharded"
+    np.testing.assert_allclose(A2, A1, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(S2, S1, rtol=1e-8, atol=1e-11)
+
+
+def test_nmf_mesh_adaprox_nonseparable_falls_back(problem):
+    """A non-separable scheme opt-out (separable_prox=False) keeps the
+    audited auto-SPMD route — no sharded-adaprox state kind."""
+    Y, A0, S0 = problem
+    A1, S1 = A0.copy(), S0.copy()
+    pt.nmf.nmf(Y, A1, S1, algorithm="adaprox", e_rel=0, max_iter=15,
+               separable_prox=False)
+
+    A2, S2 = A0.copy(), S0.copy()
+    res = pt.nmf.nmf(Y, A2, S2, algorithm="adaprox", e_rel=0,
+                     max_iter=15, separable_prox=False, mesh=make_mesh())
+    st = getattr(res, "state", None)
+    assert not (hasattr(st, "get")
+                and st.get("kind") == "nmf_adaprox_sharded")
+    np.testing.assert_allclose(A2, A1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(S2, S1, rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_adaprox_resume_wrong_mesh_state_raises(problem):
+    """Passing a sharded-adaprox state back through nmf() without
+    mesh=, or to a non-eligible call, fails loudly instead of silently
+    restarting."""
+    from proxmin_tpu.parallel import nmf_adaprox_sharded
+
+    Y, A0, S0 = problem
+    half = nmf_adaprox_sharded(Y, A0.copy(), S0.copy(),
+                               mesh=make_mesh(), e_rel=0, max_iter=5)
+    with pytest.raises(ValueError, match="sharded"):
+        pt.nmf.nmf(Y, A0.copy(), S0.copy(), algorithm="adaprox",
+                   e_rel=0, max_iter=5, state=half.state)
