@@ -50,7 +50,14 @@ _DEFAULT_TILE_N = 8192
 #: 3-dot scheme, = XLA HIGH) remains available for very large C*K
 #: where the VPU loop would bind. bf16-STORED operands multiply
 #: exactly in one pass, so they use the plain dot either way.
-RESIDUAL_IMPL = "fma"  # "fma" | "split3" | "dot-highest" | "dot-default"
+RESIDUAL_IMPL = "auto"  # "auto" | "fma" | "split3" | "dot-highest" | "dot-default"
+
+#: "auto" crossover: the VPU FMA loop costs C*K multiply-adds per
+#: pixel column while split3 costs three MXU passes regardless, so
+#: the FMA wins small factor planes and loses big ones (r5 shape
+#: sweep: fma 0.114 vs split3 0.133 ms/iter at C*K=512, but 0.301
+#: vs 0.216 at C*K=2048). Padded dims decide at trace time.
+_FMA_MAX_CK = 512
 
 
 def _residual_dot(A, S):
@@ -63,13 +70,16 @@ def _residual_dot(A, S):
     if A.dtype != f32 and S.dtype != f32:
         return jnp.dot(A, S, preferred_element_type=f32,
                        precision=STREAM_PRECISION)
-    if RESIDUAL_IMPL == "dot-highest":
+    impl = RESIDUAL_IMPL
+    if impl == "auto":
+        impl = "fma" if A.shape[0] * A.shape[1] <= _FMA_MAX_CK else "split3"
+    if impl == "dot-highest":
         return jnp.dot(A, S, preferred_element_type=f32,
                        precision=KERNEL_RESIDUAL_PRECISION)
-    if RESIDUAL_IMPL == "dot-default":
+    if impl == "dot-default":
         return jnp.dot(A, S, preferred_element_type=f32,
                        precision=STREAM_PRECISION)
-    if RESIDUAL_IMPL == "fma":
+    if impl == "fma":
         # explicit K-step FMA on the VPU: exact f32, no MXU passes
         A32 = A.astype(f32)
         S32 = S.astype(f32)
