@@ -38,6 +38,31 @@ def attempt(C, K, N, store_dtype, max_iter=10):
     # factor-sized copy — at this scale the pad copy alone is the
     # difference between fitting and OOM)
     N -= N % 8192
+
+    # ---- placement probe FIRST (VERDICT r4 #7): materialize the fused
+    # solve's peak live set — S in + S_new out + Y, (2K + C) * N *
+    # itemsize — directly on the device allocator. The r4 run's f32
+    # failure surfaced as a remote-compile-helper HTTP 500 (the helper
+    # died building the >HBM executable) rather than a device OOM; this
+    # probe reaches the allocator itself, so an over-capacity attempt
+    # fails with a genuine RESOURCE_EXHAUSTED before any compile-helper
+    # round trip can mask it.
+    try:
+        bufs = [jnp.zeros((K, N), dt), jnp.zeros((K, N), dt),
+                jnp.zeros((C, N), dt)]
+        jax.block_until_ready(bufs)
+        del bufs
+    except Exception as e:  # noqa: BLE001 — OOM classification
+        msg = str(e)[:300]
+        return {"ok": False,
+                "oom": ("RESOURCE_EXHAUSTED" in msg
+                        or "out of memory" in msg.lower()),
+                "stage": "placement",
+                "working_set_gb": round((2 * K + C) * N
+                                        * jnp.dtype(dt).itemsize / 1e9,
+                                        1),
+                "error": f"{type(e).__name__}: {msg}"}
+
     try:
         # generate on device in the storage dtype; uniform data keeps the
         # solve well-scaled without a >HBM ground-truth staging array
