@@ -257,22 +257,48 @@ def run_one(cfg, engine_kwargs, problem):
     }
 
 
-def run_config(name, cfg, seeds, log=print):
+def run_config(name, cfg, seeds, log=print, rows_path=None):
     """All engines x all seeds for one configuration. One compile per
-    engine (shapes are static across seeds)."""
+    engine (shapes are static across seeds).
+
+    ``rows_path``: optional JSONL checkpoint. Completed (engine, seed)
+    records are appended as they finish and skipped on re-run, so a
+    watchdog can kill a run wedged on a lost pool RPC (the shared
+    tunnel loses grants under load) and restart without repeating
+    finished solves."""
+    done = {}
+    if rows_path and os.path.exists(rows_path):
+        with open(rows_path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.pop("config", name) == name:
+                    done[(r.pop("engine"), r["seed"])] = r
+        if done:
+            log(f"  [{name}] resuming: {len(done)} records on disk")
+    ckpt = open(rows_path, "a") if rows_path else None
     rows = {eng: [] for eng in cfg["engines"]}
     for i in range(seeds):
         seed = 1000 + i
-        problem = make_problem(
-            cfg["C"], cfg["K"], cfg["N"], seed,
-            weighted=cfg["weighted"], planted=cfg["planted"],
-        )
+        problem = None
         for eng, ekw in cfg["engines"].items():
-            rec = run_one(cfg, ekw, problem)
-            rec["seed"] = seed
+            rec = done.get((eng, seed))
+            if rec is None:
+                if problem is None:
+                    problem = make_problem(
+                        cfg["C"], cfg["K"], cfg["N"], seed,
+                        weighted=cfg["weighted"],
+                        planted=cfg["planted"],
+                    )
+                rec = run_one(cfg, ekw, problem)
+                rec["seed"] = seed
+                if ckpt:
+                    ckpt.write(json.dumps(
+                        {"config": name, "engine": eng, **rec}) + "\n")
+                    ckpt.flush()
             rows[eng].append(rec)
-        if (i + 1) % 10 == 0 or i == 0:
-            log(f"  [{name}] seed {i + 1}/{seeds} done")
+        log(f"  [{name}] seed {i + 1}/{seeds} done")
+    if ckpt:
+        ckpt.close()
     return rows
 
 
@@ -352,7 +378,7 @@ def check_equivalence(stats_by_engine, baseline, bound=ACCEPTANCE):
     return verdicts
 
 
-def run_study(configs, seeds, log=print):
+def run_study(configs, seeds, log=print, rows_path=None):
     """Full study: per-config engine distributions + acceptance
     verdicts. Returns the results dict (JSON-serializable)."""
     results = {"seeds": seeds, "acceptance": ACCEPTANCE, "configs": {}}
@@ -360,7 +386,8 @@ def run_study(configs, seeds, log=print):
         log(f"config {name}: C={cfg['C']} K={cfg['K']} N={cfg['N']} "
             f"weighted={cfg['weighted']} planted={cfg['planted']} "
             f"e_rel={cfg['e_rel']} engines={list(cfg['engines'])}")
-        rows = run_config(name, cfg, seeds, log=log)
+        rows = run_config(name, cfg, seeds, log=log,
+                          rows_path=rows_path)
         stats = {eng: summarize(r) for eng, r in rows.items()}
         baseline = "xla"
         verdicts = check_equivalence(stats, baseline)
@@ -397,6 +424,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="use the CPU-scale config set")
     ap.add_argument("--out", default=None, help="write JSON here")
+    ap.add_argument("--rows-log", default=None,
+                    help="JSONL checkpoint: per-seed records appended "
+                         "as they finish; completed records are "
+                         "skipped on re-run (watchdog-restart safe)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -422,7 +453,8 @@ def main():
 
     t0 = time.perf_counter()
     with summarize_convergence_warnings():
-        results = run_study(table, args.seeds, log=log)
+        results = run_study(table, args.seeds, log=log,
+                            rows_path=args.rows_log)
     results["wall_s"] = round(time.perf_counter() - t0, 1)
     log(f"total {results['wall_s']} s; all_ok={results['all_ok']}")
     payload = json.dumps(results, default=float)
