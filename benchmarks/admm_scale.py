@@ -88,7 +88,12 @@ def main():
     def log(*a):
         print(*a, file=sys.stderr, flush=True)
 
-    def marginal(call, lo=100, hi=300, reps=3):
+    def marginal(call, lo=200, hi=1000, reps=5):
+        # independent minima of lo/hi over several reps: the shared
+        # pool's dispatch jitter (~tens of ms, occasionally a stalled
+        # call) exceeds the lo-call runtime, so few-rep paired slopes
+        # can sample physically impossible (negative) values; the wide
+        # iteration spread makes the true slope dominate the jitter
         def t(n):
             best = 1e9
             for _ in range(reps):

@@ -26,6 +26,23 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _classify(e):
+    """(oom, message) from an exception. The axon tunnel wraps the
+    device's HBM failure in an HTTP-500 remote-compile error whose
+    informative text ('Ran out of memory in memory space hbm. Used X of
+    Y.') sits hundreds of characters past the wrapper prefix — search
+    the WHOLE message and surface the informative line, not the
+    wrapper."""
+    msg = str(e)
+    oom = ("RESOURCE_EXHAUSTED" in msg
+           or "out of memory" in msg.lower()
+           or "Ran out of memory" in msg)
+    line = next((ln.strip() for ln in msg.splitlines()
+                 if "Ran out of memory" in ln
+                 or "RESOURCE_EXHAUSTED" in ln), None)
+    return oom, (line[:300] if line else msg[:300])
+
+
 def attempt(C, K, N, store_dtype, max_iter=10):
     import jax
     import jax.numpy as jnp
@@ -53,10 +70,9 @@ def attempt(C, K, N, store_dtype, max_iter=10):
         jax.block_until_ready(bufs)
         del bufs
     except Exception as e:  # noqa: BLE001 — OOM classification
-        msg = str(e)[:300]
+        oom, msg = _classify(e)
         return {"ok": False,
-                "oom": ("RESOURCE_EXHAUSTED" in msg
-                        or "out of memory" in msg.lower()),
+                "oom": oom,
                 "stage": "placement",
                 "working_set_gb": round((2 * K + C) * N
                                         * jnp.dtype(dt).itemsize / 1e9,
@@ -87,11 +103,9 @@ def attempt(C, K, N, store_dtype, max_iter=10):
                 "finite": bool(np.isfinite(a).all()),
                 "loss": float(res.loss)}
     except Exception as e:  # noqa: BLE001 — OOM classification
-        name = type(e).__name__
-        msg = str(e)[:200]
-        oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
-               or "OOM" in msg)
-        return {"ok": False, "oom": oom, "error": f"{name}: {msg}"}
+        oom, msg = _classify(e)
+        return {"ok": False, "oom": oom,
+                "error": f"{type(e).__name__}: {msg}"}
 
 
 def main(argv=None):

@@ -235,16 +235,17 @@ def _weighted_lipschitz_S(A, W, num_iters=48, v0=None, return_v=False):
     return lmax
 
 
-def _promote_if_needed(a):
+def _promote_if_needed(a, keep=None):
     """Half/integer inputs -> default float dtype; float32/float64
     inputs (incl. NumPy arrays, whose object identity the in-place
     writeback contract relies on, and host arrays destined for mesh
-    shardings) pass through untouched."""
+    shardings) pass through untouched. ``keep``: a reduced storage
+    dtype an already-matching plane may stay in (capacity mode)."""
     if np.isscalar(a):
         return a
     from .solvers.common import promote_dtype_host
 
-    return promote_dtype_host(a)
+    return promote_dtype_host(a, keep=keep)
 
 
 def _is_unweighted(W):
@@ -269,7 +270,10 @@ def _promote_W(W, Y):
         return jnp.full(Y.shape, W, Y.dtype)
     from .solvers.common import promote_dtype
 
-    W = promote_dtype(W)  # half/int weights -> float (every engine)
+    # half/int weights -> float (every engine); keep=Y.dtype lets a W
+    # already matching a reduced-storage Y skip the eager f32 round
+    # trip (capacity mode: the f32 W transient alone can OOM)
+    W = promote_dtype(W, keep=Y.dtype)
     if W.shape != Y.shape:
         return jnp.broadcast_to(W, Y.shape).astype(Y.dtype)
     return W.astype(Y.dtype)
@@ -1283,9 +1287,20 @@ def nmf_pgm_fused(
         prox_S = None  # kernel builtin (skips the padding masks)
     from .solvers.common import promote_dtype
 
+    # a full-width store_dtype IS the default layout: normalize it away
+    # so f32 ≡ None everywhere (matching nmf()'s auto-routing rule — a
+    # state produced through that normalization must resume with the
+    # same kwargs)
+    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
+        store_dtype = None
+    # keep=store_dtype: a plane already in the storage dtype must NOT
+    # promote — the runner casts in-jit (a no-op), and the eager f32
+    # copy would arrive as a jit argument, doubling the capacity
+    # footprint this mode exists to shrink (r5 regression: the 100e6-px
+    # bf16 solve OOMed with 11.9 GB of promoted arguments)
     A = promote_dtype(A)
-    S = promote_dtype(S)
-    Y = promote_dtype(Y)
+    S = promote_dtype(S, keep=store_dtype)
+    Y = promote_dtype(Y, keep=store_dtype)
     C, K = A.shape
     N = S.shape[1]
     weighted = W is not None and not _is_unweighted(W)
@@ -1298,12 +1313,6 @@ def nmf_pgm_fused(
     stride_cfg = ((0 if step_stride is None else int(step_stride),
                    bool(step_adapt)) if (weighted or strided_u)
                   else (0, False))
-    # a full-width store_dtype IS the default layout: normalize it away
-    # so f32 ≡ None everywhere (matching nmf()'s auto-routing rule — a
-    # state produced through that normalization must resume with the
-    # same kwargs)
-    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
-        store_dtype = None
     sdt_name = jnp.dtype(store_dtype).name if store_dtype else None
     it0 = 0
     conv0 = np.zeros(2, bool)
@@ -1680,18 +1689,21 @@ def nmf_adaprox_fused(
         prox_S = None  # kernel builtin (skips the padding masks)
     from .solvers.common import promote_dtype
 
+    # full-width store/moment dtypes ARE the default layout: normalize
+    # so f32 ≡ None (matching nmf()'s auto-routing rule)
+    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
+        store_dtype = None
+    # keep=store_dtype: see nmf_pgm_fused — promoting a plane already
+    # in the storage dtype materializes the f32 copy as a jit argument
+    # and defeats the capacity mode
     A = promote_dtype(A)
-    S = promote_dtype(S)
-    Y = promote_dtype(Y)
+    S = promote_dtype(S, keep=store_dtype)
+    Y = promote_dtype(Y, keep=store_dtype)
     C, K = A.shape
     N = S.shape[1]
     weighted = W is not None and not _is_unweighted(W)
     if weighted:
         W = _promote_W(W, Y)
-    # full-width store/moment dtypes ARE the default layout: normalize
-    # so f32 ≡ None (matching nmf()'s auto-routing rule)
-    if store_dtype is not None and jnp.dtype(store_dtype).itemsize >= 4:
-        store_dtype = None
     if moment_dtype is not None and jnp.dtype(moment_dtype).itemsize >= 4:
         moment_dtype = None
     fused_cfg = {
@@ -1986,11 +1998,17 @@ def nmf(
     # paths would otherwise run — or hang — in the input dtype).
     # Same-or-wider float NumPy inputs pass through untouched so the
     # reference's in-place writeback contract keeps their identity.
-    Y = _promote_if_needed(Y)
+    # Exception: a plane already in a requested reduced store_dtype
+    # stays put — promoting it would materialize the f32 copy the
+    # capacity mode exists to avoid (the fused engine casts in-jit).
+    _keep = algorithm_args.get("store_dtype")
+    if _keep is not None and jnp.dtype(_keep).itemsize >= 4:
+        _keep = None
+    Y = _promote_if_needed(Y, keep=_keep)
     A = _promote_if_needed(A)
-    S = _promote_if_needed(S)
+    S = _promote_if_needed(S, keep=_keep)
     if not _is_unweighted(W) and np.ndim(W) == 2:
-        W = _promote_if_needed(W)
+        W = _promote_if_needed(W, keep=_keep)
 
     if algorithm_args.get("state", True) is None:
         # explicit state=None means "no resume": treat exactly like an

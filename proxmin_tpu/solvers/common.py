@@ -107,12 +107,22 @@ def tupleize(X):
     return X_dev, originals, was_single
 
 
-def promote_dtype(a):
+def promote_dtype(a, keep=None):
     """Half/integer/bool arrays -> the default float dtype (the same
     rule :func:`tupleize` applies at the solver boundary) — used by the
     application layer so the fused/sharded engine routes get the same
-    promotion as the XLA drivers."""
+    promotion as the XLA drivers.
+
+    ``keep``: a reduced storage dtype (the engine's ``store_dtype``)
+    that an already-matching array may stay in. The fused runners cast
+    to it *inside* the jit (a no-op for a matching input); promoting
+    here would eagerly materialize the full-width plane as a jit
+    argument — at capacity scale that plane alone is the difference
+    between fitting HBM and a device OOM (a 16x100e6 bf16 solve's S+Y
+    promoted to f32 is 11.9 GB of arguments on a 16 GB chip)."""
     a = jnp.asarray(a)
+    if keep is not None and a.dtype == jnp.dtype(keep):
+        return a
     if (jnp.issubdtype(a.dtype, jnp.integer)
             or jnp.issubdtype(a.dtype, jnp.bool_)
             or (jnp.issubdtype(a.dtype, jnp.floating)
@@ -121,20 +131,22 @@ def promote_dtype(a):
     return a
 
 
-def promote_dtype_host(a):
+def promote_dtype_host(a, keep=None):
     """Like :func:`promote_dtype`, but host (NumPy) inputs STAY host
     arrays — no default-backend commitment. Used by the sharded path,
     which device_puts straight to mesh shardings (a ``jnp.asarray``
     here would bounce host data through the default backend first, or
     fail when that backend is unavailable), and by ``nmf()``, where
     untouched float NumPy inputs must keep their identity for the
-    in-place writeback contract."""
+    in-place writeback contract. ``keep`` as in :func:`promote_dtype`."""
     if isinstance(a, jax.Array):
-        return promote_dtype(a)
+        return promote_dtype(a, keep=keep)
     a = np.asarray(a)
     dt = jnp.dtype(a.dtype)  # jnp predicates know ml_dtypes (bfloat16,
     #                          float8: NumPy kind 'V', invisible to a
     #                          kind-based check)
+    if keep is not None and dt == jnp.dtype(keep):
+        return a
     if (jnp.issubdtype(dt, jnp.integer)
             or jnp.issubdtype(dt, jnp.bool_)
             or (jnp.issubdtype(dt, jnp.floating)

@@ -867,6 +867,63 @@ def test_fused_adaprox_bf16_storage(rng):
     assert r.iterations == 8
 
 
+def test_bf16_inputs_not_promoted_under_store_dtype(rng):
+    """Inputs already in the storage dtype must pass the promotion
+    boundary untouched (r5 capacity regression: promote_dtype eagerly
+    upcast bf16 S/Y to f32 jit arguments — 11.9 GB of arguments on a
+    16 GB chip for the 100e6-px solve the mode exists for — and the
+    solve OOMed where round 4's had fit)."""
+    import proxmin_tpu as pt
+    from proxmin_tpu.solvers.common import promote_dtype_host
+
+    # the root contract: keep= short-circuits promotion by identity
+    s16 = jnp.ones((4, 8), jnp.bfloat16)
+    assert promote_dtype_host(s16, keep=jnp.bfloat16) is s16
+    assert promote_dtype_host(s16).dtype == jnp.result_type(float)
+    h16 = np.ones((4, 8), jnp.bfloat16)
+    assert promote_dtype_host(h16, keep=jnp.bfloat16) is h16
+
+    # behavioral: bf16 inputs under store_dtype=bf16 walk the EXACT
+    # trajectory of f32 inputs (the runner's in-jit astype is the same
+    # cast the host-side one performs), on both fused engines and the
+    # nmf() route
+    C, K, N = 16, 8, 512
+    Y = (rng.random((C, K)) @ rng.random((K, N))).astype(np.float32)
+    A0 = rng.random((C, K)).astype(np.float32)
+    S0 = rng.random((K, N)).astype(np.float32)
+    Y16 = jnp.asarray(Y).astype(jnp.bfloat16)
+    S16 = jnp.asarray(S0).astype(jnp.bfloat16)
+
+    r_f32 = pt.nmf.nmf_pgm_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                 max_iter=15, tile_n=128,
+                                 store_dtype=jnp.bfloat16)
+    r_b16 = pt.nmf.nmf_pgm_fused(Y16, A0.copy(), S16, e_rel=0,
+                                 max_iter=15, tile_n=128,
+                                 store_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(r_f32.x[0]),
+                                  np.asarray(r_b16.x[0]))
+    np.testing.assert_array_equal(np.asarray(r_f32.x[1]),
+                                  np.asarray(r_b16.x[1]))
+
+    a_f32 = pt.nmf.nmf_adaprox_fused(Y, A0.copy(), S0.copy(), e_rel=0,
+                                     max_iter=10, tile_n=128,
+                                     store_dtype=jnp.bfloat16)
+    a_b16 = pt.nmf.nmf_adaprox_fused(Y16, A0.copy(), S16, e_rel=0,
+                                     max_iter=10, tile_n=128,
+                                     store_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a_f32.x[1]),
+                                  np.asarray(a_b16.x[1]))
+
+    n_f32 = pt.nmf.nmf(Y, A0.copy(), S0.copy(), e_rel=0, max_iter=15,
+                       engine="pallas", store_dtype=jnp.bfloat16,
+                       tile_n=128)
+    n_b16 = pt.nmf.nmf(Y16, A0.copy(), S16, e_rel=0, max_iter=15,
+                       engine="pallas", store_dtype=jnp.bfloat16,
+                       tile_n=128)
+    np.testing.assert_array_equal(np.asarray(n_f32.x[1]),
+                                  np.asarray(n_b16.x[1]))
+
+
 def test_engine_auto_store_dtype_routing(rng):
     """Review findings (r4 late): engine='auto' routes a reduced
     store_dtype to the fused kernels — including weighted PGM (the only
