@@ -30,3 +30,29 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(101)
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_routing(monkeypatch, tmp_path):
+    """Deterministic engine routing for every test: calibration OFF
+    (static tables only) and the autotune cache pointed at a per-test
+    tmpdir, so no test can depend on — or pollute — the user's real
+    ``~/.cache/proxmin_tpu/routing.json``. Without this, any routing
+    test whose shape sits in the calibration gray zone (e.g. C=64)
+    sees probe solves on a cold cache and a single solve on a warm
+    one — pass/fail depending on prior machine state.
+    ``test_calibrate.py`` re-enables probing via its own autouse
+    fixture (module fixtures run after this one)."""
+    from proxmin_tpu import calibrate
+
+    monkeypatch.setenv("PROXMIN_TPU_AUTOTUNE_CACHE",
+                       str(tmp_path / "routing.json"))
+    prev = calibrate.set_auto_calibration("off")
+    calibrate._CACHE.clear()
+    calibrate._DISK = {}
+    calibrate._DISK_LOADED = False
+    yield
+    calibrate.set_auto_calibration(prev)
+    calibrate._CACHE.clear()
+    calibrate._DISK = {}
+    calibrate._DISK_LOADED = False
