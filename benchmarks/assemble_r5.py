@@ -39,6 +39,17 @@ def main():
         merged = {"seeds": None, "acceptance": None, "configs": {},
                   "wall_s": 0.0}
         for name, sh in shards.items():
+            # the merged study reports ONE seeds/acceptance provenance —
+            # refuse to silently mix shards produced under different
+            # --seeds or acceptance constants
+            for field in ("seeds", "acceptance"):
+                if (merged[field] is not None
+                        and merged[field] != sh[field]):
+                    raise SystemExit(
+                        f"shard {name!r} was produced with {field}="
+                        f"{sh[field]!r} but an earlier shard used "
+                        f"{merged[field]!r}; re-run the stale shard "
+                        f"before assembling")
             merged["seeds"] = sh["seeds"]
             merged["acceptance"] = sh["acceptance"]
             merged["configs"].update(sh["configs"])

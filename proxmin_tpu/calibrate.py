@@ -47,6 +47,7 @@ GRAY_FACTOR = 4.0
 
 PROBE_ITERS = (5, 25)   # marginal over 20 iterations (VERDICT r4 #2)
 PROBE_REPS = 2          # min-of-reps guards the pool's bimodal stalls
+NEAR_TIE = 0.05         # within 5%: keep the static-table choice
 
 
 def set_auto_calibration(mode):
@@ -153,6 +154,15 @@ def measured_choice(key, probes, fallback, iters=PROBE_ITERS,
             t_hi = min(_timed(fn, hi, _timer) for _ in range(reps))
             marginals[name] = max((t_hi - t_lo) / (hi - lo), 0.0)
         best = min(marginals, key=marginals.get)
+        # near-tie: never overrule the static tables on noise — and a
+        # probe that CONVERGED inside its budget (the caller's e_rel
+        # rides into the probes so the real solve reuses their
+        # compiled executables) shortens both engines identically, so
+        # the resulting ~equal marginals land here by construction
+        if (fallback in marginals and best != fallback
+                and marginals[fallback]
+                <= marginals[best] * (1.0 + NEAR_TIE)):
+            best = fallback
         logger.info(
             "auto-calibration %s: %s (measured %s ms/iter)", skey, best,
             {k: round(v * 1e3, 4) for k, v in marginals.items()})

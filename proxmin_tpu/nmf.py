@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from . import algorithms, operators, utils
 from .precision import (
-    KERNEL_RESIDUAL_PRECISION,
     RESIDUAL_PRECISION,
     STREAM_PRECISION,
     TINY_PRECISION,
@@ -357,6 +356,25 @@ def _unweighted_strided_fused_wins(C, K, N):
     return _unweighted_fused_wins(C, K, N)
 
 
+def _adaprox_separable_ok(prox_A, prox_S, mode):
+    """True when every PRESENT prox has a known separable closed form
+    under ``mode`` (the ``separable_prox`` kwarg) — the eligibility
+    rule shared by the ``engine='auto'`` fused-adaprox check and the
+    explicit sharded adaprox route. Returns False instead of raising
+    on unknown proxs so routing sites can fall through to the
+    XLA/auto-SPMD paths (the strict ``engine='pallas'`` entry
+    re-derives the blocks itself so its errors reach the user)."""
+    from .solvers.common import separable_blocks
+
+    prox_pair = (prox_A, prox_S)
+    has = tuple(pj is not None for pj in prox_pair)
+    try:
+        sep = separable_blocks(prox_pair, has, mode)
+    except ValueError:
+        return False
+    return all(s or not h for s, h in zip(sep, has))
+
+
 def _calibrated_engine(Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
                        step_adapt, algorithm_args, C, K, N, weighted,
                        strided, static):
@@ -374,9 +392,11 @@ def _calibrated_engine(Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
            str(np.asarray(A).dtype))
 
     # device copies: a probe must never write back into caller arrays
-    # (nmf's in-place contract applies to NumPy inputs only), and the
-    # content-keyed conversion means the real solve reuses these exact
-    # device buffers (zero extra transfers)
+    # (nmf's in-place contract applies to NumPy inputs only). Device
+    # inputs and sub-cutoff host arrays are shared with the real solve
+    # through asarray_cached's content cache; a >64 MiB HOST Y does pay
+    # one extra H2D here (the content cache skips big arrays, and an
+    # id-keyed handoff would be unsafe under the in-place contract).
     Yp = asarray_cached(Y)
     Wp = 1 if _is_unweighted(W) else asarray_cached(_promote_W(W, Yp))
     Ap = jnp.asarray(A)
@@ -386,17 +406,31 @@ def _calibrated_engine(Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
 
     def make_probe(eng):
         def probe(n):
+            # the caller's e_rel rides into the probe: it is part of
+            # the runner/jit cache keys, so probing with it means the
+            # real solve is a compile-cache HIT (probing with e_rel=0
+            # used to add two full compiles — minutes on a cold remote
+            # tunnel). If the problem converges before the probe
+            # budget, both engines shorten identically and
+            # measured_choice's near-tie rule keeps the static choice.
             res = nmf(Yp, Ap, Sp, W=Wp, prox_A=prox_A, prox_S=prox_S,
-                      e_rel=0, max_iter=n, engine=eng,
+                      e_rel=e_rel, max_iter=n, engine=eng,
                       step_stride=step_stride, step_adapt=step_adapt,
                       **probe_kw)
             np.asarray(res.x[0])  # force completion
         return probe
 
-    # fixed-iteration probes "fail to converge" by design — keep the
-    # real solve's logs clean
-    prev_level = logger.level
-    logger.setLevel(max(prev_level, logging.ERROR))
+    # fixed-iteration probes may "fail to converge" by design — drop
+    # exactly that message for the probe window. (A blanket
+    # logger.setLevel(ERROR) here used to also swallow calibrate's
+    # decision INFO line and — worse — the WARNING emitted when a probe
+    # fails and routing silently falls back to the static tables.)
+    class _ExpectedNonConvergence(logging.Filter):
+        def filter(self, record):
+            return "did not converge" not in record.getMessage()
+
+    flt = _ExpectedNonConvergence()
+    logger.addFilter(flt)
     try:
         return calibrate.measured_choice(
             key,
@@ -404,7 +438,7 @@ def _calibrated_engine(Y, A, S, W, prox_A, prox_S, e_rel, step_stride,
             static,
         )
     finally:
-        logger.setLevel(prev_level)
+        logger.removeFilter(flt)
 
 
 def step_pgm(*X, it=None, W=1):
@@ -2095,17 +2129,9 @@ def nmf(
                     "state"}
                 and (algorithm_args.get("state") is None
                      or _adaprox_sharded_state)):
-            from .solvers.common import separable_blocks
-
-            prox_pair = (prox_A, prox_S)
-            has = tuple(pj is not None for pj in prox_pair)
-            try:
-                sep = separable_blocks(
-                    prox_pair, has,
-                    algorithm_args.get("separable_prox", "auto"))
-            except ValueError:
-                sep = (False,) * len(prox_pair)
-            if all(s or not h for s, h in zip(sep, has)):
+            if _adaprox_separable_ok(
+                    prox_A, prox_S,
+                    algorithm_args.get("separable_prox", "auto")):
                 # explicit-collective whole-solve (VERDICT r4 #5): the
                 # scheme='adam' + separable-prox subset mirrors the
                 # fused single-chip engine; everything else falls
@@ -2176,18 +2202,9 @@ def nmf(
                     "b1", "b2", "eps", "tile_n", "moment_dtype",
                     "store_dtype", "M", "V", "state", "scheme",
                     "separable_prox"}):
-            from .solvers.common import separable_blocks
-
-            prox_pair = (prox_A, prox_S)
-            has = tuple(pj is not None for pj in prox_pair)
-            try:
-                sep_blocks = separable_blocks(
-                    prox_pair, has,
-                    algorithm_args.get("separable_prox", "auto"))
-            except ValueError:
-                sep_blocks = (False,) * len(prox_pair)
-            fused_adaprox_ok = all(
-                s or not h for s, h in zip(sep_blocks, has))
+            fused_adaprox_ok = _adaprox_separable_ok(
+                prox_A, prox_S,
+                algorithm_args.get("separable_prox", "auto"))
         mdt = algorithm_args.get("moment_dtype")
         reduced_moments = (mdt is not None
                            and jnp.dtype(mdt).itemsize < 4)

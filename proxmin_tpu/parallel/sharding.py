@@ -184,6 +184,52 @@ def shard_nmf_problem(mesh, Y, A, S, W=None, data_axis="data",
     return Y, A, S, W
 
 
+def _classify_weight(W, y_shape):
+    """Normalize a weight argument for the sharded whole-solves:
+    ``(weighted, W2d)``.
+
+    ``None`` and the scalar 1 (the reference's ``W == 1`` convention,
+    ``nmf._is_unweighted``) are unweighted. Any OTHER scalar or
+    lower-rank W is *weighted* — it broadcasts against Y exactly like
+    the single-device engines' ``_promote_W`` — and comes back as a
+    zero-copy host view the caller materializes shard-by-shard. (A
+    scalar ``W=0.5`` previously fell through the old ``ndim == 2``
+    test and was silently dropped, so the mesh route solved a
+    different problem than the single-device path.) 2-D W passes
+    through untouched.
+    """
+    if W is None:
+        return False, None
+    if np.isscalar(W) or getattr(W, "ndim", None) == 0:
+        if float(W) == 1.0:
+            return False, None
+        return True, np.broadcast_to(np.asarray(W), tuple(y_shape))
+    if getattr(W, "ndim", None) == 2:
+        return True, W
+    return True, np.broadcast_to(np.asarray(W), tuple(y_shape))
+
+
+def _weight_shard(W_native, W2, Y, mesh, data_axis, model_axis,
+                  weighted):
+    """The W operand for a sharded whole-solve.
+
+    Unweighted: the builders never read W (``D = R``), so alias Y
+    rather than materializing a Y-sized all-ones plane — at capacity
+    scales that plane alone (C·N·4 bytes) is the difference between
+    fitting and OOM. ``export.py``'s artifacts already use this
+    dead-operand contract. Weighted with a broadcast view (scalar /
+    lower-rank W): materialize shard-by-shard on host, never whole."""
+    if not weighted:
+        return Y
+    if W_native is not None:
+        return W_native
+    sh = NamedSharding(mesh, P(model_axis, data_axis))
+    np_dt = np.dtype(Y.dtype)
+    return jax.make_array_from_callback(
+        Y.shape, sh,
+        lambda idx: np.ascontiguousarray(W2[idx]).astype(np_dt))
+
+
 def _put(x, sharding):
     """``device_put`` straight from host memory to the target sharding.
 
@@ -788,7 +834,7 @@ def nmf_adaprox_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
-    weighted = W is not None and getattr(W, "ndim", 0) == 2
+    weighted, W2 = _classify_weight(W, np.shape(Y))
     if state is not None:
         if not (hasattr(state, "get")
                 and state.get("kind") == "nmf_adaprox_sharded"):
@@ -802,18 +848,11 @@ def nmf_adaprox_sharded(
                 "state= was produced under a different weighting"
             )
     Y, A0, S0, W_sh = shard_nmf_problem(
-        mesh, Y, A, S, W if weighted else None,
+        mesh, Y, A, S, W2 if (weighted and W2 is W) else None,
         data_axis=data_axis, model_axis=model_axis,
     )
-    if not weighted:
-        sh = NamedSharding(mesh, P(model_axis, data_axis))
-        np_dt = np.dtype(Y.dtype)
-        W_sh = jax.make_array_from_callback(
-            Y.shape, sh,
-            lambda idx: np.ones(
-                tuple(len(range(*s.indices(d)))
-                      for s, d in zip(idx, Y.shape)), np_dt),
-        )
+    W_sh = _weight_shard(W_sh, W2, Y, mesh, data_axis, model_axis,
+                         weighted)
 
     solve = _build_adaprox_solve(
         mesh, weighted, prox_A or operators.prox_id,
@@ -893,7 +932,7 @@ def nmf_pgm_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
-    weighted = W is not None and getattr(W, "ndim", 0) == 2
+    weighted, W2 = _classify_weight(W, np.shape(Y))
     strided = (step_stride is not None and step_stride > 1) or step_adapt
     stride_cfg = (0 if step_stride is None else int(step_stride),
                   bool(step_adapt))
@@ -923,20 +962,11 @@ def nmf_pgm_sharded(
                 "carried step scalars and power iterate would be wrong)"
             )
     Y, A0, S0, W_sh = shard_nmf_problem(
-        mesh, Y, A, S, W if weighted else None,
+        mesh, Y, A, S, W2 if (weighted and W2 is W) else None,
         data_axis=data_axis, model_axis=model_axis,
     )
-    if not weighted:
-        # build the all-ones weight shard-by-shard on host: never touches
-        # the default backend (the mesh may live on a different platform)
-        sh = NamedSharding(mesh, P(model_axis, data_axis))
-        np_dt = np.dtype(Y.dtype)
-        W_sh = jax.make_array_from_callback(
-            Y.shape, sh,
-            lambda idx: np.ones(
-                tuple(len(range(*s.indices(d)))
-                      for s, d in zip(idx, Y.shape)), np_dt),
-        )
+    W_sh = _weight_shard(W_sh, W2, Y, mesh, data_axis, model_axis,
+                         weighted)
 
     solve = _build_pgm_solve(mesh, weighted, prox_A, prox_S, e_rel,
                              max_iter, data_axis, model_axis,

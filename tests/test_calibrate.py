@@ -90,6 +90,23 @@ def test_measured_choice_disk_roundtrip():
     assert len(calls) == n  # served from disk, no probes
 
 
+def test_measured_choice_near_tie_keeps_static_fallback():
+    """Marginals within NEAR_TIE must not overrule the static tables —
+    pool noise (and probes that converge inside their budget, which
+    shorten both engines identically) land here by construction."""
+    calls = []
+    probes, timer = _fake_probes({"xla": 0.100, "pallas": 0.098}, calls)
+    got = calibrate.measured_choice(("tie",), probes, fallback="xla",
+                                    _timer=timer)
+    assert got == "xla"  # pallas 'won' by 2% — inside the tie band
+    calls2 = []
+    probes2, timer2 = _fake_probes({"xla": 0.100, "pallas": 0.098},
+                                   calls2)
+    got2 = calibrate.measured_choice(("tie2",), probes2,
+                                     fallback="pallas", _timer=timer2)
+    assert got2 == "pallas"
+
+
 def test_mode_off_uses_fallback_without_probing():
     calls = []
     probes, timer = _fake_probes({"xla": 0.1, "pallas": 0.2}, calls)

@@ -11,11 +11,13 @@ shifts converged quality or iterations-to-tolerance beyond the bound
 fails loudly.
 """
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "benchmarks")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, "benchmarks"))
 
 from engine_equivalence import (  # noqa: E402
     ACCEPTANCE,

@@ -13,6 +13,7 @@ from proxmin_tpu import operators
 from proxmin_tpu.parallel import (
     make_mesh,
     make_nmf_pgm_step,
+    nmf_adaprox_sharded,
     nmf_pgm_sharded,
     prox_unity_sharded,
     shard_nmf_problem,
@@ -135,6 +136,70 @@ def test_full_sharded_solve_weighted(problem, rng):
     A2, S2 = res.x
     np.testing.assert_allclose(np.asarray(A2), A1, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(S2), S1, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("W", [0.5, "per_pixel_1d"])
+def test_sharded_scalar_and_lower_rank_W_not_dropped(problem, rng, W):
+    """Regression: a scalar (or 1-D per-pixel) W used to fall through
+    the old ``ndim == 2`` weightedness test in nmf_pgm_sharded /
+    nmf_adaprox_sharded and was silently DROPPED — the mesh route
+    solved the unweighted problem. Lower-rank W must broadcast against
+    Y exactly like the single-device engines' ``_promote_W``."""
+    Y, A0, S0 = problem
+    if W == "per_pixel_1d":
+        W = 0.5 + rng.random(Y.shape[1])
+    mesh = make_mesh()
+
+    for algorithm in ("pgm", "adaprox"):
+        A1, S1 = A0.copy(), S0.copy()
+        pt.nmf.nmf(Y, A1, S1, W=W, algorithm=algorithm,
+                   e_rel=0, max_iter=15)
+        # guard: the weighting is observable. Uniform W barely moves
+        # the ITERATES (pgm is exactly invariant — the inverse-
+        # Lipschitz step cancels the gradient scaling; adam only
+        # breaks it at eps scale), but the reported loss is
+        # 0.5·Σ W R², so a silently dropped W shows as a ~1/W factor
+        # in .loss between the weighted and unweighted mesh routes.
+        if np.ndim(W) > 0:
+            Au, Su = A0.copy(), S0.copy()
+            pt.nmf.nmf(Y, Au, Su, algorithm=algorithm, e_rel=0,
+                       max_iter=15)
+            assert not np.allclose(S1, Su), algorithm
+        else:
+            solver = (nmf_pgm_sharded if algorithm == "pgm"
+                      else nmf_adaprox_sharded)
+            res_w = solver(Y, A0.copy(), S0.copy(), W=W, mesh=mesh,
+                           e_rel=0, max_iter=15)
+            res_u = solver(Y, A0.copy(), S0.copy(), mesh=mesh,
+                           e_rel=0, max_iter=15)
+            np.testing.assert_allclose(
+                float(res_w.loss) / float(res_u.loss), W, rtol=1e-3,
+                err_msg=f"{algorithm}: scalar W dropped by the mesh "
+                        f"route (loss ratio should be ~W)")
+
+        A2, S2 = A0.copy(), S0.copy()
+        pt.nmf.nmf(Y, A2, S2, W=W, algorithm=algorithm,
+                   e_rel=0, max_iter=15, mesh=mesh)
+        np.testing.assert_allclose(A2, A1, rtol=1e-6, atol=1e-9,
+                                   err_msg=algorithm)
+        np.testing.assert_allclose(S2, S1, rtol=1e-6, atol=1e-9,
+                                   err_msg=algorithm)
+
+
+def test_unweighted_sharded_W_operand_aliases_Y(problem):
+    """The unweighted whole-solves pass Y itself as the dead W operand
+    (D = R; the builders never read it) instead of materializing a
+    Y-sized all-ones plane — at capacity scale that plane is the
+    difference between fitting and OOM."""
+    Y, A0, S0 = problem
+    from proxmin_tpu.parallel.sharding import (_classify_weight,
+                                               _weight_shard)
+    weighted, W2 = _classify_weight(1.0, np.shape(Y))
+    assert not weighted
+    Yj = jnp.asarray(Y)
+    out = _weight_shard(None, W2, Yj, make_mesh(), "data", None,
+                        weighted)
+    assert out is Yj
 
 
 def test_full_sharded_solve_2d(problem):
